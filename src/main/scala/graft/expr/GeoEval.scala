@@ -1,0 +1,58 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.core.{CellIndex, Geo}
+
+/**
+ * Static evaluation helpers shared by interpreted eval and generated
+ * code. Methods that take [[ArrayData]] operate on Tungsten arrays
+ * in-place (no copy), which keeps the PIP join's inner predicate
+ * allocation-free inside whole-stage codegen.
+ */
+object GeoEval {
+
+  /** Even-odd ray-cast PIP over ArrayData (see Geo.pipContains). */
+  def pipContains(x: Double, y: Double, xs: ArrayData, ys: ArrayData,
+                  parts: ArrayData): Boolean = {
+    var inside = false
+    var p = 0
+    val nParts = parts.numElements()
+    val n = xs.numElements()
+    while (p < nParts) {
+      val start = parts.getInt(p)
+      val end = if (p + 1 < nParts) parts.getInt(p + 1) else n
+      var i = start
+      var j = end - 1
+      while (i < end) {
+        val yi = ys.getDouble(i); val yj = ys.getDouble(j)
+        if ((yi > y) != (yj > y)) {
+          val xi = xs.getDouble(i); val xj = xs.getDouble(j)
+          val xCross = (xj - xi) * (y - yi) / (yj - yi) + xi
+          if (x < xCross) inside = !inside
+        }
+        j = i
+        i += 1
+      }
+      p += 1
+    }
+    inside
+  }
+
+  def kRing(cell: Long, k: Int): ArrayData =
+    ArrayData.toArrayData(CellIndex.kRing(cell, k))
+
+  def coverBBox(minLon: Double, minLat: Double, maxLon: Double,
+                maxLat: Double, res: Int): ArrayData =
+    ArrayData.toArrayData(
+      CellIndex.coverBBox(minLon, minLat, maxLon, maxLat, res))
+
+  def polygonArea(xs: ArrayData, ys: ArrayData, parts: ArrayData): Double =
+    Geo.polygonArea(xs.toDoubleArray(), ys.toDoubleArray(),
+      parts.toIntArray())
+
+  def polygonPerimeter(xs: ArrayData, ys: ArrayData,
+                       parts: ArrayData): Double =
+    Geo.polygonPerimeter(xs.toDoubleArray(), ys.toDoubleArray(),
+      parts.toIntArray())
+}

@@ -1,0 +1,223 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+import graft.core.CellIndex
+
+/**
+ * Custom Catalyst expressions for the cell index + geometry kernel
+ * (SURVEY.md §4 item 1). All are deterministic, null-intolerant and
+ * codegen as a single static call into [[GeoEval]]/[[CellIndex]], so
+ * they stay inside whole-stage codegen spans.
+ */
+
+/** latlng_to_cell(lat, lon, res) -> Long cell id. */
+case class LatLngToCell(lat: Expression, lon: Expression, res: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = res
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(la: Any, lo: Any, r: Any): Any =
+    CellIndex.latLngToCell(la.asInstanceOf[Double],
+      lo.asInstanceOf[Double], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo, r) =>
+      s"graft.core.CellIndex.latLngToCell($la, $lo, $r)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** Unary cell accessors sharing one shape. */
+abstract class CellUnary extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  protected def call: String
+  protected def evalLong(c: Long): Any
+  override protected def nullSafeEval(c: Any): Any =
+    evalLong(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.CellIndex.$call($c)")
+}
+
+case class CellLatBin(child: Expression) extends CellUnary {
+  override def dataType: DataType = LongType
+  protected def call = "cellLatBin"
+  protected def evalLong(c: Long): Any = CellIndex.cellLatBin(c)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class CellLonBin(child: Expression) extends CellUnary {
+  override def dataType: DataType = LongType
+  protected def call = "cellLonBin"
+  protected def evalLong(c: Long): Any = CellIndex.cellLonBin(c)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class CellCenterLat(child: Expression) extends CellUnary {
+  override def dataType: DataType = DoubleType
+  protected def call = "cellCenterLat"
+  protected def evalLong(c: Long): Any = CellIndex.cellCenterLat(c)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class CellCenterLon(child: Expression) extends CellUnary {
+  override def dataType: DataType = DoubleType
+  protected def call = "cellCenterLon"
+  protected def evalLong(c: Long): Any = CellIndex.cellCenterLon(c)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** cell_to_parent(cell, parentRes). */
+case class CellToParent(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, r: Any): Any =
+    CellIndex.cellToParent(c.asInstanceOf[Long], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"graft.core.CellIndex.cellToParent($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(l, r)
+}
+
+/** k_ring(cell, k) -> Array[Long] of the (2k+1)^2 block. */
+case class KRing(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, k: Any): Any =
+    GeoEval.kRing(c.asInstanceOf[Long], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) => s"graft.expr.GeoEval.kRing($c, $k)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(l, r)
+}
+
+/** cover_bbox(minLon, minLat, maxLon, maxLat, res) -> Array[Long]. */
+case class CoverBBox(children: Seq[Expression]) extends Expression
+    {
+  require(children.length == 5)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def nullIntolerant: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeoEval.coverBBox(vs(0).asInstanceOf[Double],
+      vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    val nullCheck = cs.map(_.isNull).mkString(" || ")
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${cs.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $nullCheck;
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expr.GeoEval.coverBBox(${cs(0).value},
+          ${cs(1).value}, ${cs(2).value}, ${cs(3).value}, ${cs(4).value});
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/**
+ * pip_contains(x, y, xs, ys, parts) — even-odd ray-cast PIP evaluated
+ * directly over Tungsten arrays (no copies), the exact-test residual
+ * predicate after the cell-id equi-join
+ * (IsolateVectorFeaturesByLocation.java:360-611 semantics).
+ */
+case class PipContains(children: Seq[Expression]) extends Expression
+    {
+  require(children.length == 5)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def nullIntolerant: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeoEval.pipContains(vs(0).asInstanceOf[Double],
+      vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(3).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(4).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    val nullCheck = cs.map(_.isNull).mkString(" || ")
+    ev.copy(code = code"""
+      ${cs.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $nullCheck;
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expr.GeoEval.pipContains(${cs(0).value},
+          ${cs(1).value}, ${cs(2).value}, ${cs(3).value}, ${cs(4).value});
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Column-level API + SQL registration. */
+object GeoFunctions {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def x(col: Column): Expression = Bridge.expression(col)
+
+  def latlng_to_cell(lat: Column, lon: Column, res: Column): Column =
+    c(LatLngToCell(x(lat), x(lon), x(res)))
+  def cell_lat_bin(cell: Column): Column = c(CellLatBin(x(cell)))
+  def cell_lon_bin(cell: Column): Column = c(CellLonBin(x(cell)))
+  def cell_center_lat(cell: Column): Column = c(CellCenterLat(x(cell)))
+  def cell_center_lon(cell: Column): Column = c(CellCenterLon(x(cell)))
+  def cell_to_parent(cell: Column, res: Column): Column =
+    c(CellToParent(x(cell), x(res)))
+  def k_ring(cell: Column, k: Column): Column = c(KRing(x(cell), x(k)))
+  def cover_bbox(minLon: Column, minLat: Column, maxLon: Column,
+                 maxLat: Column, res: Column): Column =
+    c(CoverBBox(Seq(x(minLon), x(minLat), x(maxLon), x(maxLat), x(res))))
+  def pip_contains(px: Column, py: Column, xs: Column, ys: Column,
+                   parts: Column): Column =
+    c(PipContains(Seq(x(px), x(py), x(xs), x(ys), x(parts))))
+
+  /** Register all functions for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("latlng_to_cell",
+      es => LatLngToCell(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("cell_lat_bin",
+      es => CellLatBin(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cell_lon_bin",
+      es => CellLonBin(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cell_center_lat",
+      es => CellCenterLat(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cell_center_lon",
+      es => CellCenterLon(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cell_to_parent",
+      es => CellToParent(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("k_ring",
+      es => KRing(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cover_bbox",
+      es => CoverBBox(es), "built-in")
+    reg.createOrReplaceTempFunction("pip_contains",
+      es => PipContains(es), "built-in")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic derivations of geospatial inputs from the generic
+ * testdata tables (TESTDATA.md). All formulas use integer arithmetic
+ * followed by a single double division so they are bit-exactly
+ * reproducible in the DuckDB oracle SQL (same IEEE-754 ops in the
+ * same order). The customer point cloud carries a deliberate hot
+ * cluster (3/11 of points collapse into a ~0.01-degree blob) to
+ * exercise the skew handling the target demands.
+ */
+object Derived {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Customer point cloud: (id, x, y), hot cluster at (12.34, 45.67). */
+  def customerPoints(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val hot = c("c_custkey") % 11 < 3
+    c.select(
+      c("c_custkey").as("id"),
+      when(hot, lit(12.34) + (c("c_custkey") % 50) / lit(5000.0))
+        .otherwise((c("c_custkey") * 9973 % 36000) / lit(100.0) - 180.0)
+        .as("x"),
+      when(hot, lit(45.67) + (c("c_custkey") % 40) / lit(4000.0))
+        .otherwise((c("c_custkey") * 7919 % 17000) / lit(100.0) - 85.0)
+        .as("y"))
+  }
+
+  /** Matching SQL CTE body for [[customerPoints]] (DuckDB). */
+  val customerPointsSql: String =
+    """SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 11 < 3
+      |    THEN CAST(12.34 AS DOUBLE) + (c_custkey % 50) / CAST(5000.0 AS DOUBLE)
+      |    ELSE ((c_custkey * 9973) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+      |  END AS x,
+      |  CASE WHEN c_custkey % 11 < 3
+      |    THEN CAST(45.67 AS DOUBLE) + (c_custkey % 40) / CAST(4000.0 AS DOUBLE)
+      |    ELSE ((c_custkey * 7919) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)
+      |  END AS y
+      |FROM customer""".stripMargin
+
+  /** Supplier point cloud: (s_id, sx, sy, sval). */
+  def supplierPoints(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+    s.select(
+      s("s_suppkey").as("s_id"),
+      ((s("s_suppkey") * 6151 % 36000) / lit(100.0) - 180.0).as("sx"),
+      ((s("s_suppkey") * 4517 % 17000) / lit(100.0) - 85.0).as("sy"),
+      s("s_acctbal").as("sval"))
+  }
+
+  val supplierPointsSql: String =
+    """SELECT s_suppkey AS s_id,
+      |  ((s_suppkey * 6151) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS sx,
+      |  ((s_suppkey * 4517) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS sy,
+      |  s_acctbal AS sval
+      |FROM supplier""".stripMargin
+
+  /**
+   * Zone polygons in the reference's ring/part model (SURVEY.md §1.2):
+   * two plain rectangles, a rectangle with a hole (even-odd parity,
+   * VectorPolygonsToRaster.java:449-530 semantics), a triangle, and a
+   * concave L — all with bounds at .005 offsets so no derived point
+   * (coordinates are multiples of 0.01 / 0.0002) ever sits exactly on
+   * a boundary.
+   */
+  def zones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val zs = Seq(
+      // zone_id, xs, ys, parts
+      (1, Array(12.005, 13.005, 13.005, 12.005),
+          Array(45.005, 45.005, 46.505, 46.505), Array(0)),
+      (2, Array(-120.005, -60.005, -60.005, -120.005),
+          Array(-30.005, -30.005, 30.005, 30.005), Array(0)),
+      (3, Array(40.005, 80.005, 80.005, 40.005,
+                50.005, 70.005, 70.005, 50.005),
+          Array(-60.005, -60.005, -20.005, -20.005,
+                -50.005, -50.005, -30.005, -30.005), Array(0, 4)),
+      (4, Array(0.005, 20.005, 10.005),
+          Array(0.005, 1.005, 15.005), Array(0)),
+      (5, Array(100.005, 140.005, 140.005, 120.005, 120.005, 100.005),
+          Array(0.005, 0.005, 20.005, 20.005, 40.005, 40.005), Array(0))
+    )
+    zs.toDF("zone_id", "xs", "ys", "parts")
+      .withColumn("min_x", array_min($"xs"))
+      .withColumn("max_x", array_max($"xs"))
+      .withColumn("min_y", array_min($"ys"))
+      .withColumn("max_y", array_max($"ys"))
+  }
+
+  /** Per-zone membership predicates for the oracle (pt relation must
+    * expose x, y). Interior-only by construction (strict bounds). */
+  val zonePredicatesSql: Seq[(Int, String)] = Seq(
+    1 -> "x > 12.005 AND x < 13.005 AND y > 45.005 AND y < 46.505",
+    2 -> "x > -120.005 AND x < -60.005 AND y > -30.005 AND y < 30.005",
+    3 -> ("x > 40.005 AND x < 80.005 AND y > -60.005 AND y < -20.005 " +
+      "AND NOT (x > 50.005 AND x < 70.005 AND y > -50.005 AND y < -30.005)"),
+    4 -> ("(CAST(20.005 AS DOUBLE)-0.005)*(y-0.005)-(CAST(1.005 AS DOUBLE)-0.005)*(x-0.005) > 0 " +
+      "AND (CAST(10.005 AS DOUBLE)-20.005)*(y-1.005)-(CAST(15.005 AS DOUBLE)-1.005)*(x-20.005) > 0 " +
+      "AND (CAST(0.005 AS DOUBLE)-10.005)*(y-15.005)-(CAST(0.005 AS DOUBLE)-15.005)*(x-10.005) > 0"),
+    5 -> ("(x > 100.005 AND x < 140.005 AND y > 0.005 AND y < 20.005) " +
+      "OR (x > 100.005 AND x < 120.005 AND y > 0.005 AND y < 40.005)")
+  )
+
+  /** Grid raster derived from `part`: 40 rows x 50 cols, value from a
+    * multiplicative hash — the stand-in WhiteboxRaster for focal ops. */
+  def partGrid(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    p.select(
+      (p("p_partkey") % 40).as("r"),
+      expr("p_partkey DIV 40").as("c"),
+      ((p("p_partkey") * 37 % 1000) / lit(10.0)).as("v"))
+      .where(col("c") < 50)
+  }
+
+  val partGridSql: String =
+    """SELECT p_partkey % 40 AS r, p_partkey // 40 AS c,
+      |  ((p_partkey * 37) % 1000) / CAST(10.0 AS DOUBLE) AS v
+      |FROM part WHERE p_partkey // 40 < 50""".stripMargin
+}
