@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.GeoFunctions._
-import graft.operators.{Derived, SpatialJoins}
+import graft.operators.{Derived, Raster, Similarity, SpatialJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ import graft.operators.{Derived, SpatialJoins}
   */
 object SparkEntry {
 
-  import Derived.{customerPointsSql => PTS, supplierPointsSql => SPTS}
+  import Derived.{customerPointsSql => PTS, supplierPointsSql => SPTS,
+    partGridSql => GRID}
 
   private val RES = 14 // ~1.2 km cells (H3-res-7-like)
 
@@ -32,7 +33,7 @@ object SparkEntry {
     * Pages (documents) -> extracted geo-entity points -> cell index ->
     * PIP zone join -> per-zone page counts (SURVEY.md §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    queries("geo_pip_join")(spark, "/root/testdata/sf0.001")
+    queries("geo_entity_zones")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -99,7 +100,7 @@ object SparkEntry {
       val build = Derived.customerPoints(s, dir)
         .select(col("id").as("c_id"), col("x").as("cx"),
           col("y").as("cy"))
-      SpatialJoins.knnJoin(probe, build, 3, res = 6,
+      SpatialJoins.knnJoin(probe, build, 3,
           probeId = "s_id", buildId = "c_id",
           px = "sx", py = "sy", bx = "cx", by = "cy")
         .select("s_id", "c_id", "rnk")
@@ -110,7 +111,7 @@ object SparkEntry {
         .select(col("id").as("c_id"), col("x"), col("y"))
       val build = Derived.supplierPoints(s, dir)
         .select(col("s_id"), col("sx"), col("sy"))
-      SpatialJoins.knnJoin(probe, build, 1, res = 4,
+      SpatialJoins.knnJoin(probe, build, 1,
           probeId = "c_id", buildId = "s_id",
           px = "x", py = "y", bx = "sx", by = "sy")
         .select("c_id", "s_id")
@@ -123,6 +124,139 @@ object SparkEntry {
       SpatialJoins.distanceJoin(l, r, radius = 1.5,
           lx = "x", ly = "y", rx = "sx", ry = "sy")
         .select(col("id").as("c_id"), col("s_id"))
+    }),
+
+    // ---- rasterization / zonal / focal / interpolation ----
+
+    "geo_rasterize_points" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val cell = latlng_to_cell(pts("y"), pts("x"), lit(6))
+      Raster.rasterizePoints(pts, cell_lat_bin(cell), cell_lon_bin(cell),
+        pts("val"), pts("id"))
+    }),
+
+    "geo_zonal" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val cell = latlng_to_cell(pts("y"), pts("x"), lit(5))
+      Raster.zonalStats(pts,
+        cell_lat_bin(cell) * 64 + cell_lon_bin(cell), pts("val"))
+    }),
+
+    "geo_focal_mean" -> ((s, dir) =>
+      Raster.focalMean(Derived.partGrid(s, dir))),
+
+    "geo_slope" -> ((s, dir) =>
+      Raster.hornSlope(Derived.partGrid(s, dir))),
+
+    "geo_idw" -> ((s, dir) => {
+      val targets = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        (lit(-90.0005) + col("c") * 1.5).as("x"),
+        (lit(-40.0005) + col("r") * 1.5).as("y"))
+      val points = Derived.supplierPoints(s, dir).select(
+        col("s_id").as("pid"), col("sx").as("px"), col("sy").as("py"),
+        col("sval").as("pval"))
+      Raster.idw(targets, points, radius = 8.0)
+    }),
+
+    "geo_reclass" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      pts.select(Raster.reclass(pts("val"), Seq(
+          (-10000.0, 0.0, 1.0), (0.0, 3000.0, 2.0),
+          (3000.0, 7000.0, 3.0), (7000.0, 100000.0, 4.0))).as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n"))
+    }),
+
+    "geo_block_aggregate" -> ((s, dir) =>
+      Raster.blockAggregate(Derived.partGrid(s, dir), 4, 5)),
+
+    "geo_area_perimeter" -> ((s, dir) => {
+      val sp = Derived.supplierPoints(s, dir)
+        .withColumn("rr", (lit(1.0) + col("s_id") % 3).cast("double"))
+      sp.select(col("s_id"),
+        round(polygon_area(
+          array(col("sx"), col("sx") + col("rr"), col("sx"),
+            col("sx") - col("rr")),
+          array(col("sy") - col("rr"), col("sy"), col("sy") + col("rr"),
+            col("sy")),
+          array(lit(0))), 6).as("area"),
+        round(polygon_perimeter(
+          array(col("sx"), col("sx") + col("rr"), col("sx"),
+            col("sx") - col("rr")),
+          array(col("sy") - col("rr"), col("sy"), col("sy") + col("rr"),
+            col("sy")),
+          array(lit(0))), 6).as("perim"))
+    }),
+
+    "geo_clump" -> ((s, dir) => {
+      val mask = Derived.partGrid(s, dir).where(col("v") >= 50.0)
+      Raster.clump(mask, width = 50)
+    }),
+
+    // ---- webtext: geo-entity extraction + zone overlay ----
+
+    "geo_extract" -> ((s, dir) => {
+      val d = Derived.table(s, dir, "documents")
+      d.select(d("doc_id"), explode(TextOps.tokens(d("text"))).as("tok"))
+        .join(broadcast(Derived.gazetteerDF(s)),
+          col("tok") === col("place"))
+        .groupBy("doc_id", "place").agg(count(lit(1)).as("n"))
+    }),
+
+    "geo_entity_zones" -> ((s, dir) => {
+      val d = Derived.table(s, dir, "documents")
+      val mentions = d
+        .select(d("doc_id"), explode(TextOps.tokens(d("text"))).as("tok"))
+        .join(broadcast(Derived.gazetteerDF(s)),
+          col("tok") === col("place"))
+        .select(col("doc_id"), col("place"),
+          col("px").as("x"), col("py").as("y"))
+      SpatialJoins.pipJoin(mentions, Derived.zones(s), res = 7)
+        .groupBy("zone_id", "place").agg(count(lit(1)).as("n"))
+    }),
+
+    "geo_buffer_select" -> ((s, dir) => {
+      val l = Derived.customerPoints(s, dir)
+      val r = Derived.supplierPoints(s, dir)
+        .select(col("s_id"), col("sx"), col("sy"))
+      SpatialJoins.distanceJoin(l, r, radius = 2.0,
+          lx = "x", ly = "y", rx = "sx", ry = "sy")
+        .select(col("id")).distinct()
+    }),
+
+    // ---- training-data pipeline: dedup / quality / similarity ----
+
+    "dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedup(Derived.dupCorpus(s, dir))),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      TextOps.jaccardPairs(Derived.dupCorpus(s, dir), 0.95)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      TextOps.minhashLshPairs(Derived.dupCorpus(s, dir),
+        perms = 16, bands = 4, threshold = 0.95)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      TextOps.simhashPairs(Derived.dupCorpus(s, dir), maxHamming = 3)),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualitySignals(Derived.table(s, dir, "documents"),
+        Derived.stopwords)),
+
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(Derived.table(s, dir, "documents"),
+        Derived.langLists)),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Derived.table(s, dir, "documents"))),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = Derived.table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Derived.table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
     }),
 
     // ---- streaming-analog tumbling window over events ----
@@ -206,6 +340,206 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
         |  event_type, count(*) AS n,
         |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "geo_rasterize_points" ->
+      s"""WITH pts AS ($PTS)
+         |SELECT LEAST(GREATEST(CAST(floor((y + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS r,
+         |  ((CAST(floor((x + 180.0) / 360.0 * 128) AS BIGINT) % 128) + 128) % 128 AS c,
+         |  count(*) AS n, min(val) AS vmin, max(val) AS vmax,
+         |  sum(CAST(round(val * 100) AS BIGINT)) AS sum_cents,
+         |  arg_min(val, id) AS vfirst, arg_max(val, id) AS vlast
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+
+    "geo_zonal" ->
+      s"""WITH pts AS ($PTS)
+         |SELECT LEAST(GREATEST(CAST(floor((y + 90.0) / 180.0 * 32) AS BIGINT), 0), 31) * 64
+         |  + ((CAST(floor((x + 180.0) / 360.0 * 64) AS BIGINT) % 64) + 64) % 64 AS zone,
+         |  count(*) AS n, min(val) AS vmin, max(val) AS vmax,
+         |  max(val) - min(val) AS vrange,
+         |  sum(CAST(round(val * 100) AS BIGINT)) AS sum_cents
+         |FROM pts GROUP BY 1""".stripMargin,
+
+    "geo_focal_mean" ->
+      s"""WITH g AS ($GRID)
+         |SELECT a.r, a.c, round(sum(b.v) / count(*), 6) AS fm
+         |FROM g a JOIN g b
+         |  ON b.r BETWEEN a.r - 1 AND a.r + 1
+         | AND b.c BETWEEN a.c - 1 AND a.c + 1
+         |GROUP BY a.r, a.c""".stripMargin,
+
+    "geo_slope" -> {
+      val dy = Seq(-1, 0, 1, 1, 1, 0, -1, -1)
+      val dx = Seq(1, 1, 1, 0, -1, -1, -1, 0)
+      val joins = (0 until 8).map(i =>
+        s"LEFT JOIN g a$i ON a$i.r = g.r + ${dy(i)} AND a$i.c = g.c + ${dx(i)}")
+        .mkString("\n")
+      val ns = (0 until 8).map(i =>
+        s"COALESCE(a$i.v, g.v) AS n$i").mkString(", ")
+      val fx = "(n2 - n4 + 2 * (n1 - n5) + n0 - n6) / 8.0"
+      val fy = "(n6 - n4 + 2 * (n7 - n3) + n0 - n2) / 8.0"
+      s"""WITH g AS ($GRID),
+         |nb AS (SELECT g.r, g.c, $ns FROM g
+         |$joins)
+         |SELECT r, c, round(atan(sqrt(($fx) * ($fx) + ($fy) * ($fy))), 6) AS slope_rad
+         |FROM nb""".stripMargin
+    },
+
+    "geo_idw" ->
+      s"""WITH g AS ($GRID),
+         |t AS (SELECT r, c,
+         |  CAST(-90.0005 AS DOUBLE) + c * CAST(1.5 AS DOUBLE) AS x,
+         |  CAST(-40.0005 AS DOUBLE) + r * CAST(1.5 AS DOUBLE) AS y FROM g),
+         |s AS ($SPTS),
+         |j AS (SELECT t.r, t.c, s.sval,
+         |  (t.x - s.sx) * (t.x - s.sx) + (t.y - s.sy) * (t.y - s.sy) AS d2
+         |  FROM t CROSS JOIN s
+         |  WHERE (t.x - s.sx) * (t.x - s.sx) + (t.y - s.sy) * (t.y - s.sy) <= CAST(64.0 AS DOUBLE))
+         |SELECT r, c, round(sum(sval / d2) / sum(1.0 / d2), 6) AS idw
+         |FROM j GROUP BY r, c""".stripMargin,
+
+    "geo_reclass" ->
+      s"""WITH pts AS ($PTS)
+         |SELECT CASE
+         |  WHEN val >= -10000.0 AND val < 0.0 THEN CAST(1.0 AS DOUBLE)
+         |  WHEN val >= 0.0 AND val < 3000.0 THEN CAST(2.0 AS DOUBLE)
+         |  WHEN val >= 3000.0 AND val < 7000.0 THEN CAST(3.0 AS DOUBLE)
+         |  WHEN val >= 7000.0 AND val < 100000.0 THEN CAST(4.0 AS DOUBLE)
+         |  END AS cls, count(*) AS n
+         |FROM pts GROUP BY 1""".stripMargin,
+
+    "geo_block_aggregate" ->
+      s"""WITH g AS ($GRID)
+         |SELECT r // 4 AS br, c // 5 AS bc, count(*) AS n,
+         |  min(v) AS vmin, max(v) AS vmax, round(avg(v), 6) AS vavg
+         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "geo_area_perimeter" ->
+      s"""WITH s AS ($SPTS),
+         |p AS (SELECT s_id, sx AS x0, sy - rr AS y0, sx + rr AS x1, sy AS y1,
+         |  sx AS x2, sy + rr AS y2, sx - rr AS x3, sy AS y3
+         |  FROM (SELECT s_id, sx, sy, CAST(1.0 AS DOUBLE) + s_id % 3 AS rr FROM s))
+         |SELECT s_id,
+         |  round(abs(((x3 * y0 - x0 * y3) + (x0 * y1 - x1 * y0) + (x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2)) / 2.0), 6) AS area,
+         |  round(sqrt((x0 - x3) * (x0 - x3) + (y0 - y3) * (y0 - y3)) + sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) + sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2)), 6) AS perim
+         |FROM p""".stripMargin,
+
+    "geo_clump" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |mask AS (SELECT r * 50 + c AS id, r, c FROM g WHERE v >= CAST(50.0 AS DOUBLE)),
+         |edges AS (SELECT a.id AS s, b.id AS t FROM mask a JOIN mask b
+         |  ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1),
+         |reach AS (SELECT id AS s, id AS t FROM mask
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |comp AS (SELECT s AS id, min(t) AS comp_id FROM reach GROUP BY s)
+         |SELECT m.r, m.c, c2.comp_id FROM mask m JOIN comp c2 ON m.id = c2.id""".stripMargin,
+
+    "geo_extract" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |SELECT t.doc_id, gaz.place, count(*) AS n
+         |FROM toks t JOIN ${Derived.gazetteerValuesSql} ON t.tok = gaz.place
+         |GROUP BY 1, 2""".stripMargin,
+
+    "geo_entity_zones" -> {
+      val arms = Derived.zonePredicatesSql.map { case (zid, pred) =>
+        s"SELECT $zid AS zone_id, place, count(*) AS n FROM m WHERE $pred GROUP BY place"
+      }.mkString("\n", "\nUNION ALL\n", "")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |m AS (SELECT t.doc_id, gaz.place, gaz.px AS x, gaz.py AS y
+         |  FROM toks t JOIN ${Derived.gazetteerValuesSql} ON t.tok = gaz.place)$arms""".stripMargin
+    },
+
+    "geo_buffer_select" ->
+      s"""WITH pts AS ($PTS), spts AS ($SPTS)
+         |SELECT DISTINCT p.id FROM pts p JOIN spts s
+         |  ON (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy) <= CAST(4.0 AS DOUBLE)""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH corpus AS (${Derived.dupCorpusSql})
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM corpus GROUP BY text""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH corpus AS (${Derived.dupCorpusSql}),
+         |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT s.a, s.b,
+         |  CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jacc
+         |FROM shared s JOIN sizes sa ON sa.doc_id = s.a
+         |  JOIN sizes sb ON sb.doc_id = s.b
+         |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= CAST(0.95 AS DOUBLE)""".stripMargin,
+
+    "text_quality" -> {
+      val stops = Derived.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct,
+         |  len(list_filter(toks, x -> x IN ($stops))) AS n_stop,
+         |  round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS avg_tok_len
+         |FROM t""".stripMargin
+    },
+
+    "text_langid" -> {
+      val arms = Derived.langLists.map { case (lg, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString(", ")
+        s"SELECT doc_id, '$lg' AS lang, len(list_filter(toks, x -> x IN ($lst))) AS score FROM t"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         |scores AS (
+         |$arms),
+         |ranked AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |  FROM scores)
+         |SELECT doc_id, lang AS pred_lang FROM ranked WHERE rn = 1""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH pt AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT doc_id,
+        |  sum(pos * (ascii(tok) * 131 + length(tok))) % 2147483647 AS fp,
+        |  count(*) AS n_tokens
+        |FROM pt GROUP BY doc_id""".stripMargin,
+
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM e GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 10),
+        |dots AS (SELECT q.q_id, e.vec_id AS n_id, sum(q.qv * e.ev) AS dot
+        |  FROM q JOIN e ON q.pos = e.pos AND e.vec_id <> q.q_id
+        |  GROUP BY 1, 2),
+        |sims AS (SELECT d.q_id, d.n_id, round(d.dot / (qn.nrm * nn.nrm), 6) AS sim6
+        |  FROM dots d JOIN norms qn ON qn.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id),
+        |ranked AS (SELECT q_id, n_id, sim6,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM e GROUP BY vec_id),
+        |q AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, l.label
+        |  FROM e JOIN lab l ON l.vec_id = e.vec_id WHERE e.vec_id < 20),
+        |c AS (SELECT e.vec_id AS n_id, e.pos, e.ev, l.label
+        |  FROM e JOIN lab l ON l.vec_id = e.vec_id),
+        |dots AS (SELECT q.q_id, c.n_id, sum(q.qv * c.ev) AS dot
+        |  FROM q JOIN c ON q.pos = c.pos AND q.label = c.label AND c.n_id <> q.q_id
+        |  GROUP BY 1, 2),
+        |sims AS (SELECT d.q_id, d.n_id, round(d.dot / (qn.nrm * nn.nrm), 6) AS sim6
+        |  FROM dots d JOIN norms qn ON qn.vec_id = d.q_id
+        |  JOIN norms nn ON nn.vec_id = d.n_id),
+        |ranked AS (SELECT q_id, n_id, sim6,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin
   )
 }

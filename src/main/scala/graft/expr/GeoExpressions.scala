@@ -177,6 +177,51 @@ case class PipContains(children: Seq[Expression]) extends Expression
     copy(children = newChildren)
 }
 
+/** Shared shape for ternary geometry-array expressions. */
+abstract class GeomTernary extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  protected def call: String
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    evalArrays(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected def evalArrays(
+      xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+      parts: org.apache.spark.sql.catalyst.util.ArrayData): Any
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.expr.GeoEval.$call($a, $b, $c)")
+}
+
+/** polygon_area(xs, ys, parts): |sum of signed ring areas|
+  * (shapefile/Polygon.java:170 semantics, holes opposite winding). */
+case class PolygonArea(first: Expression, second: Expression,
+    third: Expression) extends GeomTernary {
+  override def dataType: DataType = DoubleType
+  protected def call = "polygonArea"
+  protected def evalArrays(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+      parts: org.apache.spark.sql.catalyst.util.ArrayData): Any =
+    GeoEval.polygonArea(xs, ys, parts)
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** polygon_perimeter(xs, ys, parts) (shapefile/Polygon.java:177). */
+case class PolygonPerimeter(first: Expression, second: Expression,
+    third: Expression) extends GeomTernary {
+  override def dataType: DataType = DoubleType
+  protected def call = "polygonPerimeter"
+  protected def evalArrays(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+      parts: org.apache.spark.sql.catalyst.util.ArrayData): Any =
+    GeoEval.polygonPerimeter(xs, ys, parts)
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -197,6 +242,10 @@ object GeoFunctions {
   def pip_contains(px: Column, py: Column, xs: Column, ys: Column,
                    parts: Column): Column =
     c(PipContains(Seq(x(px), x(py), x(xs), x(ys), x(parts))))
+  def polygon_area(xs: Column, ys: Column, parts: Column): Column =
+    c(PolygonArea(x(xs), x(ys), x(parts)))
+  def polygon_perimeter(xs: Column, ys: Column, parts: Column): Column =
+    c(PolygonPerimeter(x(xs), x(ys), x(parts)))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {

@@ -17,7 +17,8 @@ object Derived {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Customer point cloud: (id, x, y), hot cluster at (12.34, 45.67). */
+  /** Customer point cloud: (id, x, y, val), hot cluster at
+    * (12.34, 45.67). */
   def customerPoints(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer")
     val hot = c("c_custkey") % 11 < 3
@@ -28,7 +29,8 @@ object Derived {
         .as("x"),
       when(hot, lit(45.67) + (c("c_custkey") % 40) / lit(4000.0))
         .otherwise((c("c_custkey") * 7919 % 17000) / lit(100.0) - 85.0)
-        .as("y"))
+        .as("y"),
+      c("c_acctbal").as("val"))
   }
 
   /** Matching SQL CTE body for [[customerPoints]] (DuckDB). */
@@ -41,7 +43,8 @@ object Derived {
       |  CASE WHEN c_custkey % 11 < 3
       |    THEN CAST(45.67 AS DOUBLE) + (c_custkey % 40) / CAST(4000.0 AS DOUBLE)
       |    ELSE ((c_custkey * 7919) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)
-      |  END AS y
+      |  END AS y,
+      |  c_acctbal AS val
       |FROM customer""".stripMargin
 
   /** Supplier point cloud: (s_id, sx, sy, sval). */
@@ -117,6 +120,57 @@ object Derived {
       ((p("p_partkey") * 37 % 1000) / lit(10.0)).as("v"))
       .where(col("c") < 50)
   }
+
+  /** Synthetic gazetteer: vocabulary tokens -> deterministic places.
+    * Drives geo-entity extraction from `documents.text`
+    * (the engine's webtext surface, SURVEY.md §7.1 module 5). */
+  val gazetteer: Seq[(String, Double, Double)] = Seq(
+    ("table", 12.505, 45.755),   // inside zone 1
+    ("spark", -90.255, 10.505),  // inside zone 2
+    ("row", 45.505, -55.505),    // zone 3 rim (outside its hole)
+    ("scan", 60.505, -40.505),   // inside zone 3's hole -> excluded
+    ("key", 10.055, 5.055),      // inside zone 4 triangle
+    ("value", 110.505, 10.505),  // inside zone 5 L
+    ("join", 130.505, 30.505),   // in zone 5 bbox but in the notch
+    ("query", -10.505, -70.505)) // outside all zones
+
+  def gazetteerDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    gazetteer.toDF("place", "px", "py")
+  }
+
+  val gazetteerValuesSql: String = gazetteer.map { case (w, x, y) =>
+    s"('$w', CAST($x AS DOUBLE), CAST($y AS DOUBLE))"
+  }.mkString("(VALUES ", ", ", ") AS gaz(place, px, py)")
+
+  /** Duplicated+truncated corpus for the dedup family: every doc once
+    * verbatim and once with its last 20 chars dropped (near-dup). */
+  def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(d("doc_id"), d("text")).unionByName(
+      d.select((d("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, CAST(n_chars - 20 AS INT))").as("text")))
+  }
+
+  val dupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id,
+      |  substr(text, 1, CAST(n_chars - 20 AS INT)) AS text
+      |FROM documents""".stripMargin
+
+  /** Stopword list for quality scoring (subset of the doc vocab). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** Per-"language" stoplists for the lang-id voting operator. The
+    * synthetic corpus shares one vocabulary across langs, so these
+    * demonstrate deterministic argmax mechanics, not linguistics. */
+  val langLists: Seq[(String, Seq[String])] = Seq(
+    ("en", Seq("the", "a", "fast", "big")),
+    ("de", Seq("hash", "key", "batch", "row")),
+    ("fr", Seq("scan", "query", "data", "line")),
+    ("es", Seq("slow", "agg", "merge", "vector")),
+    ("zh", Seq("join", "small", "customer", "column")))
 
   val partGridSql: String =
     """SELECT p_partkey % 40 AS r, p_partkey // 40 AS c,

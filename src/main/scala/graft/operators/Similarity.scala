@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Approximate/exact nearest-neighbour search over an embedding column
+ * (Array[Float]) — the similarity-search stage of a training-data
+ * pipeline. Brute-force cosine top-k is the exactness baseline; the
+ * IVF variant restricts search to a coarse partition (here the
+ * `label` column standing in for a centroid assignment), which is the
+ * scale path: probe cost drops from O(N) to O(N / nlist).
+ *
+ * Dot products run through the relational exploded form so the same
+ * arithmetic is reproducible in the DuckDB oracle; ranking uses the
+ * rounded similarity with id tie-break for cross-engine determinism.
+ */
+object Similarity {
+
+  /** Exploded (id, pos, val) form of the embeddings table, values
+    * cast to double for deterministic accumulation semantics. */
+  def exploded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "ev")))
+      .select(col("vec_id"), col("pos"), col("ev").cast("double").as("ev"))
+
+  /**
+   * Brute-force cosine top-k: for each query vector (from `queries`,
+   * same schema as emb), the k most similar non-identical vectors.
+   * Output (q_id, n_id, rnk, sim6).
+   */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    val e = exploded(emb)
+    val q = exploded(queries).select(col("vec_id").as("q_id"),
+      col("pos"), col("ev").as("qv"))
+    val norms = e.groupBy("vec_id")
+      .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
+    val dots = q.join(e, Seq("pos"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("qv") * col("ev")).as("dot"))
+    val qn = norms.select(col("vec_id").as("q_id"), col("nrm").as("qn"))
+    val nn = norms.select(col("vec_id").as("n_id"), col("nrm").as("nn"))
+    val sims = dots.join(qn, Seq("q_id")).join(nn, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(col("dot") / (col("qn") * col("nn")), 6).as("sim6"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim6").desc, col("n_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "sim6")
+  }
+
+  /**
+   * IVF-style partitioned search: same contract but candidates are
+   * restricted to vectors sharing the query's coarse partition
+   * (`label`). At scale the partition key comes from a trained
+   * centroid assignment; the plan shape (equi-join on the partition
+   * key before the rank) is what matters for 100 TB.
+   */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // the label joins onto the exploded form BEFORE the dot-product
+    // join, so only same-partition pairs are ever materialised
+    val e = exploded(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = exploded(queries)
+      .join(queries.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("pos"),
+        col("ev").as("qv"), col("label"))
+    val norms = exploded(emb).groupBy("vec_id")
+      .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
+    val dots = q.join(e, Seq("pos", "label"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("qv") * col("ev")).as("dot"))
+    val qn = norms.select(col("vec_id").as("q_id"), col("nrm").as("qn"))
+    val nn = norms.select(col("vec_id").as("n_id"), col("nrm").as("nn"))
+    val sims = dots.join(qn, Seq("q_id")).join(nn, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(col("dot") / (col("qn") * col("nn")), 6).as("sim6"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim6").desc, col("n_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "sim6")
+  }
+}

@@ -108,13 +108,24 @@ object SpatialJoins {
    * probe: (probeIdCol, x, y); build: (buildIdCol, rx, ry).
    * Output: probeId, buildId, rnk (1..k), dist2.
    */
+  /** Density-aware resolution: coarse enough that the k0-ring of a
+    * probe is expected to hold ~2k build points, so most probes
+    * resolve in the first round (the kd-tree's implicit locality,
+    * chosen explicitly here). */
+  def resForKnn(buildCount: Long, kNeighbors: Int): Int = {
+    val targetCells = math.max(1.0, 25.0 * buildCount / (2.0 * kNeighbors))
+    val r = ((math.log(targetCells) / math.log(2.0) - 1) / 2).toInt
+    math.max(2, math.min(r, CellIndex.DefaultRes))
+  }
+
   def knnJoin(probe: DataFrame, build: DataFrame, kNeighbors: Int,
-              res: Int, probeId: String = "probe_id",
+              res0: Int = -1, probeId: String = "probe_id",
               buildId: String = "build_id",
               px: String = "x", py: String = "y",
               bx: String = "rx", by: String = "ry",
               k0: Int = 2): DataFrame = {
     val spark = probe.sparkSession
+    val res = if (res0 > 0) res0 else resForKnn(build.count(), kNeighbors)
     val maxRing = (CellIndex.latBins(res) / 2 + 1).toInt
     val b = build.select(col(buildId), col(bx), col(by))
       .withColumn("__cell", latlng_to_cell(col(by), col(bx), lit(res)))
@@ -140,7 +151,7 @@ object SpatialJoins {
           latlng_to_cell(col(py), col(px), lit(res)), lit(ring))))
         .join(b, Seq("__cell"), "inner")
         .withColumn("dist2", d2)
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= kNeighbors)
       // A probe's top-k is exact iff it found k neighbours all within
       // the guarantee radius (or the ring already spans the domain).
@@ -151,9 +162,11 @@ object SpatialJoins {
           else col("__n") === kNeighbors && col("__maxd2") <= lit(g2))
       val joined = cand.join(kth,
         cand(probeId) === kth("__pid"), "inner")
+      // resolved stays lazy: it re-derives from the checkpointed
+      // `pending`, so consuming `acc` later costs one pass per round
+      // with no lineage blow-up and no extra materialisation job here.
       val resolved = joined.where(col("__ok"))
         .select(col(probeId), col(buildId), col("rnk"), col("dist2"))
-        .localCheckpoint(true)
       acc = if (acc == null) resolved else acc.unionByName(resolved)
       if (exact) {
         done = true

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale training-data pipeline operators over the `documents`
+ * table (doc_id, text, lang, source, n_chars) — the engine's webtext
+ * surface (BASELINE.json input_hint): deduplication (exact, MinHash
+ * LSH, SimHash, n-gram Jaccard), text quality / language-id / token
+ * stats / fingerprinting. All tokenisation is single-space split so
+ * the DuckDB oracle can reproduce it exactly.
+ *
+ * Scale design: every operator is a groupBy/join on derived keys —
+ * exact dedup shuffles on the text hash, MinHash shuffles on
+ * (band, bandHash) buckets so candidate generation is linear in
+ * corpus size + bucket collisions (never all-pairs), SimHash blocks
+ * on 16-bit bands for Hamming<=3 search.
+ */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct (doc_id, token) pairs — the relational token-set form. */
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+
+  /**
+   * Exact duplicate clustering: group by full text, keep the minimum
+   * doc id as representative (hash-groupBy dedup; at scale group by
+   * sha2(text) with identical semantics).
+   */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /**
+   * n-gram (token-set) Jaccard similarity >= threshold, computed
+   * relationally: explode distinct tokens, self-join on token,
+   * count shared per pair, jaccard = shared / (|A| + |B| - shared).
+   * The map-reduce formulation — no all-pairs materialisation beyond
+   * token co-occurrence.
+   */
+  def jaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val dt = docTokens(corpus)
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = dt.select(col("doc_id").as("a"), col("tok"))
+    val b = dt.select(col("doc_id").as("b"), col("tok"))
+    val shared = a.join(b, Seq("tok")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("shared").cast("double") /
+          (col("sza") + col("szb") - col("shared"))).as("jacc"))
+      .where(col("jacc") >= threshold)
+  }
+
+  /** Deterministic 64-bit string hash (FNV-1a), usable from codegen
+    * and identical across partitions/JVMs. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature of a token set: for each of `perms` hash
+    * functions h_i(t) = fnv(t) * a_i + b_i, the min over tokens. */
+  def minhashSignature(toks: Iterable[String], perms: Int): Array[Long] = {
+    val sig = Array.fill(perms)(Long.MaxValue)
+    toks.foreach { t =>
+      val base = fnv1a64(t)
+      var i = 0
+      while (i < perms) {
+        // odd multipliers + golden-ratio offsets, seeded per perm
+        val a = 0x9E3779B97F4A7C15L * (2 * i + 1)
+        val h = base * a + (i * 0x100000001b3L)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs: signature of `perms`
+   * minhashes, banded into `bands` rows-per-band groups; docs sharing
+   * any (band, bandHash) bucket become candidates; candidates are
+   * verified with exact token-set Jaccard >= threshold.
+   * Returns (a, b, jacc) — a strict (correct) subset of
+   * jaccardPairs(threshold) output, at a fraction of the join cost.
+   */
+  def minhashLshPairs(corpus: DataFrame, perms: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = perms / bands
+    val sigs = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        (id, minhashSignature(toks.distinct, perms))
+      }.toDF("doc_id", "sig")
+    val buckets = sigs.select(col("doc_id"),
+        posexplode(col("sig")).as(Seq("pos", "h")))
+      .withColumn("band", expr(s"pos DIV $rows"))
+      .groupBy("doc_id", "band")
+      .agg(hash(sort_array(collect_list(struct(col("pos"), col("h")))))
+        .as("bkey"))
+    val l = buckets.select(col("band"), col("bkey"), col("doc_id").as("a"))
+    val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("b"))
+    val cand = l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // verify candidates with exact jaccard
+    val dt = docTokens(corpus)
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = cand
+      .join(dt.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+      .join(dt.select(col("doc_id").as("b2"), col("tok").as("tok2")),
+        col("b") === col("b2") && col("tok") === col("tok2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("shared").cast("double") /
+          (col("sza") + col("szb") - col("shared"))).as("jacc"))
+      .where(col("jacc") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset. */
+  def simhash64(toks: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxHamming (< 4):
+   * block on the four 16-bit bands (pigeonhole: any pair within
+   * Hamming 3 shares at least one exact band), verify with popcount.
+   */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sigs = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, simhash64(toks)) }
+      .toDF("doc_id", "sh")
+    val banded = sigs.select(col("doc_id"), col("sh"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bkey", expr("shiftright(sh, band * 16) & 65535"))
+    val l = banded.select(col("band"), col("bkey"), col("doc_id").as("a"),
+      col("sh").as("sha"))
+    val r = banded.select(col("band"), col("bkey"), col("doc_id").as("b"),
+      col("sh").as("shb"))
+    l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(sha ^ shb)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Quality scoring (length / punctuation / stopword / token-shape
+   * ratios) — the per-document filter stage of a training-data
+   * pipeline. All components reproducible in ANSI SQL.
+   */
+  def qualitySignals(docs: DataFrame,
+                     stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+        .as("n_stop"),
+      round(length(col("text")).cast("double") / nTok, 6)
+        .as("avg_tok_len"))
+  }
+
+  /**
+   * Language id by stopword-list voting: score = distinct stopwords
+   * of each language present in the token set; argmax with
+   * lexicographic tie-break. langLists: (lang, words).
+   */
+  def langId(docs: DataFrame, langLists: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val scores = langLists.map { case (lg, ws) =>
+      val arr = array(ws.map(lit): _*)
+      struct(size(array_intersect(toks, arr)).as("score"),
+        lit(lg).as("lang"))
+    }
+    // argmax by (score, then lang DESC so earlier alphabetical wins
+    // on ties after greatest picks the max struct)
+    docs.select(col("doc_id"),
+      sort_array(array(scores: _*), asc = false).getItem(0)
+        .getField("lang").as("pred_lang"))
+  }
+
+  /**
+   * Positional document fingerprint (rolling-hash style, exactly
+   * reproducible in SQL): sum over tokens of (pos+1) * (ascii of
+   * first char * 131 + token length), mod 2^31-1; plus token count.
+   */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg(
+        (sum((col("pos") + 1) *
+          (ascii(col("tok")) * 131 + length(col("tok"))))
+          % 2147483647L).as("fp"),
+        count(lit(1)).as("n_tokens"))
+}

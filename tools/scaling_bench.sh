@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# Two-cluster-size scaling evidence (BASELINE.json north_rule):
+# run graft.Bench on the SAME input at local[8] and local[32]
+# (sandbox stand-in for N vs 4N executors), then compute
+# efficiency = (T8 / T32) / 4 and write BENCH/BASELINE.md.
+#
+# Usage: tools/scaling_bench.sh [sfDir]   (default /root/testdata/sf0.1)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.1}
+mkdir -p BENCH target/bench
+
+run() {
+  local cpus=$1
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+    sbt -batch "runMain graft.Bench" 2>/dev/null |
+    grep -o '{"metric".*}' | tail -1
+}
+
+echo "running local[8]..." >&2
+J8=$(run 8)
+echo "$J8" > target/bench/bench8.json
+echo "running local[32]..." >&2
+J32=$(run 32)
+echo "$J32" > target/bench/bench32.json
+
+python3 - "$SF" <<'EOF'
+import json, sys
+j8 = json.load(open('target/bench/bench8.json'))
+j32 = json.load(open('target/bench/bench32.json'))
+sf = sys.argv[1]
+t8, t32 = j8['value'], j32['value']
+pages = j8.get('pages', 0)
+# throughput scales as 1/T on fixed input; N=8 cores, 4N=32 cores
+eff = (t8 / t32) / 4.0
+lines = [
+    '# BENCH/BASELINE.md — measured scaling evidence',
+    '',
+    f'Input: `{sf}` (same deterministic input at both parallelism levels),',
+    'run via `sbt runMain graft.Bench` (single-JVM stand-in for spark-submit;',
+    'local[8] vs local[32] = N vs 4N executor stand-in per BASELINE.md).',
+    '',
+    '| parallelism | wall (s) | pages | pages/sec (PIP join) | total q/s |',
+    '|---|---|---|---|---|',
+    f"| local[8]  | {t8:.2f} | {pages} | {j8.get('pip_pages_per_sec',0):.0f} | {len(j8['queries'])/t8:.3f} |",
+    f"| local[32] | {t32:.2f} | {pages} | {j32.get('pip_pages_per_sec',0):.0f} | {len(j32['queries'])/t32:.3f} |",
+    '',
+    f'**Scaling efficiency** = (T8/T32)/(32/8) = ({t8:.2f}/{t32:.2f})/4 = **{eff:.3f}**',
+    f'(target >= 0.8 per BASELINE.json north_rule; raw speedup {t8/t32:.2f}x on 4x cores)',
+    '',
+    '## Per-query seconds',
+    '',
+    '| query | local[8] | local[32] | speedup |',
+    '|---|---|---|---|',
+]
+for q in sorted(j8['queries']):
+    a, b = j8['queries'][q], j32['queries'].get(q, float('nan'))
+    lines.append(f'| {q} | {a:.2f} | {b:.2f} | {a/b if b else 0:.2f}x |')
+open('BENCH/BASELINE.md', 'w').write('\n'.join(lines) + '\n')
+print('\n'.join(lines[:12]))
+EOF
