@@ -18,7 +18,7 @@ object Bench {
     * exist for oracle verification, not as the scale path (the scale
     * path for near-dup is dedup_minhash; for components the per-round
     * cost dominates at tiny scale). */
-  private val excluded = Set("dedup_jaccard", "geo_clump")
+  private val excluded = Set("dedup_jaccard", "geo_clump", "geo_flow_accum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

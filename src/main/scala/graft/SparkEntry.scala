@@ -192,6 +192,137 @@ object SparkEntry {
       Raster.clump(mask, width = 50)
     }),
 
+    // ---- terrain flow (iterative pointer DAG) ----
+
+    "geo_d8_pointer" -> ((s, dir) =>
+      operators.Terrain.d8Pointer(Derived.partGrid(s, dir))),
+
+    "geo_flow_accum" -> ((s, dir) =>
+      operators.Terrain.flowAccumD8(Derived.partGrid(s, dir))),
+
+    // ---- statistics (two-pass global stats + spatial stats) ----
+
+    "geo_zscore" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val st = pts.agg(sum(col("val")).as("sx"),
+        sum(col("val") * col("val")).as("sxx"), count(lit(1)).as("n"))
+      pts.crossJoin(broadcast(st)).select(col("id"),
+        expr("round((val - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4)")
+          .as("z"))
+    }),
+
+    "geo_crosstab" -> ((s, dir) => {
+      val c = Derived.table(s, dir, "customer")
+      c.groupBy((c("c_nationkey") % 5).as("a"),
+          (c("c_custkey") % 7).as("b"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "geo_correlation" -> ((s, dir) => {
+      val c = Derived.table(s, dir, "customer")
+      val xy = c.select(c("c_acctbal").as("xv"),
+        ((c("c_custkey") * 131 % 9973) / lit(100.0)).as("yv"))
+      xy.agg(sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"),
+          sum(col("xv") * col("yv")).as("sxy"), count(lit(1)).as("n"))
+        .select(expr("round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)")
+          .as("pearson_r"))
+    }),
+
+    "geo_regression" -> ((s, dir) => {
+      val c = Derived.table(s, dir, "customer")
+      val xy = c.select(c("c_acctbal").as("xv"),
+        ((c("c_custkey") * 131 % 9973) / lit(100.0)).as("yv"))
+      xy.agg(sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("xv") * col("yv")).as("sxy"), count(lit(1)).as("n"))
+        .select(
+          expr("round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)")
+            .as("slope"),
+          expr("round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)")
+            .as("intercept"))
+    }),
+
+    "geo_moran" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val st = g.agg(sum(col("v")).as("sx"), count(lit(1)).as("n"))
+      import s.implicits._
+      val rook = Seq((-1, 0), (1, 0), (0, -1), (0, 1)).toDF("dr", "dc")
+      val nbr = g.crossJoin(broadcast(rook))
+        .select((col("r") + col("dr")).as("r"),
+          (col("c") + col("dc")).as("c"), col("v").as("vj"))
+      val pairs = g.join(nbr, Seq("r", "c"), "inner")
+      val ps = pairs.crossJoin(broadcast(st))
+        .agg(sum(expr("(v - sx / n) * (vj - sx / n)")).as("s"),
+          count(lit(1)).as("w"))
+      val m2 = g.crossJoin(broadcast(st))
+        .agg(sum(expr("(v - sx / n) * (v - sx / n)")).as("m2"),
+          first(col("n")).as("n"))
+      ps.crossJoin(m2)
+        .select(expr("round(CAST(n AS DOUBLE) / w * s / m2, 6)")
+          .as("moran_i"), col("w"), col("n"))
+    }),
+
+    "geo_histogram" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      pts.groupBy(floor(col("val") / 500.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("val") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    "geo_resample_bilinear" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val t = s.range(4000).select(
+        expr("id DIV 100").as("i"), (col("id") % 100).as("j"))
+        .withColumn("sr",
+          expr("i * CAST(0.9 AS DOUBLE) + CAST(0.3 AS DOUBLE)"))
+        .withColumn("sc",
+          expr("j * CAST(0.45 AS DOUBLE) + CAST(0.2 AS DOUBLE)"))
+        .withColumn("r0", expr("CAST(floor(sr) AS BIGINT)"))
+        .withColumn("c0", expr("CAST(floor(sc) AS BIGINT)"))
+        .withColumn("fr", expr("sr - r0"))
+        .withColumn("fc", expr("sc - c0"))
+      def gAt(rc: String, sfx: String) = g.select(col("r").as(s"r_$sfx"),
+        col("c").as(s"c_$sfx"), col("v").as(s"v$sfx"))
+      val j = t
+        .join(gAt("", "00"), col("r0") === col("r_00") &&
+          col("c0") === col("c_00"), "inner")
+        .join(gAt("", "01"), col("r0") === col("r_01") &&
+          col("c0") + 1 === col("c_01"), "inner")
+        .join(gAt("", "10"), col("r0") + 1 === col("r_10") &&
+          col("c0") === col("c_10"), "inner")
+        .join(gAt("", "11"), col("r0") + 1 === col("r_11") &&
+          col("c0") + 1 === col("c_11"), "inner")
+      j.select(col("i"), col("j"),
+        expr("round((1 - fr) * (1 - fc) * v00 + (1 - fr) * fc * v01 + fr * (1 - fc) * v10 + fr * fc * v11, 6)")
+          .as("bv"))
+    }),
+
+    // ---- vector geometry via JTS (buffer / clip) ----
+
+    "geo_buffer_area" -> ((s, dir) => {
+      val sp = Derived.supplierPoints(s, dir)
+        .withColumn("rr", (lit(1.0) + col("s_id") % 3).cast("double"))
+      sp.select(col("s_id"),
+        round(buffer_point_area(col("sx"), col("sy"), col("rr")), 4)
+          .as("barea"))
+    }),
+
+    "geo_clip_area" -> ((s, dir) => {
+      val sp = Derived.supplierPoints(s, dir)
+        .withColumn("rr", (lit(1.0) + col("s_id") % 3).cast("double"))
+      sp.select(col("s_id"),
+        round(clip_area_rect(
+          array(col("sx"), col("sx") + col("rr"), col("sx"),
+            col("sx") - col("rr")),
+          array(col("sy") - col("rr"), col("sy"), col("sy") + col("rr"),
+            col("sy")),
+          array(lit(0)),
+          col("sx") - 10.0, col("sy") - 10.0, col("sx") + 10.0,
+          col("sy")), 4).as("carea"))
+    }),
+
     // ---- webtext: geo-entity extraction + zone overlay ----
 
     "geo_extract" -> ((s, dir) => {
@@ -540,6 +671,124 @@ object SparkEntry {
         |ranked AS (SELECT q_id, n_id, sim6,
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
         |  FROM sims)
-        |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin
+        |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "geo_d8_pointer" ->
+      s"""WITH g AS ($GRID),
+         |$d8SqlCtes
+         |SELECT r, c, ptr FROM p""".stripMargin,
+
+    "geo_flow_accum" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |e AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc
+         |  FROM p WHERE ptr > 0),
+         |reach AS (SELECT r AS sr, c AS sc, tr, tc FROM e
+         |  UNION SELECT x.sr, x.sc, e.tr, e.tc
+         |  FROM reach x JOIN e ON x.tr = e.r AND x.tc = e.c),
+         |acc AS (SELECT tr, tc, count(*) AS k FROM reach GROUP BY tr, tc)
+         |SELECT g.r, g.c, 1 + COALESCE(a.k, 0) AS n_upslope
+         |FROM g LEFT JOIN acc a ON a.tr = g.r AND a.tc = g.c""".stripMargin,
+
+    "geo_zscore" ->
+      s"""WITH pts AS ($PTS),
+         |st AS (SELECT sum(val) AS sx, sum(val * val) AS sxx,
+         |  count(*) AS n FROM pts)
+         |SELECT id,
+         |  round((val - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z
+         |FROM pts CROSS JOIN st""".stripMargin,
+
+    "geo_crosstab" ->
+      """SELECT c_nationkey % 5 AS a, c_custkey % 7 AS b, count(*) AS n
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "geo_correlation" ->
+      """WITH xy AS (SELECT c_acctbal AS xv,
+        |  ((c_custkey * 131) % 9973) / CAST(100.0 AS DOUBLE) AS yv FROM customer),
+        |st AS (SELECT sum(xv) AS sx, sum(yv) AS sy, sum(xv * xv) AS sxx,
+        |  sum(yv * yv) AS syy, sum(xv * yv) AS sxy, count(*) AS n FROM xy)
+        |SELECT round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+        |FROM st""".stripMargin,
+
+    "geo_regression" ->
+      """WITH xy AS (SELECT c_acctbal AS xv,
+        |  ((c_custkey * 131) % 9973) / CAST(100.0 AS DOUBLE) AS yv FROM customer),
+        |st AS (SELECT sum(xv) AS sx, sum(yv) AS sy, sum(xv * xv) AS sxx,
+        |  sum(xv * yv) AS sxy, count(*) AS n FROM xy)
+        |SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM st""".stripMargin,
+
+    "geo_moran" ->
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT sum(v) AS sx, count(*) AS n FROM g),
+         |pairs AS (SELECT a.v AS v, b.v AS vj
+         |  FROM g a JOIN g b ON (abs(a.r - b.r) + abs(a.c - b.c)) = 1),
+         |ps AS (SELECT sum((v - sx / n) * (vj - sx / n)) AS s,
+         |  count(*) AS w FROM pairs CROSS JOIN st),
+         |m2t AS (SELECT sum((v - sx / n) * (v - sx / n)) AS m2,
+         |  first(n) AS n FROM g CROSS JOIN st)
+         |SELECT round(CAST(n AS DOUBLE) / w * s / m2, 6) AS moran_i, w, n
+         |FROM ps CROSS JOIN m2t""".stripMargin,
+
+    "geo_histogram" ->
+      s"""WITH pts AS ($PTS)
+         |SELECT CAST(floor(val / 500.0) AS BIGINT) AS bin, count(*) AS n,
+         |  sum(CAST(round(val * 100) AS BIGINT)) AS sum_cents
+         |FROM pts GROUP BY 1""".stripMargin,
+
+    "geo_resample_bilinear" ->
+      s"""WITH g AS ($GRID),
+         |t AS (SELECT x // 100 AS i, x % 100 AS j,
+         |  (x // 100) * CAST(0.9 AS DOUBLE) + CAST(0.3 AS DOUBLE) AS sr,
+         |  (x % 100) * CAST(0.45 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS sc
+         |  FROM range(4000) AS rt(x)),
+         |t2 AS (SELECT i, j, sr, sc,
+         |  CAST(floor(sr) AS BIGINT) AS r0, CAST(floor(sc) AS BIGINT) AS c0,
+         |  sr - CAST(floor(sr) AS BIGINT) AS fr,
+         |  sc - CAST(floor(sc) AS BIGINT) AS fc FROM t)
+         |SELECT t2.i, t2.j,
+         |  round((1 - fr) * (1 - fc) * g00.v + (1 - fr) * fc * g01.v + fr * (1 - fc) * g10.v + fr * fc * g11.v, 6) AS bv
+         |FROM t2
+         |JOIN g g00 ON g00.r = t2.r0 AND g00.c = t2.c0
+         |JOIN g g01 ON g01.r = t2.r0 AND g01.c = t2.c0 + 1
+         |JOIN g g10 ON g10.r = t2.r0 + 1 AND g10.c = t2.c0
+         |JOIN g g11 ON g11.r = t2.r0 + 1 AND g11.c = t2.c0 + 1""".stripMargin,
+
+    "geo_buffer_area" ->
+      s"""WITH s AS ($SPTS)
+         |SELECT s_id,
+         |  round(0.5 * 32 * rr * rr * sin(2 * pi() / 32), 4) AS barea
+         |FROM (SELECT s_id, CAST(1.0 AS DOUBLE) + s_id % 3 AS rr FROM s)""".stripMargin,
+
+    "geo_clip_area" ->
+      s"""WITH s AS ($SPTS)
+         |SELECT s_id, round(rr * rr, 4) AS carea
+         |FROM (SELECT s_id, CAST(1.0 AS DOUBLE) + s_id % 3 AS rr FROM s)""".stripMargin
   )
+
+  /** Shared D8 pointer pipeline in SQL (mirrors Terrain.d8Pointer). */
+  private lazy val d8SqlCtes: String = {
+    val dy = operators.Terrain.dY
+    val dx = operators.Terrain.dX
+    val joins = (0 until 8).map(i =>
+      s"LEFT JOIN g a$i ON a$i.r = g.r + ${dy(i)} AND a$i.c = g.c + ${dx(i)}")
+      .mkString("\n")
+    val ns = (0 until 8).map(i => s"a$i.v AS n$i").mkString(", ")
+    val ss = (0 until 8).map { i =>
+      val dist = if (i % 2 == 0) "sqrt(2.0)" else "1.0"
+      s"(v - n$i) / $dist AS s$i"
+    }.mkString(", ")
+    val mxExpr = (0 until 8).map(i => s"COALESCE(s$i, -99999999.0)")
+      .mkString("GREATEST(", ", ", ")")
+    val cases = (0 until 8).map(i =>
+      s"WHEN s$i IS NOT NULL AND s$i = mx THEN ${1 << i}").mkString(" ")
+    s"""nb AS (SELECT g.r, g.c, g.v, $ns FROM g
+       |$joins),
+       |sl AS (SELECT r, c, $ss FROM nb),
+       |mx AS (SELECT r, c, s0, s1, s2, s3, s4, s5, s6, s7, $mxExpr AS mx FROM sl),
+       |p AS (SELECT r, c, CAST(CASE WHEN mx <= 0 THEN 0 $cases ELSE 0 END AS BIGINT) AS ptr FROM mx)""".stripMargin
+  }
 }

@@ -55,4 +55,13 @@ object GeoEval {
                        parts: ArrayData): Double =
     Geo.polygonPerimeter(xs.toDoubleArray(), ys.toDoubleArray(),
       parts.toIntArray())
+
+  def bufferPointArea(x: Double, y: Double, dist: Double): Double =
+    graft.core.Jts.bufferPointArea(x, y, dist)
+
+  def clipAreaWithRect(xs: ArrayData, ys: ArrayData, parts: ArrayData,
+                       minX: Double, minY: Double, maxX: Double,
+                       maxY: Double): Double =
+    graft.core.Jts.clipAreaWithRect(xs.toDoubleArray(),
+      ys.toDoubleArray(), parts.toIntArray(), minX, minY, maxX, maxY)
 }

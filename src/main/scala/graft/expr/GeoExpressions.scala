@@ -222,6 +222,60 @@ case class PolygonPerimeter(first: Expression, second: Expression,
       s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** buffer_point_area(x, y, dist): area of the JTS point buffer
+  * (BufferVector delegation, VectorTools/BufferVector.java:359+). */
+case class BufferPointArea(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any, d: Any): Any =
+    GeoEval.bufferPointArea(x.asInstanceOf[Double],
+      y.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, d) =>
+      s"graft.expr.GeoEval.bufferPointArea($x, $y, $d)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** clip_area_rect(xs, ys, parts, minX, minY, maxX, maxY): area of the
+  * JTS intersection with an axis-aligned clip rectangle
+  * (Clip.java:240-460 per-record intersection semantics). */
+case class ClipAreaRect(children: Seq[Expression]) extends Expression {
+  require(children.length == 7)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def nullIntolerant: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeoEval.clipAreaWithRect(
+      vs(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(2).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double],
+      vs(5).asInstanceOf[Double], vs(6).asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    val nullCheck = cs.map(_.isNull).mkString(" || ")
+    ev.copy(code = code"""
+      ${cs.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $nullCheck;
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expr.GeoEval.clipAreaWithRect(${cs(0).value},
+          ${cs(1).value}, ${cs(2).value}, ${cs(3).value}, ${cs(4).value},
+          ${cs(5).value}, ${cs(6).value});
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -246,6 +300,13 @@ object GeoFunctions {
     c(PolygonArea(x(xs), x(ys), x(parts)))
   def polygon_perimeter(xs: Column, ys: Column, parts: Column): Column =
     c(PolygonPerimeter(x(xs), x(ys), x(parts)))
+  def buffer_point_area(px: Column, py: Column, dist: Column): Column =
+    c(BufferPointArea(x(px), x(py), x(dist)))
+  def clip_area_rect(xs: Column, ys: Column, parts: Column,
+                     minX: Column, minY: Column, maxX: Column,
+                     maxY: Column): Column =
+    c(ClipAreaRect(Seq(x(xs), x(ys), x(parts), x(minX), x(minY),
+      x(maxX), x(maxY))))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {
