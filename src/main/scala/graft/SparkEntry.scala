@@ -192,6 +192,23 @@ object SparkEntry {
       Raster.clump(mask, width = 50)
     }),
 
+    "geo_rasterize_polygons" -> ((s, dir) =>
+      Raster.rasterizePolygons(
+        Derived.zones(s).withColumnRenamed("zone_id", "poly_id"),
+        res = 6)),
+
+    "geo_tile_histogram_salted" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val parent = cell_to_parent(
+        latlng_to_cell(pts("y"), pts("x"), lit(RES)), lit(6))
+      val keyed = pts.select(cell_lat_bin(parent).as("lat_bin6"),
+        cell_lon_bin(parent).as("lon_bin6"),
+        round(pts("val") * 100).cast("long").as("cents"))
+      operators.Skew.saltedCountSum(keyed,
+          Seq(col("lat_bin6"), col("lon_bin6")), col("cents"), salts = 8)
+        .withColumnRenamed("s", "sum_cents")
+    }),
+
     // ---- terrain flow (iterative pointer DAG) ----
 
     "geo_d8_pointer" -> ((s, dir) =>
@@ -672,6 +689,29 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
         |  FROM sims)
         |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "geo_rasterize_polygons" -> {
+      val arms = Derived.zonePredicatesSql.map { case (zid, pred) =>
+        s"SELECT lat_bin, lon_bin, $zid AS zid FROM bins WHERE $pred"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH bins AS (SELECT a.x AS lat_bin, b.x AS lon_bin,
+         |  -90.0 + (a.x + 0.5) * CAST(2.8125 AS DOUBLE) AS y,
+         |  -180.0 + (b.x + 0.5) * CAST(2.8125 AS DOUBLE) AS x
+         |  FROM range(64) a(x) CROSS JOIN range(128) b(x)),
+         |matched AS (
+         |$arms)
+         |SELECT lat_bin, lon_bin, CAST(max(zid) AS INT) AS poly_id
+         |FROM matched GROUP BY 1, 2""".stripMargin
+    },
+
+    "geo_tile_histogram_salted" ->
+      s"""WITH pts AS ($PTS),
+         |bins AS (SELECT $latBin14Sql // 256 AS lat_bin6,
+         |  $lonBin14Sql // 256 AS lon_bin6,
+         |  CAST(round(val * 100) AS BIGINT) AS cents FROM pts)
+         |SELECT lat_bin6, lon_bin6, count(*) AS n,
+         |  sum(cents) AS sum_cents
+         |FROM bins GROUP BY lat_bin6, lon_bin6""".stripMargin,
 
     "geo_d8_pointer" ->
       s"""WITH g AS ($GRID),

@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # Two-cluster-size scaling evidence (BASELINE.json north_rule):
-# run graft.Bench on the SAME input at local[8] and local[32]
+# run graft.ScalingBench on the SAME input at local[8] and local[32]
 # (sandbox stand-in for N vs 4N executors), then compute
 # efficiency = (T8 / T32) / 4 and write BENCH/BASELINE.md.
 #
@@ -13,7 +13,7 @@ mkdir -p BENCH target/bench
 run() {
   local cpus=$1
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
-    sbt -batch "runMain graft.Bench" 2>/dev/null |
+    sbt -batch "runMain graft.ScalingBench" 2>/dev/null |
     grep -o '{"metric".*}' | tail -1
 }
 
