@@ -36,7 +36,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "50").toInt
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "400").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,24 +46,51 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pts = scaledPoints(spark, sfDir, factor).localCheckpoint(true)
+    val nPart = cpus.toInt * 3
+    val pts = scaledPoints(spark, sfDir, factor)
+      .repartition(nPart).localCheckpoint(true)
     val nPages = pts.count()
-    val sup = Derived.supplierPoints(spark, sfDir)
-      .select(col("s_id"), col("sx"), col("sy")).localCheckpoint(true)
-    val docs = Derived.table(spark, sfDir, "documents")
-    val corpus = docs.select(col("doc_id"), col("text"))
-      .crossJoin(spark.range(4).select(col("id").as("rep")))
-      .select((col("doc_id") * 4 + col("rep")).as("doc_id"),
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"),
-            col("rep").cast("string"))).as("text"))
-      .localCheckpoint(true)
+    val supBase = Derived.supplierPoints(spark, sfDir)
+      .select(col("s_id"), col("sx"), col("sy"))
+    val sup = supBase.localCheckpoint(true)
+    // kNN probe side scaled with the build side so per-round work
+    // dominates round-trip latency
+    val supRep = supBase
+      .crossJoin(spark.range(8).select(col("id").as("rep")))
+      .select((col("s_id") * 8 + col("rep")).as("s_id"),
+        (col("sx") + col("rep") * 1e-5).as("sx"),
+        (col("sy") + col("rep") * 1e-5).as("sy"))
+      .repartition(nPart).localCheckpoint(true)
+    // Realistic dedup corpus: the sf documents have a ~31-word
+    // vocabulary, which degenerates LSH (all token sets collide into
+    // a handful of buckets -> quadratic candidates). Web-scale text
+    // has a large vocabulary, so the scaling corpus synthesises
+    // 30-token docs over a 5000-word vocab (seeded per doc id) plus
+    // one near-dup per doc (last 2 tokens dropped).
+    import spark.implicits._
+    val nDocs = 10000L * factor / 50
+    val base = spark.range(nDocs).as[Long].map { i =>
+      val rnd = new scala.util.Random(i)
+      val toks = Array.fill(30)(s"w${rnd.nextInt(5000)}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = base.unionByName(
+        base.select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, 28), ' ')")
+            .as("text")))
+      .repartition(nPart).localCheckpoint(true)
 
     def time(name: String)(f: => Long): (String, Double, Long) = {
+      System.err.println(s"[scaling] running $name ...")
       val t0 = System.nanoTime()
       val rows = f
-      (name, (System.nanoTime() - t0) / 1e9, rows)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scaling] $name: $sec%.1f s ($rows rows)")
+      (name, sec, rows)
     }
+
+    // untimed warmup: session init, codegen cache, page cache
+    SpatialJoins.pipJoin(pts, Derived.zones(spark), res = 7).count()
 
     val results = Seq(
       time("pip_join") {
@@ -88,7 +115,7 @@ object ScalingBench {
       },
       time("knn_join") {
         SpatialJoins.knnJoin(
-          sup, pts.select(col("id").as("c_id"), col("x").as("cx"),
+          supRep, pts.select(col("id").as("c_id"), col("x").as("cx"),
             col("y").as("cy")),
           kNeighbors = 5, probeId = "s_id", buildId = "c_id",
           px = "sx", py = "sy", bx = "cx", by = "cy").count()
@@ -98,9 +125,14 @@ object ScalingBench {
           threshold = 0.95).count()
       },
       time("ann_topk") {
-        val emb = Derived.table(spark, sfDir, "embeddings")
+        val embBase = Derived.table(spark, sfDir, "embeddings")
+        val emb = embBase
+          .crossJoin(spark.range(8).select(col("id").as("rep")))
+          .select((col("vec_id") * 8 + col("rep")).as("vec_id"),
+            col("embedding"), col("label"))
+          .repartition(nPart).localCheckpoint(true)
         Similarity.bruteForceTopK(emb,
-          emb.where(col("vec_id") % 25 === 0), 10).count()
+          emb.where(col("vec_id") % 400 === 0), 10).count()
       }
     )
 
@@ -108,7 +140,7 @@ object ScalingBench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val pipSec = results.find(_._1 == "pip_join").map(_._2).get
-    println(s"""{"metric":"scaling","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$nPages,"pip_pages_per_sec":${nPages / pipSec},"cpus":$cpus,"scale_factor":$factor}""")
+    println(s"""{"metric":"scaling","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$nPages,"pip_pages_per_sec":${nPages / pipSec},"cpus":$cpus,"scale_factor":$factor,"pts_parts":${pts.rdd.getNumPartitions}}""")
     spark.stop()
   }
 }

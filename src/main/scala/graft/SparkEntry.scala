@@ -217,6 +217,40 @@ object SparkEntry {
     "geo_flow_accum" -> ((s, dir) =>
       operators.Terrain.flowAccumD8(Derived.partGrid(s, dir))),
 
+    "geo_watershed" -> ((s, dir) =>
+      operators.Terrain.watershed(Derived.partGrid(s, dir), width = 50)),
+
+    // ---- multimodal binary columns (stubbed decode, real plumbing) ----
+
+    "media_features" -> ((s, dir) => {
+      val d = Derived.table(s, dir, "documents")
+      val blobs = d.select(d("doc_id").cast("string").as("url"),
+        d("text").cast("binary").as("html"))
+      operators.Multimodal.extractFeatures(blobs)
+        .select(col("url").cast("long").as("doc_id"),
+          col("n_bytes"), round(col("byte_entropy"), 6).as("entropy"))
+    }),
+
+    // ---- ordered SQL windows (rank / lag / cume_dist surface) ----
+
+    "q4_window" -> ((s, dir) => {
+      val e = Derived.table(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("rnk"),
+          coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L))
+            .as("gap_us"))
+    }),
+
+    "q5_cdf" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("val"), col("id"))
+      pts.select(col("id"), round(cume_dist().over(w), 6).as("cd"))
+    }),
+
     // ---- statistics (two-pass global stats + spatial stats) ----
 
     "geo_zscore" -> ((s, dir) => {
@@ -731,6 +765,47 @@ object SparkEntry {
          |acc AS (SELECT tr, tc, count(*) AS k FROM reach GROUP BY tr, tc)
          |SELECT g.r, g.c, 1 + COALESCE(a.k, 0) AS n_upslope
          |FROM g LEFT JOIN acc a ON a.tr = g.r AND a.tc = g.c""".stripMargin,
+
+    "geo_watershed" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |e AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc
+         |  FROM p WHERE ptr > 0),
+         |sinks AS (SELECT r, c FROM p WHERE ptr = 0),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e.tr, e.tc
+         |  FROM walk w JOIN e ON w.r = e.r AND w.c = e.c),
+         |hit AS (SELECT w.sr AS r, w.sc AS c, w.r * 50 + w.c AS sink_id
+         |  FROM walk w JOIN sinks s ON s.r = w.r AND s.c = w.c)
+         |SELECT r, c, sink_id FROM hit""".stripMargin,
+
+    "media_features" ->
+      """WITH ch AS (SELECT doc_id,
+        |  unnest(string_split(text, '')) AS ch,
+        |  generate_subscripts(string_split(text, ''), 1) AS pos
+        |  FROM documents),
+        |hist AS (SELECT doc_id, ascii(ch) // 16 AS bucket, count(*) AS k
+        |  FROM ch WHERE pos <= 4096 GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(k) AS n FROM hist GROUP BY 1),
+        |ent AS (SELECT h.doc_id,
+        |  -sum((k / CAST(n AS DOUBLE)) * (ln(k / CAST(n AS DOUBLE)) / ln(2.0))) AS e
+        |  FROM hist h JOIN tot t ON t.doc_id = h.doc_id GROUP BY 1)
+        |SELECT d.doc_id, CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  round(e.e, 6) AS entropy
+        |FROM documents d JOIN ent e ON e.doc_id = d.doc_id""".stripMargin,
+
+    "q4_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rnk,
+        |  COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+        |FROM events""".stripMargin,
+
+    "q5_cdf" ->
+      s"""WITH pts AS ($PTS)
+         |SELECT id, round(cume_dist() OVER (ORDER BY val, id), 6) AS cd
+         |FROM pts""".stripMargin,
 
     "geo_zscore" ->
       s"""WITH pts AS ($PTS),

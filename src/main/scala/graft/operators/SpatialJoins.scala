@@ -99,11 +99,16 @@ object SpatialJoins {
    * planar distance, ties broken by build id ascending (deterministic,
    * mirroring ResultHeap's stable ordering, KdTree.java:918-986).
    *
-   * Iterative deepening: start with ring `k0`, keep only probes whose
-   * k-th neighbour distance is within the ring-guarantee radius
-   * (CellIndex.kRingGuaranteeDeg) — those results are provably exact —
-   * and double the ring for the rest until all probes resolve or the
-   * ring covers the domain.
+   * Hierarchical iterative deepening: each round searches the 2-ring
+   * of the probe's cell at resolution res - t (cell size doubles per
+   * round, fan-out stays ~25 cells), keeping probes whose k-th
+   * neighbour distance is within the round's ring-guarantee radius —
+   * provably exact. Ring-doubling at a fixed resolution would explode
+   * quadratically for sparse-region probes (certifying a neighbour at
+   * distance d needs a d/cellSize ring); coarsening the grid keeps
+   * the per-round candidate fan-out constant and converges in
+   * O(log(domain/cell)) rounds — the distributed equivalent of the
+   * kd-tree's geometric search-region growth.
    *
    * probe: (probeIdCol, x, y); build: (buildIdCol, rx, ry).
    * Output: probeId, buildId, rnk (1..k), dist2.
@@ -126,33 +131,77 @@ object SpatialJoins {
               k0: Int = 2): DataFrame = {
     val spark = probe.sparkSession
     val res = if (res0 > 0) res0 else resForKnn(build.count(), kNeighbors)
-    val maxRing = (CellIndex.latBins(res) / 2 + 1).toInt
+    // materialise the keyed build side once: every deepening round
+    // re-joins against a cheap parent-cell projection of it instead
+    // of re-scanning the (large) build table
     val b = build.select(col(buildId), col(bx), col(by))
-      .withColumn("__cell", latlng_to_cell(col(by), col(bx), lit(res)))
+      .withColumn("__cell0", latlng_to_cell(col(by), col(bx), lit(res)))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .localCheckpoint(true)
     val d2 = (col(px) - col(bx)) * (col(px) - col(bx)) +
              (col(py) - col(by)) * (col(py) - col(by))
+    // Two-level top-k against hot cells (the capital-city skew of the
+    // north rule): a probe whose ring covers a hot cell would
+    // otherwise sort millions of candidates in ONE window partition.
+    // Level 1 ranks within (probe, salt-of-build) — bounded
+    // partitions — keeping k per salt; level 2 ranks the <= 64k
+    // survivors per probe. Union of per-salt top-k contains the
+    // global top-k, so the result is identical.
+    val wSalted = Window
+      .partitionBy(col(probeId), pmod(hash(col(buildId)), lit(64)))
+      .orderBy(col("dist2").asc, col(buildId).asc)
     val w = Window.partitionBy(probeId).orderBy(col("dist2").asc,
       col(buildId).asc)
 
     // Each round materializes its outputs (localCheckpoint truncates
     // lineage) — without this the pending-probe plan embeds the prior
     // round's join twice per level and grows exponentially.
+    // pending carries a branch-and-bound prune: `__bnd2` is the probe's
+    // current k-th-neighbour distance² upper bound (found in an earlier
+    // round but not yet certified). A build farther than the bound can
+    // never enter the top-k, so coarse rounds filter hot-cell
+    // candidates BEFORE the rank — the distributed mirror of the
+    // kd-tree heap's maxDistance prune (KdTree.java:377-400).
     var pending = probe.select(col(probeId), col(px), col(py))
+      .withColumn("__bnd2", lit(null).cast("double"))
       .localCheckpoint(true)
+    var pendingCnt = pending.count()
     var acc: DataFrame = null
-    var ring = k0
+    var t = 0
     var done = false
     while (!done) {
-      val exact = ring >= maxRing
-      val guarantee = CellIndex.kRingGuaranteeDeg(res, ring)
+      val tRound0 = System.nanoTime()
+      val resT = math.max(res - t, 2)
+      // at res 2 a ring of 8 covers the whole globe (clamped/wrapped)
+      val exact = resT == 2
+      val ring = if (exact) 8 else k0
+      val guarantee = CellIndex.kRingGuaranteeDeg(resT, k0)
       val g2 = guarantee * guarantee
-      val cand = pending
+      val bT = b.withColumn("__cell",
+        cell_to_parent(col("__cell0"), lit(resT))).drop("__cell0")
+      val explodedPending = pending
         .withColumn("__cell", explode(k_ring(
-          latlng_to_cell(col(py), col(px), lit(res)), lit(ring))))
-        .join(b, Seq("__cell"), "inner")
+          latlng_to_cell(col(py), col(px), lit(resT)), lit(ring))))
+      // When the exploded probe side is small (always true after the
+      // first rounds — pending shrinks geometrically), broadcast it:
+      // the big build side then streams map-side with NO shuffle.
+      // Otherwise shuffle both sides on the cell key as usual.
+      val pendingRows = pendingCnt * (2L * ring + 1) * (2L * ring + 1)
+      val joined0 =
+        if (pendingRows <= 2000000L)
+          bT.join(broadcast(explodedPending), Seq("__cell"), "inner")
+        else explodedPending.join(bT, Seq("__cell"), "inner")
+      val cand = joined0
         .withColumn("dist2", d2)
+        .where(col("__bnd2").isNull || col("dist2") <= col("__bnd2"))
+        .withColumn("__srnk", row_number().over(wSalted))
+        .where(col("__srnk") <= kNeighbors)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= kNeighbors)
+        .drop("__srnk", "__bnd2")
+        // one evaluation per round: the kth stats, the resolved slice
+        // and the pending update all reuse this (small) result
+        .localCheckpoint(true)
       // A probe's top-k is exact iff it found k neighbours all within
       // the guarantee radius (or the ring already spans the domain).
       val kth = cand.groupBy(col(probeId).as("__pid"))
@@ -162,25 +211,34 @@ object SpatialJoins {
           else col("__n") === kNeighbors && col("__maxd2") <= lit(g2))
       val joined = cand.join(kth,
         cand(probeId) === kth("__pid"), "inner")
-      // resolved stays lazy: it re-derives from the checkpointed
-      // `pending`, so consuming `acc` later costs one pass per round
-      // with no lineage blow-up and no extra materialisation job here.
       val resolved = joined.where(col("__ok"))
         .select(col(probeId), col(buildId), col("rnk"), col("dist2"))
       acc = if (acc == null) resolved else acc.unionByName(resolved)
       if (exact) {
         done = true
       } else {
-        val unresolvedIds = kth.where(!col("__ok")).select(col("__pid"))
-        val stillPending = pending.join(unresolvedIds,
-          pending(probeId) === col("__pid"), "left_semi")
+        // unresolved probes tighten their bound to this round's k-th
+        // candidate distance (monotonically non-increasing)
+        val unresolved = kth.where(!col("__ok"))
+          .select(col("__pid"),
+            when(col("__n") === kNeighbors, col("__maxd2"))
+              .otherwise(lit(null).cast("double")).as("__newBnd2"))
+        val stillPending = pending.drop("__bnd2")
+          .join(unresolved, pending(probeId) === col("__pid"), "inner")
+          .select(col(probeId), col(px), col(py),
+            col("__newBnd2").as("__bnd2"))
         // Probes with zero candidates never appear in `kth`; keep them.
         val noCand = pending.join(kth,
           pending(probeId) === col("__pid"), "left_anti")
         pending = stillPending.unionByName(noCand).localCheckpoint(true)
-        done = pending.isEmpty
+        pendingCnt = pending.count()
+        done = pendingCnt == 0
       }
-      ring = math.min(ring * 2, maxRing)
+      if (sys.env.contains("GRAFT_KNN_DEBUG")) {
+        System.err.println(f"[knn] round $t resT=$resT " +
+          f"pending=$pendingCnt sec=${(System.nanoTime() - tRound0) / 1e9}%.2f")
+      }
+      t += 1
     }
     acc
   }

@@ -98,4 +98,49 @@ object Terrain {
     }
     acc.withColumnRenamed("cnt", "n_upslope")
   }
+
+  /**
+   * Watershed (HydroTools/Watershed.java:386-401 trace semantics):
+   * label every cell with the sink (terminal cell, ptr = 0) its D8
+   * flowpath reaches. Distributed by POINTER DOUBLING: each round
+   * replaces every cell's successor with its successor's successor,
+   * so convergence takes O(log(longest path)) rounds instead of
+   * O(path) — the Spark-native answer to the reference's per-cell
+   * downstream trace loop.
+   * Output: (r, c, sink_id) with sink_id = sink.r * width + sink.c.
+   */
+  def watershed(grid: DataFrame, width: Long): DataFrame = {
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    // next(cell): downstream cell for flowing cells, self for sinks
+    var next = ptr.select(col("r"), col("c"),
+        when(col("ptr") > 0, col("r") + dyExpr).otherwise(col("r"))
+          .as("tr"),
+        when(col("ptr") > 0, col("c") + dxExpr).otherwise(col("c"))
+          .as("tc"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val hop = next.select(col("r").as("hr"), col("c").as("hc"),
+        col("tr").as("ttr"), col("tc").as("ttc"))
+      val doubled = next.join(hop,
+          col("tr") === col("hr") && col("tc") === col("hc"), "inner")
+        .select(col("r"), col("c"), col("ttr").as("tr"),
+          col("ttc").as("tc"))
+        .localCheckpoint(true)
+      val moved = doubled.join(next.select(col("r"), col("c"),
+          col("tr").as("otr"), col("tc").as("otc")), Seq("r", "c"))
+        .where(col("tr") =!= col("otr") || col("tc") =!= col("otc"))
+        .count()
+      next = doubled
+      converged = moved == 0
+    }
+    next.select(col("r"), col("c"),
+      (col("tr") * width + col("tc")).as("sink_id"))
+  }
 }

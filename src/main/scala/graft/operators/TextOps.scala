@@ -119,8 +119,10 @@ object TextOps {
     val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verify candidates with exact jaccard
-    val dt = docTokens(corpus)
+      .localCheckpoint(true)
+    // verify candidates with exact jaccard; materialise the shared
+    // token relation once (it feeds three joins)
+    val dt = docTokens(corpus).localCheckpoint(true)
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = cand
       .join(dt.select(col("doc_id").as("a"), col("tok")), Seq("a"))
