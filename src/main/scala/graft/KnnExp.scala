@@ -32,7 +32,7 @@ object KnnExp {
         px = "sx", py = "sy", bx = "cx", by = "cy").count()
       println(s"RESULT knn rows=$n sec=${(System.nanoTime()-t0)/1e9}")
     } else {
-      val nDocs = 20000L
+      val nDocs = sys.env.getOrElse("NDOCS", "20000").toLong
       val base = spark.range(nDocs).as[Long].map { i =>
         val rnd = new scala.util.Random(i)
         (i, Array.fill(30)(s"w${rnd.nextInt(5000)}").mkString(" "))
@@ -40,7 +40,49 @@ object KnnExp {
       val corpus = base.unionByName(base.select((col("doc_id")+10000000L).as("doc_id"),
         expr("array_join(slice(split(text, ' '), 1, 28), ' ')").as("text")))
         .repartition(cpus.toInt * 3).localCheckpoint(true)
-      val n = TextOps.minhashLshPairs(corpus, 16, 4, 0.95).count()
+      // phased replica of minhashLshPairs for profiling
+      def phase[T](name: String)(f: => T): T = {
+        val p0 = System.nanoTime()
+        val r = f
+        println(f"PHASE $name ${(System.nanoTime()-p0)/1e9}%.1f s")
+        r
+      }
+      val perms = 16; val bands = 4; val rows = perms / bands
+      val sigs = phase("sigs") {
+        corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .as[(Long, Seq[String])]
+          .map { case (id, toks) => (id, TextOps.minhashSignature(toks.distinct, perms)) }
+          .toDF("doc_id", "sig").localCheckpoint(true)
+      }
+      val buckets = phase("buckets") {
+        sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("pos", "h")))
+          .withColumn("band", expr(s"pos DIV $rows"))
+          .groupBy("doc_id", "band")
+          .agg(hash(sort_array(collect_list(struct(col("pos"), col("h"))))).as("bkey"))
+          .localCheckpoint(true)
+      }
+      val cand = phase("cand") {
+        val l = buckets.select(col("band"), col("bkey"), col("doc_id").as("a"))
+        val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("b"))
+        l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
+          .select("a", "b").distinct().localCheckpoint(true)
+      }
+      println(s"cand rows=${cand.count()}")
+      val dt = phase("dt") { TextOps.docTokens(corpus).localCheckpoint(true) }
+      val n = phase("verify") {
+        val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val shared = cand
+          .join(dt.select(col("doc_id").as("a"), col("tok")), Seq("a"))
+          .join(dt.select(col("doc_id").as("b2"), col("tok").as("tok2")),
+            col("b") === col("b2") && col("tok") === col("tok2"))
+          .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+          .select(col("a"), col("b"), (col("shared").cast("double") /
+            (col("sza") + col("szb") - col("shared"))).as("jacc"))
+          .where(col("jacc") >= 0.95).count()
+      }
       println(s"RESULT minhash rows=$n sec=${(System.nanoTime()-t0)/1e9}")
     }
     spark.stop()
