@@ -245,10 +245,12 @@ object SparkEntry {
     }),
 
     "q5_cdf" -> ((s, dir) => {
+      // distributed two-pass CDF (per-range counts -> broadcast
+      // prefix sums), never a single-partition global window
       val pts = Derived.customerPoints(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("val"), col("id"))
-      pts.select(col("id"), round(cume_dist().over(w), 6).as("cd"))
+      operators.Distribution
+        .cumeDist(pts, col("val"), col("id"), binWidth = 200.0)
+        .select(col("id"), col("cd"))
     }),
 
     // ---- statistics (two-pass global stats + spatial stats) ----
@@ -413,9 +415,12 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       TextOps.jaccardPairs(Derived.dupCorpus(s, dir), 0.95)),
 
+    // 64 perms in 32 bands of 2 rows: p(miss a 0.95-pair) =
+    // (1 - 0.95^2)^32 ~ 5e-33 — effectively exact, and cheap because
+    // LSH runs over unique token sets only (exact-dedup pre-pass).
     "dedup_minhash" -> ((s, dir) =>
       TextOps.minhashLshPairs(Derived.dupCorpus(s, dir),
-        perms = 16, bands = 4, threshold = 0.95)),
+        perms = 64, bands = 32, threshold = 0.95)),
 
     "dedup_simhash" -> ((s, dir) =>
       TextOps.simhashPairs(Derived.dupCorpus(s, dir), maxHamming = 3)),
@@ -459,8 +464,8 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-        |  sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -470,7 +475,7 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT o.o_orderkey,
-        |  sum(CAST(round(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) * 100) AS BIGINT)) AS rev_cents
+        |  CAST(sum(CAST(round(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderkey
         |ORDER BY rev_cents DESC, o.o_orderkey ASC LIMIT 10""".stripMargin,
@@ -521,7 +526,7 @@ object SparkEntry {
     "events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
         |  event_type, count(*) AS n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "geo_rasterize_points" ->
@@ -529,7 +534,7 @@ object SparkEntry {
          |SELECT LEAST(GREATEST(CAST(floor((y + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS r,
          |  ((CAST(floor((x + 180.0) / 360.0 * 128) AS BIGINT) % 128) + 128) % 128 AS c,
          |  count(*) AS n, min(val) AS vmin, max(val) AS vmax,
-         |  sum(CAST(round(val * 100) AS BIGINT)) AS sum_cents,
+         |  CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
          |  arg_min(val, id) AS vfirst, arg_max(val, id) AS vlast
          |FROM pts GROUP BY 1, 2""".stripMargin,
 
@@ -539,7 +544,7 @@ object SparkEntry {
          |  + ((CAST(floor((x + 180.0) / 360.0 * 64) AS BIGINT) % 64) + 64) % 64 AS zone,
          |  count(*) AS n, min(val) AS vmin, max(val) AS vmax,
          |  max(val) - min(val) AS vrange,
-         |  sum(CAST(round(val * 100) AS BIGINT)) AS sum_cents
+         |  CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM pts GROUP BY 1""".stripMargin,
 
     "geo_focal_mean" ->
@@ -654,6 +659,21 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = s.b
          |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= CAST(0.95 AS DOUBLE)""".stripMargin,
 
+    // the LSH path must find exactly the pairs the exact all-pairs
+    // jaccard finds (recall 1 at these parameters) — same oracle
+    "dedup_minhash" ->
+      s"""WITH corpus AS (${Derived.dupCorpusSql}),
+         |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT s.a, s.b,
+         |  CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jacc
+         |FROM shared s JOIN sizes sa ON sa.doc_id = s.a
+         |  JOIN sizes sb ON sb.doc_id = s.b
+         |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= CAST(0.95 AS DOUBLE)""".stripMargin,
+
     "text_quality" -> {
       val stops = Derived.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -684,7 +704,7 @@ object SparkEntry {
         |  generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
         |SELECT doc_id,
-        |  sum(pos * (ascii(tok) * 131 + length(tok))) % 2147483647 AS fp,
+        |  CAST(sum(pos * (ascii(tok) * 131 + length(tok))) % 2147483647 AS BIGINT) AS fp,
         |  count(*) AS n_tokens
         |FROM pt GROUP BY doc_id""".stripMargin,
 
@@ -744,7 +764,7 @@ object SparkEntry {
          |  $lonBin14Sql // 256 AS lon_bin6,
          |  CAST(round(val * 100) AS BIGINT) AS cents FROM pts)
          |SELECT lat_bin6, lon_bin6, count(*) AS n,
-         |  sum(cents) AS sum_cents
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
          |FROM bins GROUP BY lat_bin6, lon_bin6""".stripMargin,
 
     "geo_d8_pointer" ->
@@ -851,7 +871,7 @@ object SparkEntry {
     "geo_histogram" ->
       s"""WITH pts AS ($PTS)
          |SELECT CAST(floor(val / 500.0) AS BIGINT) AS bin, count(*) AS n,
-         |  sum(CAST(round(val * 100) AS BIGINT)) AS sum_cents
+         |  CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          |FROM pts GROUP BY 1""".stripMargin,
 
     "geo_resample_bilinear" ->

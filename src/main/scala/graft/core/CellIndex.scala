@@ -169,6 +169,13 @@ object CellIndex {
    */
   def coverBBox(minLon: Double, minLat: Double, maxLon: Double,
                 maxLat: Double, res: Int): Array[Long] = {
+    // No-antimeridian contract (the reference has no wrap handling
+    // either): a min > max bbox would otherwise yield a negative
+    // array size deep in the cover loop — fail with a diagnosis.
+    require(minLon <= maxLon && minLat <= maxLat,
+      s"coverBBox requires minLon<=maxLon && minLat<=maxLat " +
+        s"(no antimeridian-crossing boxes); got " +
+        s"[$minLon,$minLat,$maxLon,$maxLat]")
     val lb0 = latBin(minLat, res)
     val lb1 = latBin(maxLat, res)
     // No antimeridian wrap (reference has none either): clamp lon bins.

@@ -21,8 +21,11 @@ object Skew {
    */
   def saltedCountSum(df: DataFrame, keys: Seq[Column],
                      sumCol: Column, salts: Int): DataFrame = {
+    // Deterministic salt (hash of the row's own values, not rand()):
+    // a task retry re-derives the same salt per row, so stage retries
+    // yield identical partials even for non-commutative extensions.
     val salted = df.withColumn("__salt",
-      pmod(hash(rand(42) * salts), lit(salts)))
+      pmod(hash(keys :+ sumCol: _*), lit(salts)))
     val partial = salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__n"), sum(sumCol).as("__s"))

@@ -207,8 +207,13 @@ object SpatialJoins {
       val kth = cand.groupBy(col(probeId).as("__pid"))
         .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
         .withColumn("__ok",
+          // strict <: a build point OUTSIDE the ring can sit at
+          // exactly the guarantee distance g and tie the k-th
+          // candidate with a smaller buildId — boundary ties force
+          // one more deepening round so the documented
+          // (dist2, buildId) tie-break holds exactly.
           if (exact) lit(true)
-          else col("__n") === kNeighbors && col("__maxd2") <= lit(g2))
+          else col("__n") === kNeighbors && col("__maxd2") < lit(g2))
       val joined = cand.join(kth,
         cand(probeId) === kth("__pid"), "inner")
       val resolved = joined.where(col("__ok"))

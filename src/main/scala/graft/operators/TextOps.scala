@@ -92,50 +92,97 @@ object TextOps {
   }
 
   /**
-   * MinHash-LSH near-duplicate candidate pairs: signature of `perms`
-   * minhashes, banded into `bands` rows-per-band groups; docs sharing
-   * any (band, bandHash) bucket become candidates; candidates are
-   * verified with exact token-set Jaccard >= threshold.
-   * Returns (a, b, jacc) — a strict (correct) subset of
-   * jaccardPairs(threshold) output, at a fraction of the join cost.
+   * MinHash-LSH near-duplicate pairs, hot-bucket safe. Three stages:
+   *
+   *  1. **Exact token-set dedup first** (the scale guard): docs are
+   *     grouped by their sorted distinct-token set; all Jaccard math
+   *     after this runs over UNIQUE sets only. Boilerplate/template
+   *     corpora — where millions of pages share one token set and a
+   *     naive band join goes quadratic in a single reducer — collapse
+   *     to one representative per set before LSH ever sees them.
+   *  2. **MinHash banding over representatives**: `perms` minhashes in
+   *     `bands` bands; sets sharing a (band, bandHash) bucket become
+   *     candidates. Buckets larger than `maxBucket` representatives
+   *     are dropped with a logged count (standard LSH hot-bucket cap;
+   *     inert unless the unique-set space itself degenerates).
+   *     Candidates are verified per pair with array intersection —
+   *     jacc = |A∩B| / (|A|+|B|-|A∩B|) — no token-explode join.
+   *  3. **Expansion**: intra-group pairs (identical sets, jacc = 1.0)
+   *     plus verified cross-group pairs fanned out to their members —
+   *     output-bound work.
+   *
+   * Returns (a, b, jacc), the same contract as [[jaccardPairs]] —
+   * recall misses are possible only when a >=threshold pair shares no
+   * band across `bands` bands (prob (1-t^rows)^bands; ~1e-30 at the
+   * defaults used by the engine) or falls in a capped bucket (logged).
    */
   def minhashLshPairs(corpus: DataFrame, perms: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      maxBucket: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = perms / bands
-    val sigs = corpus.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // stage 1: unique token sets with their member doc ids
+    val groups = corpus
+      .select(col("doc_id"),
+        sort_array(array_distinct(tokens(col("text")))).as("ts"))
+      .groupBy("ts")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .localCheckpoint(true)
+
+    // intra-group pairs: identical sets, jacc exactly 1.0 (>=  any t)
+    val intra = groups.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("jacc"))
+
+    // stage 2: LSH over representatives
+    val sigs = groups.select(col("rep"), col("ts"))
       .as[(Long, Seq[String])]
-      .map { case (id, toks) =>
-        (id, minhashSignature(toks.distinct, perms))
-      }.toDF("doc_id", "sig")
-    val buckets = sigs.select(col("doc_id"),
+      .map { case (rep, ts) => (rep, minhashSignature(ts, perms)) }
+      .toDF("rep", "sig")
+    val buckets = sigs.select(col("rep"),
         posexplode(col("sig")).as(Seq("pos", "h")))
       .withColumn("band", expr(s"pos DIV $rows"))
-      .groupBy("doc_id", "band")
+      .groupBy("rep", "band")
       .agg(hash(sort_array(collect_list(struct(col("pos"), col("h")))))
         .as("bkey"))
-    val l = buckets.select(col("band"), col("bkey"), col("doc_id").as("a"))
-    val r = buckets.select(col("band"), col("bkey"), col("doc_id").as("b"))
-    val cand = l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
-      .localCheckpoint(true)
-    // verify candidates with exact jaccard; materialise the shared
-    // token relation once (it feeds three joins)
-    val dt = docTokens(corpus).localCheckpoint(true)
-    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = cand
-      .join(dt.select(col("doc_id").as("a"), col("tok")), Seq("a"))
-      .join(dt.select(col("doc_id").as("b2"), col("tok").as("tok2")),
-        col("b") === col("b2") && col("tok") === col("tok2"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
-      .select(col("a"), col("b"),
-        (col("shared").cast("double") /
-          (col("sza") + col("szb") - col("shared"))).as("jacc"))
+    val sizesByBucket = buckets.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("__bsz"))
+    val dropped = sizesByBucket.where(col("__bsz") > maxBucket)
+    val nDropped = dropped.count()
+    if (nDropped > 0) {
+      System.err.println(s"[minhash-lsh] dropped $nDropped hot " +
+        s"buckets above cap $maxBucket — recall may be reduced")
+    }
+    val keptBuckets = buckets.join(
+      sizesByBucket.where(col("__bsz") <= maxBucket)
+        .select("band", "bkey"), Seq("band", "bkey"))
+    val l = keptBuckets.select(col("band"), col("bkey"),
+      col("rep").as("ra"))
+    val r = keptBuckets.select(col("band"), col("bkey"),
+      col("rep").as("rb"))
+    val cand = l.join(r, Seq("band", "bkey")).where(col("ra") < col("rb"))
+      .select("ra", "rb").distinct()
+    // verify each candidate pair against the two sets directly
+    val ga = groups.select(col("rep").as("ra"), col("ts").as("tsa"),
+      col("members").as("ma"))
+    val gb = groups.select(col("rep").as("rb"), col("ts").as("tsb"),
+      col("members").as("mb"))
+    val cross = cand.join(ga, Seq("ra")).join(gb, Seq("rb"))
+      .withColumn("__shared", size(array_intersect(col("tsa"), col("tsb"))))
+      .withColumn("jacc", col("__shared").cast("double") /
+        (size(col("tsa")) + size(col("tsb")) - col("__shared")))
       .where(col("jacc") >= threshold)
+      // stage 3: fan verified set-pairs out to their member docs
+      .select(explode(col("ma")).as("da"), col("mb"), col("jacc"))
+      .select(col("da"), explode(col("mb")).as("db"), col("jacc"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("jacc"))
+
+    intra.unionByName(cross)
   }
 
   /** 64-bit SimHash over the token multiset. */

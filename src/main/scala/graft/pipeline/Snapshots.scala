@@ -73,32 +73,49 @@ object Snapshots {
 
   /**
    * Write `df` as one snapshot of `stage`, bucketed into `numParts`
-   * by `hash(bucketExpr)`, committing each bucket's manifest line as
-   * it lands. Buckets already committed (from a previous killed run)
-   * are skipped entirely — their data is not rewritten and not
-   * recomputed. Returns per-partition lineage.
+   * by `hash(bucketExpr)`, committing each bucket's manifest line
+   * after the data lands. Buckets already committed (from a previous
+   * killed run) are filtered out BEFORE the write — their data is not
+   * rewritten and not recomputed. Returns per-partition lineage.
    *
-   * At cluster scale the same protocol runs with one writer task per
-   * bucket (foreachPartition-style); locally buckets are written
-   * sequentially for deterministic evidence of skip-on-resume.
+   * Scale shape: ONE Spark job writes every remaining bucket via
+   * `partitionBy` with dynamic partition overwrite (a single scan of
+   * the input, one writer task set), then manifests are committed
+   * from the landed files — parquet-footer row counts, no data
+   * re-read. The previous per-bucket loop cost numParts full input
+   * scans; at 100 TB one snapshot write would have cost N x input.
    */
   def writeSnapshot(df: DataFrame, root: String, stage: String,
                     snapshotId: Long, bucketCol: String,
                     numParts: Int): Seq[PartMeta] = {
+    val spark = df.sparkSession
     val done = completedParts(root, stage, snapshotId)
-    val bucketed = df.withColumn("__bucket",
-      pmod(hash(col(bucketCol)), lit(numParts)))
-    val metas = (0 until numParts).flatMap { k =>
-      if (done.contains(k)) None
-      else {
-        val slice = bucketed.where(col("__bucket") === k).drop("__bucket")
-        val path = dataDir(root, stage, snapshotId, k)
-        slice.write.mode("overwrite").parquet(path)
-        val rows = SparkSessionHolder.rowCount(df.sparkSession, path)
-        val meta = PartMeta(k, rows, dirBytes(Paths.get(path)))
-        commitPart(root, stage, snapshotId, meta)
-        Some(meta)
-      }
+    val todo = (0 until numParts).filterNot(done.contains)
+    val base = s"$root/$stage/$snapshotId"
+    if (todo.nonEmpty) {
+      df.withColumn("part",
+          pmod(hash(col(bucketCol)), lit(numParts)))
+        .where(col("part").isin(todo: _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(base)
+    }
+    // manifest row counts from the landed files' parquet footers
+    // (count() over a parquet scan is metadata-only), one small job
+    val landed = todo.map(k => k -> dataDir(root, stage, snapshotId, k))
+      .filter { case (_, p) => Files.exists(Paths.get(p)) }
+    val countsByPart: Map[Int, Long] =
+      if (landed.isEmpty) Map.empty
+      else spark.read.option("basePath", base)
+        .parquet(landed.map(_._2): _*)
+        .groupBy(col("part")).count()
+        .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    val metas = todo.map { k =>
+      val meta = PartMeta(k, countsByPart.getOrElse(k, 0L),
+        dirBytes(Paths.get(dataDir(root, stage, snapshotId, k))))
+      commitPart(root, stage, snapshotId, meta)
+      meta
     }
     // seal
     val all = completedParts(root, stage, snapshotId)
@@ -122,9 +139,4 @@ object Snapshots {
   def readSnapshot(spark: SparkSession, root: String, stage: String,
                    snapshotId: Long): DataFrame =
     spark.read.parquet(s"$root/$stage/$snapshotId/part=*")
-}
-
-private object SparkSessionHolder {
-  def rowCount(spark: SparkSession, path: String): Long =
-    spark.read.parquet(path).count()
 }

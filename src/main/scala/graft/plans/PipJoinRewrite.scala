@@ -64,8 +64,17 @@ object PipJoinRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  private def findPip(cond: Expression): Option[PipContains] =
-    cond.collectFirst { case p: PipContains => p }
+  /** The PipContains must itself be a top-level conjunct: a PIP under
+    * Or/Not (e.g. `pip_contains(...) || dist < r`) does NOT imply the
+    * cell-equality — ANDing the cell key onto such a join would drop
+    * rows that match via the other disjunct. */
+  private def findPip(cond: Expression): Option[PipContains] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).collectFirst { case p: PipContains => p }
+  }
 
   private def alreadyRewritten(left: LogicalPlan): Boolean =
     left.output.exists(_.name == LeftCell)
