@@ -23,6 +23,10 @@ object SparkEntry {
 
   private val RES = 14 // ~1.2 km cells (H3-res-7-like)
 
+  /** partGrid dimensions (Derived.partGrid: 40 rows x 50 cols). */
+  private val GridRows = 40L
+  private val GridCols = 50L
+
   /** lat bin at res 14 in SQL (mirrors CellIndex.latBin). */
   private val latBin14Sql =
     "LEAST(GREATEST(CAST(floor((y + 90.0) / 180.0 * 16384) AS BIGINT), 0), 16383)"
@@ -146,7 +150,76 @@ object SparkEntry {
       Raster.focalMean(Derived.partGrid(s, dir))),
 
     "geo_slope" -> ((s, dir) =>
-      Raster.hornSlope(Derived.partGrid(s, dir))),
+      Raster.hornSlope(Derived.partGrid(s, dir), GridRows, GridCols)),
+
+    // ---- focal filter family (one generic engine, SURVEY.md §2.5) ----
+
+    "geo_focal_median" -> ((s, dir) =>
+      operators.Focal.filterMedian(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_focal_stats" -> ((s, dir) =>
+      operators.Focal.filterMinMaxRangeTotal(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_focal_stddev" -> ((s, dir) =>
+      operators.Focal.filterStdDev(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_focal_majority" -> ((s, dir) =>
+      operators.Focal.filterMajority(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_focal_diversity" -> ((s, dir) =>
+      operators.Focal.filterDiversity(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_focal_percentile" -> ((s, dir) =>
+      operators.Focal.filterPercentile(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_focal_olympic" -> ((s, dir) =>
+      operators.Focal.filterOlympic(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    "geo_conv_gaussian" -> ((s, dir) =>
+      operators.Focal.convolveRenormalized(Derived.partGrid(s, dir),
+        operators.Focal.gaussianKernel(0.75), reflect = true,
+        GridRows, GridCols)),
+
+    "geo_conv_laplacian" -> ((s, dir) =>
+      operators.Focal.convolveSubstitute(Derived.partGrid(s, dir),
+        operators.Focal.laplacian3x3, reflect = true,
+        GridRows, GridCols)),
+
+    "geo_conv_sobel" -> ((s, dir) =>
+      operators.Focal.filterSobel(Derived.partGrid(s, dir),
+        reflect = true, GridRows, GridCols)),
+
+    // ---- terrain derivatives on the shared 3x3 stencil (§2.5) ----
+
+    "geo_aspect" -> ((s, dir) =>
+      operators.Terrain.aspect(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    "geo_hillshade" -> ((s, dir) =>
+      operators.Terrain.hillshade(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    "geo_tri" -> ((s, dir) =>
+      operators.Terrain.ruggednessIndex(Derived.partGrid(s, dir))),
+
+    "geo_plan_curv" -> ((s, dir) =>
+      operators.Terrain.planCurvature(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    "geo_prof_curv" -> ((s, dir) =>
+      operators.Terrain.profileCurvature(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    "geo_total_curv" -> ((s, dir) =>
+      operators.Terrain.totalCurvature(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
 
     "geo_idw" -> ((s, dir) => {
       val targets = Derived.partGrid(s, dir).select(col("r"), col("c"),
@@ -555,22 +628,182 @@ object SparkEntry {
          | AND b.c BETWEEN a.c - 1 AND a.c + 1
          |GROUP BY a.r, a.c""".stripMargin,
 
-    "geo_slope" -> {
-      val dy = Seq(-1, 0, 1, 1, 1, 0, -1, -1)
-      val dx = Seq(1, 1, 1, 0, -1, -1, -1, 0)
+    "geo_slope" ->
+      s"""WITH g AS ($GRID),
+         |$stencilReflectSql
+         |SELECT r, c, round(atan(sqrt(($FxSql) * ($FxSql) + ($FySql) * ($FySql))), 6) AS slope_rad
+         |FROM nb""".stripMargin,
+
+    "geo_focal_median" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)},
+         |coll AS (SELECT r, c, list_sort(list(nv)) AS arr, count(*) AS n
+         |  FROM con GROUP BY r, c)
+         |SELECT r, c,
+         |  CASE WHEN n % 2 = 1 THEN arr[(n + 1) // 2]
+         |       ELSE (arr[n // 2] + arr[n // 2 + 1]) / 2.0 END AS med
+         |FROM coll""".stripMargin,
+
+    "geo_focal_stats" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)}
+         |SELECT r, c, min(nv) AS vmin, max(nv) AS vmax,
+         |  max(nv) - min(nv) AS vrange, round(sum(nv), 6) AS vtotal,
+         |  count(*) AS n
+         |FROM con GROUP BY r, c""".stripMargin,
+
+    "geo_focal_stddev" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)},
+         |agg AS (SELECT r, c, sum(nv) AS s, sum(nv * nv) AS ss,
+         |  count(*) AS n FROM con GROUP BY r, c),
+         |v0 AS (SELECT r, c, (ss - s * s / n) / n AS var0 FROM agg
+         |  WHERE n > 2)
+         |SELECT r, c,
+         |  round(CASE WHEN var0 > 0 THEN sqrt(var0) ELSE var0 END, 6) AS sd
+         |FROM v0""".stripMargin,
+
+    "geo_focal_majority" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)},
+         |cnts AS (SELECT r, c, nv, count(*) AS cnt FROM con GROUP BY 1, 2, 3),
+         |ranked AS (SELECT r, c, nv,
+         |  ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY cnt DESC, nv ASC) AS rn
+         |  FROM cnts)
+         |SELECT r, c, nv AS mode FROM ranked WHERE rn = 1""".stripMargin,
+
+    "geo_focal_diversity" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)}
+         |SELECT r, c, count(DISTINCT nv) AS ndist
+         |FROM con GROUP BY r, c""".stripMargin,
+
+    "geo_focal_percentile" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)}
+         |SELECT r, c,
+         |  round(CAST(COALESCE(sum(CASE WHEN nv < cz THEN 1 END), 0) AS DOUBLE)
+         |    / count(*) * 100, 6) AS pctl
+         |FROM con GROUP BY r, c""".stripMargin,
+
+    "geo_focal_olympic" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)},
+         |agg AS (SELECT r, c, sum(nv) AS s, min(nv) AS mn, max(nv) AS mx,
+         |  count(*) AS n FROM con GROUP BY r, c)
+         |SELECT r, c, round((s - mn - mx) / (n - 2), 6) AS oly
+         |FROM agg WHERE n - 2 > 0""".stripMargin,
+
+    "geo_conv_gaussian" -> {
+      val kernel = operators.Focal.gaussianKernel(0.75)
+      val radius = kernel.map(k => math.max(math.abs(k._1),
+        math.abs(k._2))).max
+      val values = kernel.map { case (dy, dx, w) =>
+        s"($dy, $dx, CAST(${w.toString} AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH g AS ($GRID),
+         |${focalConSql(radius, reflect = true)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w))
+         |SELECT con.r, con.c,
+         |  round(sum(k.w * con.nv) / sum(k.w), 6) AS cv
+         |FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |GROUP BY con.r, con.c""".stripMargin
+    },
+
+    "geo_conv_laplacian" -> {
+      val values = operators.Focal.laplacian3x3.map { case (dy, dx, w) =>
+        s"($dy, $dx, CAST(${w.toString} AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = true)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w))
+         |SELECT con.r, con.c,
+         |  round(sum(k.w * con.nv) + first(con.cz) * (CAST(0.0 AS DOUBLE) - sum(k.w)), 6) AS cv
+         |FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |GROUP BY con.r, con.c""".stripMargin
+    },
+
+    "geo_conv_sobel" -> {
+      val kx = operators.Focal.sobelX3x3
+      val ky = operators.Focal.sobelY3x3
+      val values = kx.indices.map { i =>
+        s"(${kx(i)._1}, ${kx(i)._2}, CAST(${kx(i)._3} AS DOUBLE), CAST(${ky(i)._3} AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = true)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, wx, wy)),
+         |agg AS (SELECT con.r, con.c, first(con.cz) AS cz,
+         |  sum(k.wx * con.nv) AS sx, sum(k.wx) AS wxp,
+         |  sum(k.wy * con.nv) AS sy, sum(k.wy) AS wyp
+         |  FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |  GROUP BY con.r, con.c)
+         |SELECT r, c, round(sqrt((sx - cz * wxp) * (sx - cz * wxp)
+         |  + (sy - cz * wyp) * (sy - cz * wyp)), 6) AS edge
+         |FROM agg""".stripMargin
+    },
+
+    "geo_aspect" ->
+      s"""WITH g AS ($GRID),
+         |$stencilReflectSql,
+         |f AS (SELECT r, c, $FxSql AS fx, $FySql AS fy FROM nb)
+         |SELECT r, c, round($AspectSql, 6) AS aspect FROM f""".stripMargin,
+
+    "geo_hillshade" -> {
+      val azimuth = (315.0 - 90.0) * math.Pi / 180.0
+      val sinTheta = math.sin(45.0 * math.Pi / 180.0)
+      val cosTheta = math.cos(45.0 * math.Pi / 180.0)
+      val degToRad = (math.Pi / 180.0).toString
+      s"""WITH g AS ($GRID),
+         |$stencilReflectSql,
+         |f AS (SELECT r, c, $FxSql AS fx, $FySql AS fy FROM nb),
+         |t AS (SELECT r, c, fx, fy,
+         |  sqrt(fx * fx + fy * fy) AS tanSlope,
+         |  ($AspectSql) * $degToRad AS aspectRad
+         |  FROM f)
+         |SELECT r, c, round(CASE WHEN fx <> 0 THEN
+         |  (tanSlope / sqrt(tanSlope * tanSlope + 1)) *
+         |    (${sinTheta.toString} / tanSlope -
+         |     ${cosTheta.toString} * sin(${azimuth.toString} - aspectRad))
+         |  ELSE 0.5 END, 6) AS shade
+         |FROM t""".stripMargin
+    },
+
+    "geo_tri" -> {
+      val dy = operators.Terrain.dY
+      val dx = operators.Terrain.dX
       val joins = (0 until 8).map(i =>
         s"LEFT JOIN g a$i ON a$i.r = g.r + ${dy(i)} AND a$i.c = g.c + ${dx(i)}")
         .mkString("\n")
-      val ns = (0 until 8).map(i =>
-        s"COALESCE(a$i.v, g.v) AS n$i").mkString(", ")
-      val fx = "(n2 - n4 + 2 * (n1 - n5) + n0 - n6) / 8.0"
-      val fy = "(n6 - n4 + 2 * (n7 - n3) + n0 - n2) / 8.0"
-      s"""WITH g AS ($GRID),
-         |nb AS (SELECT g.r, g.c, $ns FROM g
-         |$joins)
-         |SELECT r, c, round(atan(sqrt(($fx) * ($fx) + ($fy) * ($fy))), 6) AS slope_rad
-         |FROM nb""".stripMargin
+      val ss = (0 until 8).map(i =>
+        s"COALESCE((a$i.v - g.v) * (a$i.v - g.v), 0.0)").mkString(" + ")
+      val n = (0 until 8).map(i =>
+        s"CASE WHEN a$i.v IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH g AS ($GRID)
+         |SELECT g.r, g.c, round(sqrt(($ss) / ($n)), 6) AS tri
+         |FROM g
+         |$joins""".stripMargin
     },
+
+    "geo_plan_curv" ->
+      s"""WITH g AS ($GRID),
+         |$surfaceSql
+         |SELECT r, c, round((zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2)
+         |  / pow(p, 1.5) * $RadToDegLit * 100, 6) AS plan_curv
+         |FROM st2 WHERE p > 0""".stripMargin,
+
+    "geo_prof_curv" ->
+      s"""WITH g AS ($GRID),
+         |$surfaceSql
+         |SELECT r, c, round((zxx * zx2 + 2 * zxy * zx * zy + zyy * zy2)
+         |  / (p * pow(p + 1, 1.5)) * $RadToDegLit * 100, 6) AS prof_curv
+         |FROM st2 WHERE p > 0""".stripMargin,
+
+    "geo_total_curv" ->
+      s"""WITH g AS ($GRID),
+         |$surfaceSql
+         |SELECT r, c, round((zxx * zxx + 2 * zxy * zxy + zyy * zyy)
+         |  * $RadToDegLit * 100, 6) AS total_curv
+         |FROM st2""".stripMargin,
 
     "geo_idw" ->
       s"""WITH g AS ($GRID),
@@ -903,6 +1136,61 @@ object SparkEntry {
          |SELECT s_id, round(rr * rr, 4) AS carea
          |FROM (SELECT s_id, CAST(1.0 AS DOUBLE) + s_id % 3 AS rr FROM s)""".stripMargin
   )
+
+  /** Edge-reflection of index expression `e` into [0, n) — the SQL
+    * mirror of WhiteboxRaster.java:535-557 (single level). */
+  private def reflSql(e: String, n: Long): String =
+    s"CASE WHEN ($e) < 0 THEN -($e)-1 WHEN ($e) >= $n THEN ${2 * n}-($e)-1 ELSE ($e) END"
+
+  /** Focal-neighbourhood CTEs over `g` (mirrors Focal.contributions):
+    * con(r, c, dy, dx, cz, nv). */
+  private def focalConSql(radius: Int, reflect: Boolean): String = {
+    val sr = if (reflect) reflSql("t.r + o.dy", GridRows)
+             else "t.r + o.dy"
+    val sc = if (reflect) reflSql("t.c + o.dx", GridCols)
+             else "t.c + o.dx"
+    s"""offs AS (SELECT a.x AS dy, b.x AS dx
+       |  FROM range(-$radius, ${radius + 1}) a(x)
+       |  CROSS JOIN range(-$radius, ${radius + 1}) b(x)),
+       |con AS (SELECT t.r, t.c, o.dy, o.dx, t.v AS cz, s.v AS nv
+       |  FROM g t CROSS JOIN offs o
+       |  JOIN g s ON s.r = $sr AND s.c = $sc)""".stripMargin
+  }
+
+  /** Reflected 3x3 stencil CTE (mirrors Terrain.gatherNeighbors with
+    * reflect = true + NoData->centre substitution): nb(r, c, v,
+    * m0..m7) in the shared neighbour order. */
+  private lazy val stencilReflectSql: String = {
+    val dy = operators.Terrain.dY
+    val dx = operators.Terrain.dX
+    val joins = (0 until 8).map(i =>
+      s"LEFT JOIN g a$i ON a$i.r = ${reflSql(s"g.r + ${dy(i)}", GridRows)}" +
+        s" AND a$i.c = ${reflSql(s"g.c + ${dx(i)}", GridCols)}")
+      .mkString("\n")
+    val ms = (0 until 8).map(i => s"COALESCE(a$i.v, g.v) AS m$i")
+      .mkString(", ")
+    s"""nb AS (SELECT g.r, g.c, g.v, $ms FROM g
+       |$joins)""".stripMargin
+  }
+
+  private val FxSql = "(m2 - m4 + 2 * (m1 - m5) + m0 - m6) / 8.0"
+  private val FySql = "(m6 - m4 + 2 * (m7 - m3) + m0 - m2) / 8.0"
+  private val RadToDegLit = (180.0 / math.Pi).toString
+  private val AspectSql =
+    s"CASE WHEN fx <> 0 THEN 180.0 - atan(fy / fx) * $RadToDegLit + 90.0 * (fx / abs(fx)) ELSE -1.0 END"
+
+  /** Surface-derivative CTEs shared by the curvature oracles (mirrors
+    * Terrain.surfaceTerms). */
+  private lazy val surfaceSql: String =
+    s"""$stencilReflectSql,
+       |st AS (SELECT r, c, v,
+       |  (m1 - m5) / 2.0 AS zx, (m7 - m3) / 2.0 AS zy,
+       |  m1 - 2 * v + m5 AS zxx, m7 - 2 * v + m3 AS zyy,
+       |  (-m6 + m0 + m4 - m2) / 4.0 AS zxy
+       |  FROM nb),
+       |st2 AS (SELECT r, c, v, zx, zy, zxx, zyy, zxy,
+       |  zx * zx AS zx2, zy * zy AS zy2, zx * zx + zy * zy AS p
+       |  FROM st)""".stripMargin
 
   /** Shared D8 pointer pipeline in SQL (mirrors Terrain.d8Pointer). */
   private lazy val d8SqlCtes: String = {

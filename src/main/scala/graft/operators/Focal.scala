@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Generic focal (neighbourhood) engine over the cell-relational grid
+ * (r: Long, c: Long, v: Double) — one scatter/gather primitive that
+ * covers the reference's entire statistical-filter + convolution
+ * family (ImageProcessingTools Filter*.java, ~30 tools; SURVEY.md
+ * §2.5).
+ *
+ * Edge semantics follow the reference exactly:
+ *  - `reflect = true`: out-of-grid reads mirror at the edge
+ *    (row -1 -> 0, row n -> n-1; WhiteboxAPI .../WhiteboxRaster.java:
+ *    535-557) — a single reflection level; further off-grid is NoData.
+ *  - `reflect = false`: out-of-grid reads are NoData and skipped
+ *    (`if (z != noData)` guard pattern).
+ *
+ * Scale design: ONE shuffle per focal op. Reflection is realized by
+ * padding the grid with ghost copies of edge cells at their virtual
+ * (out-of-grid) mirror coordinates — O(edge * radius) extra rows —
+ * then each (real or ghost) cell scatters its value to the in-grid
+ * targets whose kernel window covers it, and a single groupBy(target)
+ * aggregates. No join against the grid is needed: a target exists iff
+ * it received its own offset-(0,0) contribution (ghosts never emit
+ * offset 0 because their virtual coordinates are off-grid).
+ */
+object Focal {
+
+  /**
+   * Contribution relation (r, c, dy, dx, nv): for every in-grid
+   * target cell (r, c), the value `nv` the reference's
+   * `getValue(r + dy, c + dx)` would return for each kernel offset,
+   * restricted to reads that resolve (in-grid, or mirrored when
+   * `reflect`). Missing rows == NoData reads.
+   */
+  def contributions(grid: DataFrame, radius: Int, reflect: Boolean,
+                    nRows: Long, nCols: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val offs = (-radius to radius)
+      .flatMap(dy => (-radius to radius).map(dx => (dy, dx)))
+      .toDF("dy", "dx")
+    // ghost copies at virtual mirror coordinates (edge reflection)
+    val virt =
+      if (!reflect) grid.select(col("r").as("vr"), col("c").as("vc"),
+        col("v"))
+      else grid
+        .withColumn("vrs", array_compact(array(col("r"),
+          when(col("r") < radius, -col("r") - 1),
+          when(col("r") >= nRows - radius, lit(2 * nRows) - col("r") - 1))))
+        .withColumn("vcs", array_compact(array(col("c"),
+          when(col("c") < radius, -col("c") - 1),
+          when(col("c") >= nCols - radius, lit(2 * nCols) - col("c") - 1))))
+        .select(explode(col("vrs")).as("vr"), col("vcs"), col("v"))
+        .select(col("vr"), explode(col("vcs")).as("vc"), col("v"))
+    virt.crossJoin(broadcast(offs))
+      .select((col("vr") - col("dy")).as("r"),
+        (col("vc") - col("dx")).as("c"),
+        col("dy"), col("dx"), col("v").as("nv"))
+      .where(col("r") >= 0 && col("r") < nRows &&
+        col("c") >= 0 && col("c") < nCols)
+  }
+
+  /** Center value column (null for targets whose own cell is NoData —
+    * those rows are dropped, matching the reference's outer guard). */
+  private val centerZ = max(when(col("dy") === 0 && col("dx") === 0,
+    col("nv"))).as("z")
+
+  private def stats(grid: DataFrame, radius: Int, reflect: Boolean,
+                    nRows: Long, nCols: Long)(aggs: Column*): DataFrame =
+    contributions(grid, radius, reflect, nRows, nCols)
+      .groupBy("r", "c")
+      .agg(centerZ, aggs: _*)
+      .where(col("z").isNotNull)
+
+  /** FilterMean (FilterMean.java:272-284): mean of resolved reads. */
+  def filterMean(grid: DataFrame, radius: Int, reflect: Boolean,
+                 nRows: Long, nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      round(sum(col("nv")) / count(lit(1)), 6).as("fm"))
+      .select("r", "c", "fm")
+
+  /** FilterMedian (FilterMedian.java:283-291): sorted middle value;
+    * even-sized windows average the two middle values. */
+  def filterMedian(grid: DataFrame, radius: Int, reflect: Boolean,
+                   nRows: Long, nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      sort_array(collect_list(col("nv"))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .withColumn("med",
+        when(col("n") % 2 === 1,
+          element_at(col("arr"), ((col("n") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("arr"), (col("n") / 2).cast("int")) +
+            element_at(col("arr"), (col("n") / 2 + 1).cast("int"))) / 2.0))
+      .select("r", "c", "med")
+
+  /** FilterMinimum / FilterMaximum / FilterRange / FilterTotal in one
+    * pass (each is its own reference tool; identical gather). */
+  def filterMinMaxRangeTotal(grid: DataFrame, radius: Int,
+                             reflect: Boolean, nRows: Long,
+                             nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      min(col("nv")).as("vmin"),
+      max(col("nv")).as("vmax"),
+      (max(col("nv")) - min(col("nv"))).as("vrange"),
+      round(sum(col("nv")), 6).as("vtotal"),
+      count(lit(1)).as("n"))
+      .select("r", "c", "vmin", "vmax", "vrange", "vtotal", "n")
+
+  /** FilterStandardDeviation (FilterStandardDeviation.java:288-294):
+    * population-style (sumsq - sum^2/n)/n, sqrt only when positive,
+    * NoData below n = 3 — reproduced verbatim for byte parity. */
+  def filterStdDev(grid: DataFrame, radius: Int, reflect: Boolean,
+                   nRows: Long, nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      sum(col("nv")).as("s"),
+      sum(col("nv") * col("nv")).as("ss"),
+      count(lit(1)).as("n"))
+      .where(col("n") > 2)
+      .withColumn("var0",
+        (col("ss") - col("s") * col("s") / col("n")) / col("n"))
+      .select(col("r"), col("c"),
+        round(when(col("var0") > 0, sqrt(col("var0")))
+          .otherwise(col("var0")), 6).as("sd"))
+
+  /** FilterMajority (FilterMajority.java:286-302): modal value; the
+    * run-length scan over the SORTED window keeps the first maximal
+    * run, so ties break to the smallest value. */
+  def filterMajority(grid: DataFrame, radius: Int, reflect: Boolean,
+                     nRows: Long, nCols: Long): DataFrame =
+    contributions(grid, radius, reflect, nRows, nCols)
+      .groupBy("r", "c", "nv")
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("dy") === 0 && col("dx") === 0, lit(1))).as("ctr"))
+      .groupBy("r", "c")
+      .agg(min_by(col("nv"), struct((-col("cnt")).as("nc"), col("nv")))
+        .as("mode"),
+        max(col("ctr")).as("ctr"))
+      .where(col("ctr") === 1)
+      .select("r", "c", "mode")
+
+  /** FilterDiversity: count of distinct values in the window. */
+  def filterDiversity(grid: DataFrame, radius: Int, reflect: Boolean,
+                      nRows: Long, nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      count_distinct(col("nv")).as("ndist"))
+      .select("r", "c", "ndist")
+
+  /** FilterPercentile (FilterPercentile.java:287-296): percentile
+    * rank of the centre cell = (# window values strictly below it)
+    * / n * 100 (the first-index-in-sorted-order formulation). The
+    * centre value joins in from the grid so the below-count is
+    * computable pre-aggregation. */
+  def filterPercentile(grid: DataFrame, radius: Int, reflect: Boolean,
+                       nRows: Long, nCols: Long): DataFrame =
+    contributions(grid, radius, reflect, nRows, nCols)
+      .join(grid, Seq("r", "c"), "inner")
+      .groupBy("r", "c")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("nv") < col("v"), 1L)), lit(0L)).as("below"))
+      .select(col("r"), col("c"),
+        round(col("below").cast("double") / col("n") * 100, 6).as("pctl"))
+
+  /** FilterOlympic (FilterOlympic.java:275-291): mean after dropping
+    * one minimum and one maximum instance; NoData when n <= 2. */
+  def filterOlympic(grid: DataFrame, radius: Int, reflect: Boolean,
+                    nRows: Long, nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      sum(col("nv")).as("s"),
+      min(col("nv")).as("mn"),
+      max(col("nv")).as("mx"),
+      count(lit(1)).as("n"))
+      .where(col("n") - 2 > 0)
+      .select(col("r"), col("c"),
+        round((col("s") - col("mn") - col("mx")) / (col("n") - 2), 6)
+          .as("oly"))
+
+  // ---- convolutions -------------------------------------------------
+
+  /** A kernel is (dy, dx, weight) triples. */
+  type Kernel = Seq[(Int, Int, Double)]
+
+  /** Symmetric Gaussian kernel; filter half-size from the reference's
+    * weight <= 0.001 cutoff (FilterGaussian.java:221-235). The
+    * reference then centres the window one cell off (midPoint =
+    * floor(size/2) + 1, :243) — an off-centre quirk we do NOT
+    * reproduce; our kernel is centred. */
+  def gaussianKernel(sigma: Double): Kernel = {
+    val recip = 1.0 / (math.sqrt(2 * math.Pi) * sigma)
+    val twoSigmaSq = 2 * sigma * sigma
+    val half = (0 to 250).find(i =>
+      recip * math.exp(-(i.toDouble * i) / twoSigmaSq) <= 0.001)
+      .map(i => math.max(1, i)).getOrElse(250)
+    for (dy <- -half to half; dx <- -half to half)
+      yield (dy, dx,
+        recip * math.exp(-(dx.toDouble * dx + dy.toDouble * dy) / twoSigmaSq))
+  }
+
+  /** FilterLaplacian 3x3 kernel (FilterLaplacian.java:196-198). */
+  val laplacian3x3: Kernel = Seq(
+    (-1, -1, 0.0), (-1, 0, -1.0), (-1, 1, 0.0),
+    (0, -1, -1.0), (0, 0, 4.0), (0, 1, -1.0),
+    (1, -1, 0.0), (1, 0, -1.0), (1, 1, 0.0))
+
+  /** Sobel 3x3 masks in the shared neighbour order
+    * (FilterSobel.java:210-213). */
+  val sobelX3x3: Kernel = {
+    val dX = Seq(1, 1, 1, 0, -1, -1, -1, 0)
+    val dY = Seq(-1, 0, 1, 1, 1, 0, -1, -1)
+    val mX = Seq(1.0, 2, 1, 0, -1, -2, -1, 0)
+    (0 until 8).map(i => (dY(i), dX(i), mX(i)))
+  }
+  val sobelY3x3: Kernel = {
+    val dX = Seq(1, 1, 1, 0, -1, -1, -1, 0)
+    val dY = Seq(-1, 0, 1, 1, 1, 0, -1, -1)
+    val mY = Seq(1.0, 0, -1, -2, -1, 0, 1, 2)
+    (0 until 8).map(i => (dY(i), dX(i), mY(i)))
+  }
+
+  /** Prewitt 3x3 masks (FilterPrewitt.java, same structure as Sobel
+    * with unit weights). */
+  val prewittX3x3: Kernel =
+    sobelX3x3.map { case (dy, dx, w) => (dy, dx, math.signum(w)) }
+  val prewittY3x3: Kernel =
+    sobelY3x3.map { case (dy, dx, w) => (dy, dx, math.signum(w)) }
+
+  private def kernelDf(grid: DataFrame, kernel: Kernel): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    kernel.toDF("dy", "dx", "w")
+  }
+
+  /**
+   * Weighted-sum convolution, skip-and-renormalize NoData semantics
+   * (FilterGaussian.java:262-275: missing reads contribute nothing
+   * and the weight sum shrinks): out = sum(w * nv) / sum(w).
+   */
+  def convolveRenormalized(grid: DataFrame, kernel: Kernel,
+                           reflect: Boolean, nRows: Long,
+                           nCols: Long): DataFrame = {
+    val radius = kernel.map(k => math.max(math.abs(k._1),
+      math.abs(k._2))).max
+    contributions(grid, radius, reflect, nRows, nCols)
+      .join(broadcast(kernelDf(grid, kernel)), Seq("dy", "dx"))
+      .groupBy("r", "c")
+      .agg(sum(col("w") * col("nv")).as("sw"),
+        sum(col("w")).as("wsum"))
+      .join(grid.select(col("r"), col("c")), Seq("r", "c"), "inner")
+      .select(col("r"), col("c"),
+        round(col("sw") / col("wsum"), 6).as("cv"))
+  }
+
+  /**
+   * Weighted-sum convolution, substitute-centre NoData semantics
+   * (FilterLaplacian.java:235-241, FilterSobel.java:229-237: missing
+   * reads take the centre value): out = sum_present(w * nv)
+   * + z * (Wtot - sum_present(w)).
+   */
+  def convolveSubstitute(grid: DataFrame, kernel: Kernel,
+                         reflect: Boolean, nRows: Long,
+                         nCols: Long): DataFrame = {
+    val radius = kernel.map(k => math.max(math.abs(k._1),
+      math.abs(k._2))).max
+    val wTot = kernel.map(_._3).sum
+    contributions(grid, radius, reflect, nRows, nCols)
+      .join(broadcast(kernelDf(grid, kernel)), Seq("dy", "dx"))
+      .groupBy("r", "c")
+      .agg(sum(col("w") * col("nv")).as("sw"),
+        sum(col("w")).as("wp"))
+      .join(grid, Seq("r", "c"), "inner") // centre value + existence
+      .select(col("r"), col("c"),
+        round(col("sw") + col("v") * (lit(wTot) - col("wp")), 6).as("cv"))
+  }
+
+  /** FilterSobel (FilterSobel.java:226-241): sqrt(sx^2 + sy^2) of the
+    * two mask convolutions (substitute-centre semantics). */
+  def filterSobel(grid: DataFrame, reflect: Boolean, nRows: Long,
+                  nCols: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val k = (0 until 8).map { i =>
+      (sobelX3x3(i)._1, sobelX3x3(i)._2, sobelX3x3(i)._3, sobelY3x3(i)._3)
+    }.toDF("dy", "dx", "wx", "wy")
+    contributions(grid, 1, reflect, nRows, nCols)
+      .join(broadcast(k), Seq("dy", "dx"), "inner")
+      .groupBy("r", "c")
+      .agg(sum(col("wx") * col("nv")).as("sx"),
+        sum(col("wx")).as("wxp"),
+        sum(col("wy") * col("nv")).as("sy"),
+        sum(col("wy")).as("wyp"))
+      .join(grid, Seq("r", "c"), "inner") // centre z + existence
+      .select(col("r"), col("c"),
+        round(sqrt(
+          (col("sx") - col("v") * col("wxp")) *
+            (col("sx") - col("v") * col("wxp")) +
+          (col("sy") - col("v") * col("wyp")) *
+            (col("sy") - col("v") * col("wyp"))), 6).as("edge"))
+  }
+}

@@ -57,48 +57,32 @@ object Raster {
    * aggregate keeps only targets that exist in the grid (matching the
    * reference: out-of-grid reads return NoData and are skipped).
    */
-  def focalMean(grid: DataFrame, radius: Int = 1): DataFrame = {
-    val offsets = (-radius to radius).flatMap(dr =>
-      (-radius to radius).map(dc => (dr, dc)))
-    val spark = grid.sparkSession
-    import spark.implicits._
-    val off = offsets.toDF("dr", "dc")
-    val contrib = grid.crossJoin(broadcast(off))
-      .select((col("r") + col("dr")).as("r"), (col("c") + col("dc")).as("c"),
-        col("v"))
-    val agg = contrib.groupBy("r", "c")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-    grid.select(col("r"), col("c"))
-      .join(agg, Seq("r", "c"), "inner")
-      .select(col("r"), col("c"), round(col("s") / col("cnt"), 6).as("fm"))
-  }
+  def focalMean(grid: DataFrame, radius: Int = 1): DataFrame =
+    // delegates to the generic focal engine (no reflection = the
+    // skip-NoData semantics this operator always had); requires
+    // non-negative cell coordinates
+    Focal.filterMean(grid, radius, reflect = false,
+      Long.MaxValue / 4, Long.MaxValue / 4)
 
   /**
    * Slope (TerrainAnalysisTools/Slope.java:218-258): Horn's finite
-   * differences on the 8-neighbourhood; out-of-grid neighbours take
-   * the centre value (the reference's NoData-substitution at :250).
-   * Emitted in radians (atan of rise/run), gridRes = 1.
+   * differences on the 8-neighbourhood; edges reflected like the
+   * reference (Slope.java:223 isReflectedAtEdges = true), unresolved
+   * reads take the centre value (NoData-substitution at :250).
+   * Emitted in radians (atan of rise/run), gridRes = 1. One-shuffle
+   * stencil via the shared scatter gather.
    */
-  def hornSlope(grid: DataFrame): DataFrame = {
-    // neighbour index i -> (Dy, Dx) per Slope.java:218-219
-    val dy = Seq(-1, 0, 1, 1, 1, 0, -1, -1)
-    val dx = Seq(1, 1, 1, 0, -1, -1, -1, 0)
-    var df = grid
-    for (i <- 0 until 8) {
-      val n = grid.select(col("r").as(s"nr$i"), col("c").as(s"nc$i"),
-        col("v").as(s"nv$i"))
-      df = df.join(n,
-        df("r") + dy(i) === n(s"nr$i") && df("c") + dx(i) === n(s"nc$i"),
-        "left")
-        .withColumn(s"n$i", coalesce(col(s"nv$i"), col("v")))
-        .drop(s"nr$i", s"nc$i", s"nv$i")
+  def hornSlope(grid: DataFrame, nRows: Long, nCols: Long): DataFrame = {
+    val df = Terrain.gatherNeighbors(grid, reflect = true, nRows, nCols)
+    val withN = (0 until 8).foldLeft(df) { (d, i) =>
+      d.withColumn(s"m$i", coalesce(col(s"n$i"), col("v")))
     }
-    df.select(col("r"), col("c"),
+    withN.select(col("r"), col("c"),
       round(expr(
-        "atan(sqrt(((n2 - n4 + 2 * (n1 - n5) + n0 - n6) / 8.0) * " +
-          "((n2 - n4 + 2 * (n1 - n5) + n0 - n6) / 8.0) + " +
-          "((n6 - n4 + 2 * (n7 - n3) + n0 - n2) / 8.0) * " +
-          "((n6 - n4 + 2 * (n7 - n3) + n0 - n2) / 8.0)))"), 6)
+        "atan(sqrt(((m2 - m4 + 2 * (m1 - m5) + m0 - m6) / 8.0) * " +
+          "((m2 - m4 + 2 * (m1 - m5) + m0 - m6) / 8.0) + " +
+          "((m6 - m4 + 2 * (m7 - m3) + m0 - m2) / 8.0) * " +
+          "((m6 - m4 + 2 * (m7 - m3) + m0 - m2) / 8.0)))"), 6)
         .as("slope_rad"))
   }
 
