@@ -15,10 +15,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Queries excluded from the benchmark loop: all-pairs shapes that
-    * exist for oracle verification, not as the scale path (the scale
-    * path for near-dup is dedup_minhash; for components the per-round
-    * cost dominates at tiny scale). */
-  private val excluded = Set("dedup_jaccard", "geo_clump", "geo_flow_accum")
+    * exist for oracle verification only (the scale path for near-dup
+    * is dedup_minhash). Clump and flow accumulation are back in the
+    * loop since their tiled rewrites. */
+  private val excluded = Set("dedup_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -199,35 +199,98 @@ object Raster {
 
   /**
    * Clump (WhiteboxAPI/algorithms/Clump.java:92-210): connected-
-   * component labelling of a masked grid (8-connectivity), via
-   * iterative min-label propagation over the adjacency self-join —
-   * the distributed equivalent of the reference's flood fill +
-   * equivalence merging loop. Label = min linearised cell id in the
-   * component. Converges in O(diameter) rounds; each round is
-   * materialised (localCheckpoint) to bound lineage.
+   * component labelling of a masked grid (8-connectivity). Label =
+   * min linearised cell id (r * width + c) in the component.
+   *
+   * Scale design — per-tile CCL + label-graph merge (the SURVEY §2.10
+   * prescription): union-find runs SEQUENTIALLY inside each tile
+   * (one `flatMapGroups` pass over `tileSize`^2 cells), then only the
+   * cross-tile label adjacency graph — boundary labels, orders of
+   * magnitude smaller than the cell grid — iterates hash-min with
+   * pointer jumping. Rounds scale with log of the component diameter
+   * IN TILES, not its cell diameter: the previous per-cell min-label
+   * propagation needed O(cell diameter) full-grid shuffles.
    */
-  def clump(mask: DataFrame, width: Long): DataFrame = {
+  def clump(mask: DataFrame, width: Long, tileSize: Int = 16): DataFrame = {
     val spark = mask.sparkSession
     import spark.implicits._
-    // scatter labels to the 9 neighbour positions -> equi-join shuffle
-    // on (r, c), never a theta join (scales to arbitrary grids)
+    val T = tileSize.toLong
+    val cells = mask.select(col("r"), col("c")).as[(Long, Long)]
+      .localCheckpoint(true)
+    // 1. sequential CCL inside each tile
+    val labeled = cells
+      .groupByKey(t => (Math.floorDiv(t._1, T), Math.floorDiv(t._2, T)))
+      .flatMapGroups { (_, it) => localCcl(it.toSeq, width) }
+      .toDF("r", "c", "lbl")
+      .localCheckpoint(true)
+    // 2. cross-tile label adjacency: only boundary cells probe their
+    //    8 neighbours; same-tile neighbours already share a label
     val off = (-1 to 1).flatMap(dr => (-1 to 1).map(dc => (dr, dc)))
-      .toDF("dr", "dc")
-    var labels = mask.select(col("r"), col("c"),
-      (col("r") * width + col("c")).as("lbl")).localCheckpoint(true)
-    var changed = true
+      .filterNot(o => o._1 == 0 && o._2 == 0).toDF("dr", "dc")
+    val boundary = labeled.where(
+      pmod(col("r"), lit(T)) === 0 || pmod(col("r"), lit(T)) === T - 1 ||
+      pmod(col("c"), lit(T)) === 0 || pmod(col("c"), lit(T)) === T - 1)
+    val probes = boundary.crossJoin(broadcast(off))
+      .select((col("r") + col("dr")).as("r"),
+        (col("c") + col("dc")).as("c"), col("lbl").as("la"))
+    val edges0 = probes.join(labeled, Seq("r", "c"))
+      .select(col("la"), col("lbl").as("lb"))
+      .where(col("la") =!= col("lb")).distinct()
+    val edges = edges0.unionByName(
+        edges0.select(col("lb").as("la"), col("la").as("lb")))
+      .localCheckpoint(true)
+    // 3. hash-min + pointer jumping on the label graph
+    var m = labeled.select(col("lbl")).distinct()
+      .select(col("lbl"), col("lbl").as("root")).localCheckpoint(true)
+    var changed = edges.limit(1).count() > 0
     while (changed) {
-      val scattered = labels.crossJoin(broadcast(off))
-        .select((col("r") + col("dr")).as("r"),
-          (col("c") + col("dc")).as("c"), col("lbl"))
-      val nbMin = scattered.groupBy("r", "c")
-        .agg(min(col("lbl")).as("nbl"))
-      val next = labels.join(nbMin, Seq("r", "c"), "inner")
-      val improved = next.where(col("nbl") < col("lbl")).count()
-      labels = next.select(col("r"), col("c"),
-        least(col("lbl"), col("nbl")).as("lbl")).localCheckpoint(true)
-      changed = improved > 0
+      val viaNbr = edges
+        .join(m.select(col("lbl").as("lb"), col("root").as("rb")),
+          Seq("lb"))
+        .groupBy(col("la").as("lbl")).agg(min(col("rb")).as("nm"))
+      val step = m.join(viaNbr, Seq("lbl"), "left")
+        .select(col("lbl"),
+          least(col("root"), coalesce(col("nm"), col("root"))).as("root"))
+      val jump = step
+        .join(step.select(col("lbl").as("r2"), col("root").as("rr")),
+          col("root") === col("r2"), "left")
+        .select(col("lbl"), coalesce(col("rr"), col("root")).as("root"))
+        .localCheckpoint(true)
+      changed = jump
+        .join(m.withColumnRenamed("root", "old"), Seq("lbl"))
+        .where(col("root") =!= col("old")).limit(1).count() > 0
+      m = jump
     }
-    labels.withColumnRenamed("lbl", "comp_id")
+    // 4. relabel cells through the resolved roots
+    labeled.join(m, Seq("lbl"))
+      .select(col("r"), col("c"), col("root").as("comp_id"))
+  }
+
+  /** Union-find CCL over one tile's cells (8-connectivity), labels =
+    * min global cell id per local component. */
+  private def localCcl(cells: Seq[(Long, Long)],
+                       width: Long): Iterator[(Long, Long, Long)] = {
+    val ids = cells.map { case (r, c) => (r, c) -> (r * width + c) }.toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var cur = x
+      while (parent(cur) != r) { val nxt = parent(cur); parent(cur) = r; cur = nxt }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    ids.values.foreach(id => parent(id) = id)
+    cells.foreach { case (r, c) =>
+      val id = ids((r, c))
+      for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0))
+        ids.get((r + dr, c + dc)).foreach(nid => union(id, nid))
+    }
+    cells.iterator.map { case (r, c) =>
+      (r, c, find(ids((r, c))))
+    }
   }
 }

@@ -3,6 +3,84 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One D8 cell with its decoded downstream target (self when sink). */
+case class FlowCell(r: Long, c: Long, tr: Long, tc: Long, sink: Boolean)
+
+/** Tile-pass output: an accumulation increment for cell (r, c) when
+  * `packet` is false, else a count packet arriving at cell (r, c) of
+  * another tile. */
+case class FlowOut(r: Long, c: Long, w: Long, packet: Boolean)
+
+/** Sequential per-tile kernels for the tiled flow accumulation —
+  * the reference's recursive accumulation (FlowAccumD8.java:330-375)
+  * run inside one tile, with cross-tile flow exported as packets. */
+object FlowTiles {
+
+  private def index(cells: Seq[FlowCell])
+      : scala.collection.Map[(Long, Long), FlowCell] =
+    cells.iterator.map(f => (f.r, f.c) -> f).toMap
+
+  private def inTile(r: Long, c: Long, tile: (Long, Long),
+                     t: Long): Boolean =
+    Math.floorDiv(r, t) == tile._1 && Math.floorDiv(c, t) == tile._2
+
+  /** Topological accumulation of unit loads within one tile. */
+  def localAccumulate(tile: (Long, Long), cells: Seq[FlowCell],
+                      ignored: Seq[FlowOut], t: Long): Iterator[FlowOut] = {
+    val m = index(cells)
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    val inDeg = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      .withDefaultValue(0)
+    cells.foreach { f =>
+      if (!f.sink && inTile(f.tr, f.tc, tile, t))
+        inDeg((f.tr, f.tc)) += 1
+    }
+    val queue = scala.collection.mutable.Queue[FlowCell](
+      cells.filter(f => inDeg((f.r, f.c)) == 0): _*)
+    val out = scala.collection.mutable.ArrayBuffer[FlowOut]()
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      val a = acc((u.r, u.c)) + 1L
+      out += FlowOut(u.r, u.c, a, packet = false)
+      if (!u.sink) {
+        if (inTile(u.tr, u.tc, tile, t)) {
+          acc((u.tr, u.tc)) += a
+          inDeg((u.tr, u.tc)) -= 1
+          if (inDeg((u.tr, u.tc)) == 0) m.get((u.tr, u.tc))
+            .foreach(queue.enqueue(_))
+        } else out += FlowOut(u.tr, u.tc, a, packet = true)
+      }
+    }
+    out.iterator
+  }
+
+  /** Walk arriving packets through the tile in one pass, adding their
+    * weight to every cell on the within-tile path segment. */
+  def localWalk(tile: (Long, Long), cells: Seq[FlowCell],
+                packets: Seq[FlowOut], t: Long): Iterator[FlowOut] = {
+    val m = index(cells)
+    val out = scala.collection.mutable.ArrayBuffer[FlowOut]()
+    packets.foreach { p =>
+      var cur = m.get((p.r, p.c))
+      var continue = cur.isDefined
+      while (continue) {
+        val u = cur.get
+        out += FlowOut(u.r, u.c, p.w, packet = false)
+        if (u.sink) continue = false
+        else if (inTile(u.tr, u.tc, tile, t)) {
+          cur = m.get((u.tr, u.tc))
+          continue = cur.isDefined
+        } else {
+          out += FlowOut(u.tr, u.tc, p.w, packet = true)
+          continue = false
+        }
+      }
+    }
+    out.iterator
+  }
+}
+
 /**
  * Terrain-flow operators over the cell-relational grid (r, c, v) —
  * the reference's iterative pointer-DAG family (SURVEY.md §2.10).
@@ -187,46 +265,69 @@ object Terrain {
   /**
    * FlowAccumD8 (HydroTools/FlowAccumD8.java:291-375): number of
    * cells draining through each cell (itself included), accumulated
-   * along the D8 pointer DAG. Distributed as iterative frontier
-   * propagation: each round pushes every cell's count one step
-   * downstream until the frontier drains — O(longest flowpath)
-   * rounds, each a hash equi-join on the target cell, materialised
-   * per round (localCheckpoint) to bound lineage.
+   * along the D8 pointer DAG.
+   *
+   * Scale design — tile-local topological accumulation + boundary
+   * packet exchange: the grid is tiled (`tileSize`^2 cells); one
+   * `cogroup` pass runs the reference's recursive accumulation
+   * SEQUENTIALLY inside each tile (cheap, in-memory) and emits a
+   * "packet" wherever a flowpath crosses a tile edge; subsequent
+   * rounds inject arriving packets and walk them through the tile in
+   * one hop. Rounds scale with TILE crossings of the longest
+   * flowpath, not its cell length — a 10^4-cell mainstem needs
+   * ~10^4/tileSize rounds instead of 10^4, and every round touches
+   * only boundary packets. Per-cell increments are unioned and summed
+   * once at the end.
    */
-  def flowAccumD8(grid: DataFrame): DataFrame = {
+  def flowAccumD8(grid: DataFrame, tileSize: Int = 16): DataFrame = {
     val spark = grid.sparkSession
+    import spark.implicits._
     val ptr = d8Pointer(grid)
-    // decode pointer to the downstream cell coordinates
     val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
       when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
     }
     val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
       when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
     }
-    val edges = ptr.where(col("ptr") > 0)
-      .select(col("r"), col("c"),
-        (col("r") + dyExpr).as("tr"), (col("c") + dxExpr).as("tc"))
+    val cells = ptr.select(col("r"), col("c"),
+        (col("r") + dyExpr).as("tr"), (col("c") + dxExpr).as("tc"),
+        (col("ptr") === 0).as("sink"))
+      .as[(Long, Long, Long, Long, Boolean)]
+      .map { case (r, c, tr, tc, sink) => FlowCell(r, c, tr, tc, sink) }
       .localCheckpoint(true)
 
-    // frontier: per-cell count packets flowing downstream
-    var acc = grid.select(col("r"), col("c"), lit(1L).as("cnt"))
-      .localCheckpoint(true)
-    var frontier = acc
-    var done = false
-    while (!done) {
-      val pushed = frontier.join(edges, Seq("r", "c"), "inner")
-        .groupBy(col("tr").as("r"), col("tc").as("c"))
-        .agg(sum(col("cnt")).as("cnt"))
+    val T = tileSize.toLong
+    def tileOf(r: Long, c: Long): (Long, Long) =
+      (Math.floorDiv(r, T), Math.floorDiv(c, T))
+    val byTile = cells.groupByKey(f => tileOf(f.r, f.c))
+
+    // round 0: every cell is a source (load 1)
+    var outputs = byTile.flatMapGroups { (tile, it) =>
+      FlowTiles.localAccumulate(tile, it.toSeq, Seq.empty, T)
+    }.localCheckpoint(true)
+    var increments = outputs.filter(!_.packet)
+    var packets = outputs.filter(_.packet)
+    var nPackets = packets.count()
+    while (nPackets > 0) {
+      // consolidate packets per destination cell before the walk
+      val consolidated = packets
+        .groupByKey(p => (p.r, p.c))
+        .mapGroups((k: (Long, Long), it: Iterator[FlowOut]) =>
+          FlowOut(k._1, k._2, it.map(_.w).sum, packet = true))
+      val next = byTile.cogroup(
+        consolidated.groupByKey(p => tileOf(p.r, p.c))) {
+          (tile, cellIt, pktIt) =>
+            FlowTiles.localWalk(tile, cellIt.toSeq, pktIt.toSeq, T)
+        }.localCheckpoint(true)
+      increments = increments.union(next.filter(!_.packet))
         .localCheckpoint(true)
-      done = pushed.isEmpty
-      if (!done) {
-        acc = acc.unionByName(pushed)
-          .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
-          .localCheckpoint(true)
-        frontier = pushed
-      }
+      packets = next.filter(_.packet)
+      nPackets = packets.count()
     }
-    acc.withColumnRenamed("cnt", "n_upslope")
+    increments.groupByKey(o => (o.r, o.c))
+      .mapGroups((k: (Long, Long), it: Iterator[FlowOut]) =>
+        (k._1, k._2, it.map(_.w).sum))
+      .toDF("r", "c", "n_upslope")
   }
 
   /**
