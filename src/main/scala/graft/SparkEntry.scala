@@ -449,6 +449,39 @@ object SparkEntry {
           col("sy")), 4).as("carea"))
     }),
 
+    // ---- overlay with geometry output (§2.3.1) ----
+
+    "geo_clip_geom" -> ((s, dir) =>
+      operators.VectorOverlay.clip(Derived.supplierSquares(s, dir),
+          Derived.rectZones(s), res = 4)
+        .select(col("fid").as("s_id"), round(col("area"), 4).as("carea"),
+          col("minx").as("ominx"), col("miny").as("ominy"),
+          col("maxx").as("omaxx"), col("maxy").as("omaxy"))),
+
+    "geo_intersect_pairs" -> ((s, dir) =>
+      operators.VectorOverlay.overlayPairs(Derived.supplierSquares(s, dir),
+          Derived.rectZones(s), res = 4, op = graft.core.Jts.OpIntersection)
+        .select(col("a_fid").as("s_id"), col("b_fid").as("zone_id"),
+          round(col("area"), 4).as("iarea"), col("ominx"), col("ominy"),
+          col("omaxx"), col("omaxy"))),
+
+    "geo_erase_geom" -> ((s, dir) =>
+      operators.VectorOverlay.erase(Derived.supplierSquares(s, dir),
+          Derived.rectZones(s), res = 4)
+        .select(col("fid").as("s_id"), round(col("area"), 4).as("darea"))),
+
+    "geo_symdiff_pairs" -> ((s, dir) =>
+      operators.VectorOverlay.overlayPairs(Derived.supplierSquares(s, dir),
+          Derived.rectZones(s), res = 4,
+          op = graft.core.Jts.OpSymDifference)
+        .select(col("a_fid").as("s_id"), col("b_fid").as("zone_id"),
+          round(col("area"), 4).as("sarea"))),
+
+    "geo_dissolve" -> ((s, dir) =>
+      operators.VectorOverlay.dissolve(Derived.latticeSquares(s, dir))
+        .select(col("fid"), round(col("area"), 4).as("parea"),
+          col("minx"), col("miny"), col("maxx"), col("maxy"))),
+
     // ---- webtext: geo-entity extraction + zone overlay ----
 
     "geo_extract" -> ((s, dir) => {
@@ -868,6 +901,66 @@ object SparkEntry {
          |m AS (SELECT t.doc_id, gaz.place, gaz.px AS x, gaz.py AS y
          |  FROM toks t JOIN ${Derived.gazetteerValuesSql} ON t.tok = gaz.place)$arms""".stripMargin
     },
+
+    "geo_clip_geom" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql}),
+         |inter AS (SELECT sq.fid AS s_id,
+         |  GREATEST(sq.min_x, z.min_x) AS ix0, GREATEST(sq.min_y, z.min_y) AS iy0,
+         |  LEAST(sq.max_x, z.max_x) AS ix1, LEAST(sq.max_y, z.max_y) AS iy1
+         |  FROM sq CROSS JOIN z
+         |  WHERE LEAST(sq.max_x, z.max_x) > GREATEST(sq.min_x, z.min_x)
+         |    AND LEAST(sq.max_y, z.max_y) > GREATEST(sq.min_y, z.min_y))
+         |SELECT s_id, round(sum((ix1 - ix0) * (iy1 - iy0)), 4) AS carea,
+         |  min(ix0) AS ominx, min(iy0) AS ominy,
+         |  max(ix1) AS omaxx, max(iy1) AS omaxy
+         |FROM inter GROUP BY s_id""".stripMargin,
+
+    "geo_intersect_pairs" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql})
+         |SELECT sq.fid AS s_id, z.fid AS zone_id,
+         |  round((LEAST(sq.max_x, z.max_x) - GREATEST(sq.min_x, z.min_x))
+         |    * (LEAST(sq.max_y, z.max_y) - GREATEST(sq.min_y, z.min_y)), 4) AS iarea,
+         |  GREATEST(sq.min_x, z.min_x) AS ominx,
+         |  GREATEST(sq.min_y, z.min_y) AS ominy,
+         |  LEAST(sq.max_x, z.max_x) AS omaxx,
+         |  LEAST(sq.max_y, z.max_y) AS omaxy
+         |FROM sq CROSS JOIN z
+         |WHERE LEAST(sq.max_x, z.max_x) > GREATEST(sq.min_x, z.min_x)
+         |  AND LEAST(sq.max_y, z.max_y) > GREATEST(sq.min_y, z.min_y)""".stripMargin,
+
+    "geo_erase_geom" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql}),
+         |cut AS (SELECT sq.fid AS s_id,
+         |  sum(GREATEST(0, LEAST(sq.max_x, z.max_x) - GREATEST(sq.min_x, z.min_x))
+         |    * GREATEST(0, LEAST(sq.max_y, z.max_y) - GREATEST(sq.min_y, z.min_y))) AS inter
+         |  FROM sq CROSS JOIN z GROUP BY sq.fid)
+         |SELECT sq.fid AS s_id,
+         |  round((sq.max_x - sq.min_x) * (sq.max_y - sq.min_y) - cut.inter, 4) AS darea
+         |FROM sq JOIN cut ON cut.s_id = sq.fid
+         |WHERE (sq.max_x - sq.min_x) * (sq.max_y - sq.min_y) - cut.inter > 0""".stripMargin,
+
+    "geo_symdiff_pairs" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql})
+         |SELECT sq.fid AS s_id, z.fid AS zone_id,
+         |  round((sq.max_x - sq.min_x) * (sq.max_y - sq.min_y)
+         |    + (z.max_x - z.min_x) * (z.max_y - z.min_y)
+         |    - 2 * (LEAST(sq.max_x, z.max_x) - GREATEST(sq.min_x, z.min_x))
+         |        * (LEAST(sq.max_y, z.max_y) - GREATEST(sq.min_y, z.min_y)), 4) AS sarea
+         |FROM sq CROSS JOIN z
+         |WHERE LEAST(sq.max_x, z.max_x) > GREATEST(sq.min_x, z.min_x)
+         |  AND LEAST(sq.max_y, z.max_y) > GREATEST(sq.min_y, z.min_y)""".stripMargin,
+
+    "geo_dissolve" ->
+      s"""WITH cellsq AS (${Derived.latticeSquaresSql}),
+         |ranked AS (SELECT x0, y0,
+         |  ROW_NUMBER() OVER (ORDER BY x0, y0) AS fid FROM cellsq)
+         |SELECT fid, CAST(16.0 AS DOUBLE) AS parea,
+         |  x0 AS minx, y0 AS miny, x0 + 4 AS maxx, y0 + 4 AS maxy
+         |FROM ranked""".stripMargin,
 
     "geo_buffer_select" ->
       s"""WITH pts AS ($PTS), spts AS ($SPTS)

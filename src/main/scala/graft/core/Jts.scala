@@ -1,7 +1,11 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
+import org.locationtech.jts.algorithm.Orientation
 import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory,
   LinearRing, Polygon}
+import org.locationtech.jts.operation.union.UnaryUnionOp
 
 /**
  * Thin JTS 1.20 bridge (jar ships in /opt/spark/jars). The reference
@@ -87,4 +91,87 @@ object Jts {
         val cs = other.getCoordinates
         (cs.map(_.x), cs.map(_.y), Array(0))
     }
+
+  /** All polygonal components of a geometry (drops lower-dimension
+    * pieces from collections, like the reference's polygon tools). */
+  def polygonsOf(g: Geometry): Seq[Polygon] =
+    (0 until g.getNumGeometries).map(g.getGeometryN).flatMap {
+      case p: Polygon if !p.isEmpty => Seq(p)
+      case sub if sub.getNumGeometries > 1 => polygonsOf(sub)
+      case _ => Seq.empty
+    }
+
+  /**
+   * Geometry (multi-polygon aware) -> shapefile-convention ring/part
+   * arrays: shells clockwise, holes counter-clockwise, each shell
+   * followed by its holes — the reference's partHoleData winding
+   * model (shapefile/Polygon.java:356-380; Topology.java:33-233).
+   */
+  def toPartsArrays(g: Geometry): (Array[Double], Array[Double], Array[Int]) = {
+    val xs = scala.collection.mutable.ArrayBuffer[Double]()
+    val ys = scala.collection.mutable.ArrayBuffer[Double]()
+    val parts = scala.collection.mutable.ArrayBuffer[Int]()
+    def addRing(r: LinearRing, clockwise: Boolean): Unit = {
+      val cs0 = r.getCoordinates.init // drop closing vertex
+      val ccw = Orientation.isCCW(r.getCoordinateSequence)
+      val cs = if (ccw == clockwise) cs0.reverse else cs0
+      parts += xs.length
+      cs.foreach { c => xs += c.x; ys += c.y }
+    }
+    polygonsOf(g).foreach { p =>
+      addRing(p.getExteriorRing, clockwise = true)
+      (0 until p.getNumInteriorRing).foreach(i =>
+        addRing(p.getInteriorRingN(i), clockwise = false))
+    }
+    (xs.toArray, ys.toArray, parts.toArray)
+  }
+
+  /**
+   * Ring/part arrays (shapefile winding) -> geometry: clockwise rings
+   * open shells, counter-clockwise rings are holes of the LAST shell
+   * (partHoleData assignment order).
+   */
+  def toGeometry(xs: Array[Double], ys: Array[Double],
+                 parts: Array[Int]): Geometry = {
+    val bounds = parts :+ xs.length
+    val rings = parts.indices.map(i => ring(xs, ys, bounds(i), bounds(i + 1)))
+    if (rings.isEmpty) return gf.createPolygon()
+    val shells = scala.collection.mutable.ArrayBuffer[
+      (LinearRing, scala.collection.mutable.ArrayBuffer[LinearRing])]()
+    rings.foreach { r =>
+      val isHole = Orientation.isCCW(r.getCoordinateSequence)
+      if (isHole && shells.nonEmpty) shells.last._2 += r
+      else shells += ((r, scala.collection.mutable.ArrayBuffer[LinearRing]()))
+    }
+    val polys = shells.map { case (sh, hs) =>
+      gf.createPolygon(sh, hs.toArray)
+    }
+    if (polys.length == 1) polys.head
+    else gf.createMultiPolygon(polys.toArray)
+  }
+
+  /** Overlay op codes shared with the Catalyst expression. */
+  val OpIntersection = 0
+  val OpUnion = 1
+  val OpDifference = 2
+  val OpSymDifference = 3
+
+  /**
+   * Binary overlay. JTS 1.20's default overlay is OverlayNGRobust,
+   * which already includes the snap-on-topology-failure fallback the
+   * reference wires by hand (Intersect.java:297-299 SnapOverlayOp).
+   */
+  def overlay(op: Int, a: Geometry, b: Geometry): Geometry = op match {
+    case OpIntersection => a.intersection(b)
+    case OpUnion => a.union(b)
+    case OpDifference => a.difference(b)
+    case OpSymDifference => a.symDifference(b)
+    case other => throw new IllegalArgumentException(s"op $other")
+  }
+
+  /** Dissolve: n-ary union (BufferVector's implicit dissolve /
+    * Union.java coverage union semantics). */
+  def unionAll(gs: Iterable[Geometry]): Geometry =
+    if (gs.isEmpty) gf.createPolygon()
+    else UnaryUnionOp.union(gs.toSeq.asJava)
 }

@@ -64,4 +64,28 @@ object GeoEval {
                        maxY: Double): Double =
     graft.core.Jts.clipAreaWithRect(xs.toDoubleArray(),
       ys.toDoubleArray(), parts.toIntArray(), minX, minY, maxX, maxY)
+
+  /**
+   * Binary overlay (op codes in Jts.Op*) of two ring/part geometries.
+   * Returns a struct row (xs, ys, parts, area, minx, miny, maxx,
+   * maxy) in shapefile winding, or null when the result has no
+   * polygonal component (the reference's tools skip empty results).
+   */
+  def overlayGeom(op: Int, xsA: ArrayData, ysA: ArrayData,
+                  partsA: ArrayData, xsB: ArrayData, ysB: ArrayData,
+                  partsB: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val a = graft.core.Jts.toGeometry(xsA.toDoubleArray(),
+      ysA.toDoubleArray(), partsA.toIntArray())
+    val b = graft.core.Jts.toGeometry(xsB.toDoubleArray(),
+      ysB.toDoubleArray(), partsB.toIntArray())
+    val out = graft.core.Jts.overlay(op, a, b)
+    if (out.isEmpty || out.getArea == 0.0) return null
+    val (xs, ys, parts) = graft.core.Jts.toPartsArrays(out)
+    val env = out.getEnvelopeInternal
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ArrayData.toArrayData(xs), ArrayData.toArrayData(ys),
+        ArrayData.toArrayData(parts), out.getArea,
+        env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
 }

@@ -276,6 +276,43 @@ case class ClipAreaRect(children: Seq[Expression]) extends Expression {
     copy(children = newChildren)
 }
 
+/** overlay_geom(op, xsA, ysA, partsA, xsB, ysB, partsB): JTS binary
+  * overlay with geometry output — the geometry-producing core of the
+  * Clip/Intersect/Union/Difference/SymmetricDifference family
+  * (VectorTools; Clip.java:240-460, Intersect.java:297-299,
+  * Difference.java:332-334). Returns a struct (xs, ys, parts, area,
+  * minx, miny, maxx, maxy), null when the result is empty. */
+case class OverlayGeom(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 7)
+  override def dataType: DataType = OverlayGeom.schema
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeoEval.overlayGeom(vs(0).asInstanceOf[Int],
+      vs(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(2).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(3).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(4).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(5).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(6).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object OverlayGeom {
+  val schema: StructType = StructType(Seq(
+    StructField("xs", ArrayType(DoubleType, containsNull = false)),
+    StructField("ys", ArrayType(DoubleType, containsNull = false)),
+    StructField("parts", ArrayType(IntegerType, containsNull = false)),
+    StructField("area", DoubleType),
+    StructField("minx", DoubleType), StructField("miny", DoubleType),
+    StructField("maxx", DoubleType), StructField("maxy", DoubleType)))
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -307,6 +344,10 @@ object GeoFunctions {
                      maxY: Column): Column =
     c(ClipAreaRect(Seq(x(xs), x(ys), x(parts), x(minX), x(minY),
       x(maxX), x(maxY))))
+  def overlay_geom(op: Column, xsA: Column, ysA: Column, partsA: Column,
+                   xsB: Column, ysB: Column, partsB: Column): Column =
+    c(OverlayGeom(Seq(x(op), x(xsA), x(ysA), x(partsA), x(xsB), x(ysB),
+      x(partsB))))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {
@@ -329,5 +370,15 @@ object GeoFunctions {
       es => CoverBBox(es), "built-in")
     reg.createOrReplaceTempFunction("pip_contains",
       es => PipContains(es), "built-in")
+    reg.createOrReplaceTempFunction("polygon_area",
+      es => PolygonArea(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("polygon_perimeter",
+      es => PolygonPerimeter(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("buffer_point_area",
+      es => BufferPointArea(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("clip_area_rect",
+      es => ClipAreaRect(es), "built-in")
+    reg.createOrReplaceTempFunction("overlay_geom",
+      es => OverlayGeom(es), "built-in")
   }
 }

@@ -110,6 +110,70 @@ object Derived {
       "OR (x > 100.005 AND x < 120.005 AND y > 0.005 AND y < 40.005)")
   )
 
+  /** Axis-aligned squares around the supplier points (side 2*rr,
+    * rr = 1 + s_id % 3) in the feature-layer layout the overlay
+    * operators take: (fid, xs, ys, parts, min_x, min_y, max_x,
+    * max_y). Ring wound clockwise (shapefile shell convention). */
+  def supplierSquares(spark: SparkSession, dir: String): DataFrame = {
+    val s = supplierPoints(spark, dir)
+      .withColumn("rr", (lit(1.0) + col("s_id") % 3).cast("double"))
+    s.select(col("s_id").as("fid"),
+      array(col("sx") - col("rr"), col("sx") - col("rr"),
+        col("sx") + col("rr"), col("sx") + col("rr")).as("xs"),
+      array(col("sy") - col("rr"), col("sy") + col("rr"),
+        col("sy") + col("rr"), col("sy") - col("rr")).as("ys"),
+      array(lit(0)).as("parts"),
+      (col("sx") - col("rr")).as("min_x"),
+      (col("sy") - col("rr")).as("min_y"),
+      (col("sx") + col("rr")).as("max_x"),
+      (col("sy") + col("rr")).as("max_y"))
+  }
+
+  /** SQL twin of [[supplierSquares]] bboxes (geometry itself is not
+    * needed oracle-side — rect overlap algebra covers it). */
+  val supplierSquaresSql: String =
+    """SELECT s_id AS fid, sx - rr AS min_x, sy - rr AS min_y,
+      |  sx + rr AS max_x, sy + rr AS max_y
+      |FROM (SELECT s_suppkey AS s_id,
+      |  ((s_suppkey * 6151) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS sx,
+      |  ((s_suppkey * 4517) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS sy,
+      |  CAST(1.0 AS DOUBLE) + s_suppkey % 3 AS rr FROM supplier)""".stripMargin
+
+  /** The two plain-rectangle zones as a feature layer (overlay
+    * oracle-friendly: rect-rect algebra is exact in SQL). */
+  def rectZones(spark: SparkSession): DataFrame =
+    zones(spark).where(col("zone_id") <= 2)
+      .select(col("zone_id").cast("long").as("fid"), col("xs"),
+        col("ys"), col("parts"), col("min_x"), col("min_y"),
+        col("max_x"), col("max_y"))
+
+  val rectZonesSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(12.005 AS DOUBLE), CAST(45.005 AS DOUBLE), CAST(13.005 AS DOUBLE), CAST(46.505 AS DOUBLE)),
+      |  (CAST(2 AS BIGINT), CAST(-120.005 AS DOUBLE), CAST(-30.005 AS DOUBLE), CAST(-60.005 AS DOUBLE), CAST(30.005 AS DOUBLE))
+      |) AS z(fid, min_x, min_y, max_x, max_y)""".stripMargin
+
+  /** Disjoint lattice squares (side 4, pitch 10) for the dissolve
+    * oracle; distinct suppliers can collide on a lattice cell, which
+    * exercises duplicate merging. */
+  def latticeSquares(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+    s.select(col("s_suppkey").as("fid"),
+        ((col("s_suppkey") % 20) * 10 - 100).cast("double").as("x0"),
+        ((expr("s_suppkey DIV 20") % 15) * 10 - 70).cast("double").as("y0"))
+      .select(col("fid"),
+        array(col("x0"), col("x0"), col("x0") + 4, col("x0") + 4).as("xs"),
+        array(col("y0"), col("y0") + 4, col("y0") + 4, col("y0")).as("ys"),
+        array(lit(0)).as("parts"),
+        col("x0").as("min_x"), col("y0").as("min_y"),
+        (col("x0") + 4).as("max_x"), (col("y0") + 4).as("max_y"))
+  }
+
+  val latticeSquaresSql: String =
+    """SELECT DISTINCT CAST((s_suppkey % 20) * 10 - 100 AS DOUBLE) AS x0,
+      |  CAST(((s_suppkey // 20) % 15) * 10 - 70 AS DOUBLE) AS y0
+      |FROM supplier""".stripMargin
+
   /** Grid raster derived from `part`: 40 rows x 50 cols, value from a
     * multiplicative hash — the stand-in WhiteboxRaster for focal ops. */
   def partGrid(spark: SparkSession, dir: String): DataFrame = {
