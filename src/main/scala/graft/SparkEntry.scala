@@ -270,6 +270,9 @@ object SparkEntry {
         Derived.zones(s).withColumnRenamed("zone_id", "poly_id"),
         res = 6)),
 
+    "geo_rasterize_lines" -> ((s, dir) =>
+      Raster.rasterizeLines(Derived.supplierLines(s, dir), res = 6)),
+
     "geo_tile_histogram_salted" -> ((s, dir) => {
       val pts = Derived.customerPoints(s, dir)
       val parent = cell_to_parent(
@@ -547,9 +550,18 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // IVF over a TRAINED k-means coarse quantizer (8 lists, 2
+    // iterations, 3 probes) — probe cost O(N * nprobe / nlist)
     "ann_ivf" -> ((s, dir) => {
       val emb = Derived.table(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
+      operators.Clustering.ivfTrainedTopK(emb,
+        emb.where(col("vec_id") < 20), k = 5, nlist = 8, iters = 2,
+        nprobe = 3)
+    }),
+
+    "cluster_kmeans" -> ((s, dir) => {
+      val emb = Derived.table(s, dir, "embeddings")
+      operators.Clustering.kMeans(emb, k = 8, iters = 2)._1
     }),
 
     // ---- streaming-analog tumbling window over events ----
@@ -1051,24 +1063,34 @@ object SparkEntry {
         |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |  CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings),
-        |lab AS (SELECT vec_id, label FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM e GROUP BY vec_id),
-        |q AS (SELECT e.vec_id AS q_id, e.pos, e.ev AS qv, l.label
-        |  FROM e JOIN lab l ON l.vec_id = e.vec_id WHERE e.vec_id < 20),
-        |c AS (SELECT e.vec_id AS n_id, e.pos, e.ev, l.label
-        |  FROM e JOIN lab l ON l.vec_id = e.vec_id),
-        |dots AS (SELECT q.q_id, c.n_id, sum(q.qv * c.ev) AS dot
-        |  FROM q JOIN c ON q.pos = c.pos AND q.label = c.label AND c.n_id <> q.q_id
-        |  GROUP BY 1, 2),
-        |sims AS (SELECT d.q_id, d.n_id, round(d.dot / (qn.nrm * nn.nrm), 6) AS sim6
-        |  FROM dots d JOIN norms qn ON qn.vec_id = d.q_id
-        |  JOIN norms nn ON nn.vec_id = d.n_id),
-        |ranked AS (SELECT q_id, n_id, sim6,
-        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
-        |  FROM sims)
-        |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+      s"""WITH ${operators.Clustering.kMeansSqlCtes(8, 2)},
+         |q AS (SELECT vec_id AS q_id, pos, ev AS qv FROM e WHERE vec_id < 20),
+         |qp_d AS (SELECT q.q_id, c.cluster,
+         |  round(sum((q.qv - c.cv) * (q.qv - c.cv)), 6) AS d2
+         |  FROM q JOIN c_2 c ON c.pos = q.pos GROUP BY 1, 2),
+         |qprobe AS (SELECT q_id, cluster FROM (
+         |  SELECT q_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cluster) AS rn
+         |  FROM qp_d) WHERE rn <= 3),
+         |cand AS (SELECT qp.q_id, l.vec_id AS n_id
+         |  FROM qprobe qp JOIN a_final l ON l.cluster = qp.cluster
+         |  WHERE l.vec_id <> qp.q_id),
+         |dots AS (SELECT ca.q_id, ca.n_id, sum(q.qv * e.ev) AS dot
+         |  FROM cand ca JOIN q ON q.q_id = ca.q_id
+         |  JOIN e ON e.vec_id = ca.n_id AND e.pos = q.pos
+         |  GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM e GROUP BY 1),
+         |sims AS (SELECT d.q_id, d.n_id, round(d.dot / (qn.nrm * nn.nrm), 6) AS sim6
+         |  FROM dots d JOIN norms qn ON qn.vec_id = d.q_id
+         |  JOIN norms nn ON nn.vec_id = d.n_id),
+         |ranked AS (SELECT q_id, n_id, sim6,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
+         |  FROM sims)
+         |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "cluster_kmeans" ->
+      s"""WITH ${operators.Clustering.kMeansSqlCtes(8, 2)}
+         |SELECT vec_id, cluster FROM a_final""".stripMargin,
 
     "geo_rasterize_polygons" -> {
       val arms = Derived.zonePredicatesSql.map { case (zid, pred) =>
@@ -1083,6 +1105,23 @@ object SparkEntry {
          |SELECT lat_bin, lon_bin, CAST(max(zid) AS INT) AS poly_id
          |FROM matched GROUP BY 1, 2""".stripMargin
     },
+
+    "geo_rasterize_lines" ->
+      s"""WITH segs AS (${Derived.supplierLineSegsSql}),
+         |rws AS (SELECT x AS rb, -90.0 + (x + 0.5) * CAST(2.8125 AS DOUBLE) AS cy FROM range(64) t(x)),
+         |cls AS (SELECT x AS cb, -180.0 + (x + 0.5) * CAST(2.8125 AS DOUBLE) AS cx FROM range(128) t(x)),
+         |rowhits AS (SELECT line_id, rb AS lat_bin,
+         |  ((CAST(floor(((x1 + (cy - y1) / (y2 - y1) * (x2 - x1)) + 180.0) / 360.0 * 128) AS BIGINT) % 128) + 128) % 128 AS lon_bin
+         |  FROM segs CROSS JOIN rws
+         |  WHERE (cy - y1) * (cy - y2) <= 0 AND y2 <> y1),
+         |colhits AS (SELECT line_id,
+         |  LEAST(GREATEST(CAST(floor(((y1 + (cx - x1) / (x2 - x1) * (y2 - y1)) + 90.0) / 180.0 * 64) AS BIGINT), 0), 63) AS lat_bin,
+         |  cb AS lon_bin
+         |  FROM segs CROSS JOIN cls
+         |  WHERE (cx - x1) * (cx - x2) <= 0 AND x2 <> x1)
+         |SELECT lat_bin, lon_bin, max(line_id) AS line_id
+         |FROM (SELECT * FROM rowhits UNION ALL SELECT * FROM colhits)
+         |GROUP BY 1, 2""".stripMargin,
 
     "geo_tile_histogram_salted" ->
       s"""WITH pts AS ($PTS),

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative centroid clustering over the embeddings table — the
+ * reference's kMeansClassification / ModifiedKMeans family
+ * (ImageProcessingTools/kMeansClassification.java; SURVEY.md §2.4
+ * "iterative groupBy(cluster).agg(avg) loop") applied to embedding
+ * vectors, which also provides the trained coarse quantizer the IVF
+ * ANN index needs (SURVEY's ann scale path).
+ *
+ * Determinism contract (cross-engine reproducible): seeded init =
+ * the first k vectors by id; squared distances and centroid means
+ * are rounded to 6 decimals each iteration; argmin ties break to the
+ * smallest cluster id. Fixed iteration count (no convergence test).
+ */
+object Clustering {
+
+  private def d2(ev: Column, cv: Column): Column =
+    round(sum((ev - cv) * (ev - cv)), 6)
+
+  /** Nearest-centroid assignment. e: (vec_id, pos, ev);
+    * centroids: (cluster, pos, cv). -> (vec_id, cluster). */
+  def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cluster").asc)
+    e.join(broadcast(centroids), Seq("pos"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(d2(col("ev"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "cluster")
+  }
+
+  /** `iters` rounds of assign + mean update from the first-k-ids
+    * init. Returns (finalAssignments, finalCentroids). */
+  def kMeans(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val e = Similarity.exploded(emb).localCheckpoint(true)
+    var c = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("pos"),
+        col("ev").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val a = assign(e, c)
+      c = a.join(e, Seq("vec_id"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("ev")), 6).as("cv"))
+        .localCheckpoint(true)
+    }
+    (assign(e, c), c)
+  }
+
+  /**
+   * IVF ANN with a TRAINED coarse quantizer: k-means lists, queries
+   * probe their `nprobe` nearest lists, exact cosine runs only inside
+   * probed lists — probe cost O(N * nprobe / nlist) instead of O(N).
+   * Output contract matches Similarity.bruteForceTopK.
+   */
+  def ivfTrainedTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                     nlist: Int, iters: Int, nprobe: Int): DataFrame = {
+    val (lists, cent) = kMeans(emb, nlist, iters)
+    val e = Similarity.exploded(emb)
+    val qe = Similarity.exploded(queries)
+      .select(col("vec_id").as("q_id"), col("pos"), col("ev").as("qv"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("d2").asc, col("cluster").asc)
+    val qprobe = qe.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("q_id"), col("cluster"))
+      .agg(d2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select("q_id", "cluster")
+    val cand = qprobe.join(lists, Seq("cluster"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .where(col("q_id") =!= col("n_id"))
+    val dots = cand
+      .join(qe, Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("pos"),
+        col("ev")), Seq("n_id", "pos"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("qv") * col("ev")).as("dot"))
+    val norms = e.groupBy("vec_id")
+      .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
+    val sims = dots
+      .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")),
+        Seq("q_id"))
+      .join(norms.select(col("vec_id").as("n_id"), col("nrm").as("nn")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(col("dot") / (col("qn") * col("nn")), 6).as("sim6"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim6").desc, col("n_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "sim6")
+  }
+
+  /** DuckDB CTE chain mirroring [[kMeans]] over the `embeddings`
+    * view: defines `e`, `c_0`..`c_<iters>` and `a_final`. */
+  def kMeansSqlCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |  CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings),
+         |c_0 AS (SELECT vec_id AS cluster, pos, ev AS cv FROM e WHERE vec_id < $k)""".stripMargin
+    def assignCte(name: String, cFrom: String): String =
+      s""",
+         |${name}_d AS (SELECT e.vec_id, c.cluster,
+         |  round(sum((e.ev - c.cv) * (e.ev - c.cv)), 6) AS d2
+         |  FROM e JOIN $cFrom c ON c.pos = e.pos GROUP BY 1, 2),
+         |$name AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |  FROM ${name}_d) WHERE rn = 1)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= assignCte(s"a_$i", s"c_${i - 1}")
+      sb ++=
+        s""",
+           |c_$i AS (SELECT a.cluster, e.pos, round(avg(e.ev), 6) AS cv
+           |  FROM a_$i a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }
+    sb ++= assignCte("a_final", s"c_$iters")
+    sb.toString
+  }
+}

@@ -174,6 +174,30 @@ object Derived {
       |  CAST(((s_suppkey // 20) % 15) * 10 - 70 AS DOUBLE) AS y0
       |FROM supplier""".stripMargin
 
+  /** 2-segment polylines from the supplier points, shrunk to the
+    * antimeridian-safe half domain: vertices (sx/2, sy/2) ->
+    * (sx/2+5, sy/2+2) -> (sx/2+3, sy/2+8). */
+  def supplierLines(spark: SparkSession, dir: String): DataFrame = {
+    val s = supplierPoints(spark, dir)
+      .select(col("s_id"), (col("sx") / 2).as("x0"),
+        (col("sy") / 2).as("y0"))
+    s.select(col("s_id").as("line_id"),
+      array(col("x0"), col("x0") + 5, col("x0") + 3).as("xs"),
+      array(col("y0"), col("y0") + 2, col("y0") + 8).as("ys"),
+      array(lit(0)).as("parts"))
+  }
+
+  /** SQL twin of [[supplierLines]] as a segment relation
+    * (line_id, x1, y1, x2, y2). */
+  val supplierLineSegsSql: String =
+    """WITH sp0 AS (SELECT s_suppkey AS s_id,
+      |  (((s_suppkey * 6151) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)) / 2 AS x0,
+      |  (((s_suppkey * 4517) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)) / 2 AS y0
+      |  FROM supplier)
+      |SELECT s_id AS line_id, x0 AS x1, y0 AS y1, x0 + 5 AS x2, y0 + 2 AS y2 FROM sp0
+      |UNION ALL
+      |SELECT s_id AS line_id, x0 + 5 AS x1, y0 + 2 AS y1, x0 + 3 AS x2, y0 + 8 AS y2 FROM sp0""".stripMargin
+
   /** Grid raster derived from `part`: 40 rows x 50 cols, value from a
     * multiplicative hash — the stand-in WhiteboxRaster for focal ops. */
   def partGrid(spark: SparkSession, dir: String): DataFrame = {

@@ -198,6 +198,75 @@ object Raster {
   }
 
   /**
+   * VectorLinesToRaster (ConversionTools/VectorLinesToRaster.java:
+   * 402-443): per line part, mark the cell of every intersection of
+   * each segment with the cell-centre ROWS of its bbox
+   * (xPrime = x1 + (cy-y1)/(y2-y1)*(x2-x1)) and, symmetrically, with
+   * the cell-centre COLUMNS (yPrime). `isBetween` is inclusive.
+   * Overlaps resolve to the maximum line id (record-order rule, like
+   * rasterizePolygons). No antimeridian wrap (coverBBox contract).
+   * lines: (line_id: Long, xs, ys, parts).
+   */
+  def rasterizeLines(lines: DataFrame, res: Int): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val nLat = graft.core.CellIndex.latBins(res)
+    val nLon = graft.core.CellIndex.lonBins(res)
+    val hDeg = 180.0 / nLat
+    val wDeg = 360.0 / nLon
+    def between(v: Double, a: Double, b: Double): Boolean =
+      (v - a) * (v - b) <= 0
+    lines.select(col("line_id"), col("xs"), col("ys"), col("parts"))
+      .as[(Long, Seq[Double], Seq[Double], Seq[Int])]
+      .flatMap { case (id, xsS, ysS, partsS) =>
+        val xs = xsS.toArray; val ys = ysS.toArray
+        val parts = partsS.toArray
+        val bounds = parts :+ xs.length
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        parts.indices.foreach { p =>
+          val s = bounds(p); val e = bounds(p + 1)
+          val minY = ys.slice(s, e).min; val maxY = ys.slice(s, e).max
+          val minX = xs.slice(s, e).min; val maxX = xs.slice(s, e).max
+          // row crossings
+          var rb = graft.core.CellIndex.latBin(minY, res)
+          val rb1 = graft.core.CellIndex.latBin(maxY, res)
+          while (rb <= rb1) {
+            val cy = -90.0 + (rb + 0.5) * hDeg
+            var i = s
+            while (i < e - 1) {
+              if (between(cy, ys(i), ys(i + 1)) && ys(i + 1) != ys(i)) {
+                val xPrime = xs(i) + (cy - ys(i)) / (ys(i + 1) - ys(i)) *
+                  (xs(i + 1) - xs(i))
+                out += ((rb, graft.core.CellIndex.lonBin(xPrime, res), id))
+              }
+              i += 1
+            }
+            rb += 1
+          }
+          // column crossings
+          var cb = graft.core.CellIndex.lonBin(minX, res)
+          val cb1 = graft.core.CellIndex.lonBin(maxX, res)
+          while (cb <= cb1) {
+            val cx = -180.0 + (cb + 0.5) * wDeg
+            var i = s
+            while (i < e - 1) {
+              if (between(cx, xs(i), xs(i + 1)) && xs(i + 1) != xs(i)) {
+                val yPrime = ys(i) + (cx - xs(i)) / (xs(i + 1) - xs(i)) *
+                  (ys(i + 1) - ys(i))
+                out += ((graft.core.CellIndex.latBin(yPrime, res), cb, id))
+              }
+              i += 1
+            }
+            cb += 1
+          }
+        }
+        out
+      }.toDF("lat_bin", "lon_bin", "line_id")
+      .groupBy("lat_bin", "lon_bin")
+      .agg(max(col("line_id")).as("line_id"))
+  }
+
+  /**
    * Clump (WhiteboxAPI/algorithms/Clump.java:92-210): connected-
    * component labelling of a masked grid (8-connectivity). Label =
    * min linearised cell id (r * width + c) in the component.
