@@ -285,6 +285,30 @@ object SparkEntry {
         .withColumnRenamed("s", "sum_cents")
     }),
 
+    // EuclideanDistance (GISTools/EuclideanDistance.java:180-330
+    // semantics; the reference's 2-pass Shih&Wu scan is a serial-IO
+    // tactic — the distributed form is an exact nearest-target join
+    // via the iterative-deepening kNN, unbounded distance) —
+    // targets = cells with v >= 90, distance in cell units.
+    "geo_euclidean_distance" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val probe = g.select((col("r") * 50 + col("c")).as("pid"),
+        col("c").cast("double").as("px"), col("r").cast("double").as("py"))
+      val build = g.where(col("v") >= 90.0)
+        .select((col("r") * 50 + col("c")).as("bid"),
+          col("c").cast("double").as("bx"), col("r").cast("double").as("by"))
+      SpatialJoins.knnJoin(probe, build, 1, probeId = "pid",
+          buildId = "bid", px = "px", py = "py", bx = "bx", by = "by")
+        .select(expr("pid DIV 50").as("r"), (col("pid") % 50).as("c"),
+          round(sqrt(col("dist2")), 6).as("dist"))
+    }),
+
+    // FillDepressions (HydroTools/FillDepressions.java, Wang & Liu
+    // priority-flood) — tile-parallel flood + boundary-level exchange
+    "geo_fill_depressions" -> ((s, dir) =>
+      operators.Terrain.fillDepressions(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
     // ---- terrain flow (iterative pointer DAG) ----
 
     "geo_d8_pointer" -> ((s, dir) =>
@@ -1131,6 +1155,25 @@ object SparkEntry {
          |SELECT lat_bin6, lon_bin6, count(*) AS n,
          |  CAST(sum(cents) AS BIGINT) AS sum_cents
          |FROM bins GROUP BY lat_bin6, lon_bin6""".stripMargin,
+
+    "geo_euclidean_distance" ->
+      s"""WITH g AS ($GRID),
+         |t AS (SELECT r, c FROM g WHERE v >= CAST(90.0 AS DOUBLE))
+         |SELECT g.r, g.c,
+         |  round(sqrt(min(CAST((g.c - t.c) * (g.c - t.c) + (g.r - t.r) * (g.r - t.r) AS DOUBLE))), 6) AS dist
+         |FROM g CROSS JOIN t GROUP BY g.r, g.c""".stripMargin,
+
+    "geo_fill_depressions" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |reach(r, c, lvl) AS (
+         |  SELECT r, c, v FROM g
+         |  WHERE r = 0 OR r = ${GridRows - 1} OR c = 0 OR c = ${GridCols - 1}
+         |  UNION
+         |  SELECT g.r, g.c, GREATEST(g.v, rch.lvl)
+         |  FROM reach rch JOIN g
+         |    ON abs(g.r - rch.r) <= 1 AND abs(g.c - rch.c) <= 1
+         |   AND NOT (g.r = rch.r AND g.c = rch.c))
+         |SELECT r, c, min(lvl) AS filled FROM reach GROUP BY r, c""".stripMargin,
 
     "geo_d8_pointer" ->
       s"""WITH g AS ($GRID),

@@ -55,6 +55,69 @@ object FlowTiles {
     out.iterator
   }
 
+  /**
+   * One tile's Wang & Liu priority flood, seeded by the tile's
+   * grid-border cells (level = dem) and the current halo estimates
+   * (FillDepressions.java pop-min semantics). Emits cell outputs as
+   * (-1, -1, r, c, filled) and boundary-level packets addressed to
+   * the adjacent tile as (destTileR, destTileC, r, c, filled).
+   */
+  def localFlood(tile: (Long, Long), cells: Seq[(Long, Long, Double)],
+                 halos: Seq[(Long, Long, Double)], t: Long,
+                 nRows: Long, nCols: Long)
+      : Iterator[(Long, Long, Long, Long, Double)] = {
+    val dem = cells.iterator.map(x => (x._1, x._2) -> x._3).toMap
+    val filled = scala.collection.mutable.Map
+      .empty[(Long, Long), Double].withDefaultValue(Double.PositiveInfinity)
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Double, Long, Long)](Ordering.by(x => -x._1))
+    cells.foreach { case (r, c, v) =>
+      if (r == 0 || r == nRows - 1 || c == 0 || c == nCols - 1)
+        pq.enqueue((v, r, c))
+    }
+    halos.foreach { case (hr, hc, hl) =>
+      for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0)) {
+        val n = (hr + dr, hc + dc)
+        dem.get(n).foreach { nv =>
+          if (Math.floorDiv(n._1, t) == tile._1 &&
+              Math.floorDiv(n._2, t) == tile._2)
+            pq.enqueue((math.max(nv, hl), n._1, n._2))
+        }
+      }
+    }
+    while (pq.nonEmpty) {
+      val (lvl, r, c) = pq.dequeue()
+      if (lvl < filled((r, c))) {
+        filled((r, c)) = lvl
+        for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0)) {
+          val n = (r + dr, c + dc)
+          if (Math.floorDiv(n._1, t) == tile._1 &&
+              Math.floorDiv(n._2, t) == tile._2)
+            dem.get(n).foreach { nv =>
+              val cand = math.max(nv, lvl)
+              if (cand < filled(n)) pq.enqueue((cand, n._1, n._2))
+            }
+        }
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Double)]()
+    filled.foreach { case ((r, c), lvl) =>
+      out += ((-1L, -1L, r, c, lvl))
+      // export boundary levels to every adjacent foreign tile
+      val dests = scala.collection.mutable.Set[(Long, Long)]()
+      for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0)) {
+        val (nr, nc) = (r + dr, c + dc)
+        if (nr >= 0 && nr < nRows && nc >= 0 && nc < nCols) {
+          val dt = (Math.floorDiv(nr, t), Math.floorDiv(nc, t))
+          if (dt != tile) dests += dt
+        }
+      }
+      dests.foreach(dt => out += ((dt._1, dt._2, r, c, lvl)))
+    }
+    out.iterator
+  }
+
   /** Walk arriving packets through the tile in one pass, adding their
     * weight to every cell on the within-tile path segment. */
   def localWalk(tile: (Long, Long), cells: Seq[FlowCell],
@@ -328,6 +391,57 @@ object Terrain {
       .mapGroups((k: (Long, Long), it: Iterator[FlowOut]) =>
         (k._1, k._2, it.map(_.w).sum))
       .toDF("r", "c", "n_upslope")
+  }
+
+  /**
+   * FillDepressions (HydroTools/FillDepressions.java, Wang & Liu
+   * priority-flood): filled(c) = the minimum over all 8-connected
+   * paths from the grid border to c of the maximum elevation along
+   * the path — depressions rise to their spill elevation.
+   *
+   * Scale design — tile-parallel priority flood (Barnes 2016 style):
+   * each round runs the sequential Wang & Liu flood INSIDE each tile,
+   * seeded by the tile's grid-border cells plus the current halo
+   * estimates from neighbouring tiles; falling boundary levels are
+   * exchanged as halo packets until a global fixpoint. Estimates are
+   * monotonically non-increasing, so rounds scale with the tile
+   * diameter of spill paths, not their cell length.
+   */
+  def fillDepressions(grid: DataFrame, nRows: Long, nCols: Long,
+                      tileSize: Int = 16): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val T = tileSize.toLong
+    def tileOf(r: Long, c: Long): (Long, Long) =
+      (Math.floorDiv(r, T), Math.floorDiv(c, T))
+    val cells = grid.select(col("r"), col("c"), col("v"))
+      .as[(Long, Long, Double)].localCheckpoint(true)
+    val byTile = cells.groupByKey(t => tileOf(t._1, t._2))
+
+    // halo packet: a filled-level estimate for cell (r, c), addressed
+    // to the ADJACENT tile identified by (tr, tc)
+    var halos = spark.emptyDataset[(Long, Long, Long, Long, Double)]
+    var converged = false
+    var outputs: org.apache.spark.sql.Dataset[(Long, Long, Double)] = null
+    while (!converged) {
+      val next = byTile.cogroup(
+        halos.groupByKey(h => (h._1, h._2))) { (tile, cellIt, haloIt) =>
+          FlowTiles.localFlood(tile, cellIt.toSeq,
+            haloIt.map(h => (h._3, h._4, h._5)).toSeq, T, nRows, nCols)
+        }.localCheckpoint(true)
+      // rows with sentinel tile (-1) are cell outputs; others are halos
+      outputs = next.filter(_._1 == -1L).map(o => (o._3, o._4, o._5))
+      val newHalos = next.filter(_._1 >= 0L)
+      // fixpoint: the halo set stabilises (levels only fall)
+      val changed = newHalos.toDF("t1", "t2", "r", "c", "lvl")
+        .join(halos.toDF("t1", "t2", "r", "c", "olvl"),
+          Seq("t1", "t2", "r", "c"), "left")
+        .where(col("olvl").isNull || col("lvl") =!= col("olvl"))
+        .limit(1).count()
+      halos = newHalos.localCheckpoint(true)
+      converged = changed == 0
+    }
+    outputs.toDF("r", "c", "filled")
   }
 
   /**
