@@ -320,6 +320,19 @@ object SparkEntry {
     "geo_watershed" -> ((s, dir) =>
       operators.Terrain.watershed(Derived.partGrid(s, dir), width = 50)),
 
+    // ---- stream-network family (§2.10) ----
+
+    "geo_stream_extract" -> ((s, dir) =>
+      operators.Terrain.extractStreams(Derived.partGrid(s, dir), 5L)),
+
+    "geo_stream_link" -> ((s, dir) =>
+      operators.Terrain.streamLinkId(Derived.partGrid(s, dir), 5L,
+        width = 50)),
+
+    "geo_strahler" -> ((s, dir) =>
+      operators.Terrain.strahlerOrder(Derived.partGrid(s, dir), 5L,
+        width = 50, iters = 8)),
+
     // ---- multimodal binary columns (stubbed decode, real plumbing) ----
 
     "media_features" -> ((s, dir) => {
@@ -1209,6 +1222,22 @@ object SparkEntry {
          |  FROM walk w JOIN sinks s ON s.r = w.r AND s.c = w.c)
          |SELECT r, c, sink_id FROM hit""".stripMargin,
 
+    "geo_stream_extract" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)}
+         |SELECT r, c, CAST(n AS BIGINT) AS n_upslope FROM fa WHERE n >= 5""".stripMargin,
+
+    "geo_stream_link" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)}
+         |SELECT r, c, link_id FROM links""".stripMargin,
+
+    "geo_strahler" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |${strahlerSqlCtes(8)}
+         |SELECT link_id, ord AS strahler FROM o_8""".stripMargin,
+
     "media_features" ->
       """WITH ch AS (SELECT doc_id,
         |  unnest(string_split(text, '')) AS ch,
@@ -1366,6 +1395,68 @@ object SparkEntry {
        |st2 AS (SELECT r, c, v, zx, zy, zxx, zyy, zxy,
        |  zx * zx AS zx2, zy * zy AS zy2, zx * zx + zy * zy AS p
        |  FROM st)""".stripMargin
+
+  /** D8 target-coordinate decode columns (mirrors Terrain.d8Edges). */
+  private lazy val d8EdgeSql: String =
+    """e AS (SELECT r, c,
+      |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+      |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc
+      |  FROM p WHERE ptr > 0)""".stripMargin
+
+  /** Flow-accumulation + stream graph + link labelling CTE chain
+    * (mirrors Terrain.extractStreams/streamLinkId at width 50). */
+  private def streamSqlCtes(threshold: Long): String =
+    s"""$d8SqlCtes,
+       |$d8EdgeSql,
+       |reach AS (SELECT r AS sr, c AS sc, tr, tc FROM e
+       |  UNION SELECT x.sr, x.sc, e.tr, e.tc
+       |  FROM reach x JOIN e ON x.tr = e.r AND x.tc = e.c),
+       |acc AS (SELECT tr, tc, count(*) AS k FROM reach GROUP BY tr, tc),
+       |fa AS MATERIALIZED (SELECT g.r, g.c, 1 + COALESCE(a.k, 0) AS n
+       |  FROM g LEFT JOIN acc a ON a.tr = g.r AND a.tc = g.c),
+       |stream AS MATERIALIZED (SELECT r, c FROM fa WHERE n >= $threshold),
+       |sedges AS MATERIALIZED (SELECT e.r, e.c, e.tr, e.tc FROM e
+       |  JOIN stream s1 ON s1.r = e.r AND s1.c = e.c
+       |  JOIN stream s2 ON s2.r = e.tr AND s2.c = e.tc),
+       |indeg AS MATERIALIZED (SELECT tr, tc, count(*) AS n FROM sedges GROUP BY 1, 2),
+       |links(r, c, link_id) AS (
+       |  SELECT s.r, s.c, s.r * 50 + s.c FROM stream s
+       |  LEFT JOIN indeg d ON d.tr = s.r AND d.tc = s.c
+       |  WHERE COALESCE(d.n, 0) <> 1
+       |  UNION
+       |  SELECT e2.tr, e2.tc, l.link_id FROM links l
+       |  JOIN sedges e2 ON e2.r = l.r AND e2.c = l.c
+       |  JOIN indeg d ON d.tr = e2.tr AND d.tc = e2.tc AND d.n = 1)""".stripMargin
+
+  /** Unrolled Strahler iteration chain (mirrors Terrain.strahlerOrder). */
+  private def strahlerSqlCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """linkids AS MATERIALIZED (SELECT DISTINCT link_id FROM links),
+        |cgraph AS MATERIALIZED (SELECT DISTINCT lu.link_id AS child, lv.link_id AS parent
+        |  FROM sedges e2
+        |  JOIN links lu ON lu.r = e2.r AND lu.c = e2.c
+        |  JOIN links lv ON lv.r = e2.tr AND lv.c = e2.tc
+        |  WHERE lu.link_id <> lv.link_id),
+        |o_0 AS (SELECT link_id, CAST(1 AS BIGINT) AS ord FROM linkids)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |mx_$i AS MATERIALIZED (SELECT cg.parent AS link_id, max(o.ord) AS mx
+           |  FROM cgraph cg JOIN o_${i - 1} o ON o.link_id = cg.child
+           |  GROUP BY 1),
+           |cm_$i AS MATERIALIZED (SELECT cg.parent AS link_id, count(*) AS cmax
+           |  FROM cgraph cg JOIN o_${i - 1} o ON o.link_id = cg.child
+           |  JOIN mx_$i m ON m.link_id = cg.parent AND o.ord = m.mx
+           |  GROUP BY 1),
+           |o_$i AS MATERIALIZED (SELECT l.link_id,
+           |  CAST(COALESCE(m.mx + CASE WHEN c.cmax >= 2 THEN 1 ELSE 0 END, 1) AS BIGINT) AS ord
+           |  FROM linkids l
+           |  LEFT JOIN mx_$i m ON m.link_id = l.link_id
+           |  LEFT JOIN cm_$i c ON c.link_id = l.link_id)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** Shared D8 pointer pipeline in SQL (mirrors Terrain.d8Pointer). */
   private lazy val d8SqlCtes: String = {

@@ -393,6 +393,136 @@ object Terrain {
       .toDF("r", "c", "n_upslope")
   }
 
+  /** Decoded D8 edges (r, c) -> (tr, tc) for flowing cells. */
+  private[graft] def d8Edges(grid: DataFrame): DataFrame = {
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    ptr.where(col("ptr") > 0).select(col("r"), col("c"),
+      (col("r") + dyExpr).as("tr"), (col("c") + dxExpr).as("tc"))
+  }
+
+  /**
+   * ExtractStreams (StreamNetworkAnalysisTools/ExtractStreams.java):
+   * cells whose D8 flow accumulation meets `threshold`.
+   */
+  def extractStreams(grid: DataFrame, threshold: Long): DataFrame =
+    flowAccumD8(grid).where(col("n_upslope") >= threshold)
+
+  /** Stream cells + stream-to-stream edges + per-cell stream
+    * in-degree, shared by the link/order tools. */
+  private def streamGraph(grid: DataFrame, threshold: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val stream = extractStreams(grid, threshold).select("r", "c")
+      .localCheckpoint(true)
+    // checkpoint the edge decode: embedding the full stencil-pivot
+    // plan twice in the joins below explodes whole-stage codegen
+    val edges = d8Edges(grid).localCheckpoint(true)
+    val sedges = edges
+      .join(stream, Seq("r", "c"))
+      .join(stream.select(col("r").as("tr"), col("c").as("tc")),
+        Seq("tr", "tc"))
+      .select("r", "c", "tr", "tc")
+      .localCheckpoint(true)
+    val indeg = sedges.groupBy("tr", "tc").agg(count(lit(1)).as("n"))
+    (stream, sedges, indeg)
+  }
+
+  /**
+   * StreamLinkID (StreamNetworkAnalysisTools/StreamLinkID.java
+   * semantics): maximal stream segments between junctions; a cell
+   * with stream in-degree != 1 heads a new link (junction cells open
+   * the downstream link). link_id = head cell id (r * width + c).
+   * Resolved by pointer doubling on the unique-predecessor pointer —
+   * O(log link length) rounds, the watershed trick upstream.
+   */
+  def streamLinkId(grid: DataFrame, threshold: Long,
+                   width: Long): DataFrame = {
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    linkFromGraph(stream, sedges, indeg, width)
+  }
+
+  private def linkFromGraph(stream: DataFrame, sedges: DataFrame,
+                            indeg: DataFrame, width: Long): DataFrame = {
+    // predecessor pointer: v -> its unique stream predecessor when
+    // in-degree is exactly 1, else self (head)
+    val pred1 = sedges.join(indeg.where(col("n") === 1), Seq("tr", "tc"))
+      .select(col("tr").as("r"), col("tc").as("c"),
+        col("r").as("pr"), col("c").as("pc"))
+    var nxt = stream
+      .join(pred1, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        coalesce(col("pr"), col("r")).as("tr"),
+        coalesce(col("pc"), col("c")).as("tc"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val hop = nxt.select(col("r").as("hr"), col("c").as("hc"),
+        col("tr").as("ttr"), col("tc").as("ttc"))
+      val doubled = nxt.join(hop,
+          col("tr") === col("hr") && col("tc") === col("hc"))
+        .select(col("r"), col("c"), col("ttr").as("tr"),
+          col("ttc").as("tc"))
+        .localCheckpoint(true)
+      val moved = doubled.join(nxt.select(col("r"), col("c"),
+          col("tr").as("otr"), col("tc").as("otc")), Seq("r", "c"))
+        .where(col("tr") =!= col("otr") || col("tc") =!= col("otc"))
+        .limit(1).count()
+      nxt = doubled
+      converged = moved == 0
+    }
+    nxt.select(col("r"), col("c"),
+      (col("tr") * width + col("tc")).as("link_id"))
+  }
+
+  /**
+   * StreamOrder, Strahler method (StreamNetworkAnalysisTools/
+   * StreamOrder.java): per link, 1 for headwater links; a junction
+   * link takes max(child orders) + 1 when at least two children tie
+   * the max. Fixed-iteration label correction over the LINK graph
+   * (orders of magnitude smaller than the cell grid); `iters` bounds
+   * the representable order.
+   */
+  def strahlerOrder(grid: DataFrame, threshold: Long, width: Long,
+                    iters: Int = 8): DataFrame = {
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    val linkIds = links.select("link_id").distinct().localCheckpoint(true)
+    val cgraph = sedges
+      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
+        Seq("r", "c"))
+      .join(links.select(col("r").as("tr"), col("c").as("tc"),
+        col("link_id").as("parent")), Seq("tr", "tc"))
+      .where(col("child") =!= col("parent"))
+      .select("child", "parent").distinct()
+      .localCheckpoint(true)
+    var ord = linkIds.select(col("link_id"), lit(1L).as("ord"))
+    for (_ <- 1 to iters) {
+      val co = cgraph.join(ord.withColumnRenamed("link_id", "child"),
+        Seq("child"))
+      val mx = co.groupBy("parent").agg(max(col("ord")).as("mx"))
+      val cm = co.join(mx, Seq("parent"))
+        .where(col("ord") === col("mx"))
+        .groupBy("parent").agg(count(lit(1)).as("cmax"))
+      ord = linkIds
+        .join(mx.withColumnRenamed("parent", "link_id"),
+          Seq("link_id"), "left")
+        .join(cm.withColumnRenamed("parent", "link_id"),
+          Seq("link_id"), "left")
+        .select(col("link_id"),
+          coalesce(col("mx") +
+            when(col("cmax") >= 2, 1L).otherwise(0L), lit(1L))
+            .cast("long").as("ord"))
+        .localCheckpoint(true)
+    }
+    ord.withColumnRenamed("ord", "strahler")
+  }
+
   /**
    * FillDepressions (HydroTools/FillDepressions.java, Wang & Liu
    * priority-flood): filled(c) = the minimum over all 8-connected
