@@ -517,6 +517,38 @@ object SparkEntry {
         .select(col("a_fid").as("s_id"), col("b_fid").as("zone_id"),
           round(col("area"), 4).as("sarea"))),
 
+    // DE-9IM predicate menu evaluated per candidate pair (§2.3 item 2)
+    "geo_predicate_menu" -> ((s, dir) =>
+      operators.VectorOverlay.predicatePairs(
+        Derived.supplierSquares(s, dir), Derived.rectZones(s), res = 4,
+        Seq(("r_intersects", graft.expr.GeoEval.PredIntersects),
+          ("r_within", graft.expr.GeoEval.PredWithin),
+          ("r_contains", graft.expr.GeoEval.PredContains),
+          ("r_overlaps", graft.expr.GeoEval.PredOverlaps),
+          ("r_touches", graft.expr.GeoEval.PredTouches)))),
+
+    // boundary-aligned fixture so `touches` pairs actually occur
+    "geo_touch_join" -> ((s, dir) =>
+      operators.VectorOverlay.predicatePairs(
+        Derived.latticeSquares(s, dir), Derived.touchZone(s), res = 4,
+        Seq(("t_touches", graft.expr.GeoEval.PredTouches),
+          ("t_within", graft.expr.GeoEval.PredWithin)))),
+
+    // isolate-by-location semi join + remove-by-location anti join
+    "geo_select_location" -> ((s, dir) =>
+      operators.VectorOverlay.predicateJoin(
+          Derived.supplierSquares(s, dir), Derived.rectZones(s),
+          res = 4, pred = graft.expr.GeoEval.PredIntersects,
+          anti = false)
+        .select("fid")),
+
+    "geo_remove_location" -> ((s, dir) =>
+      operators.VectorOverlay.predicateJoin(
+          Derived.supplierSquares(s, dir), Derived.rectZones(s),
+          res = 4, pred = graft.expr.GeoEval.PredIntersects,
+          anti = true)
+        .select("fid")),
+
     "geo_dissolve" -> ((s, dir) =>
       operators.VectorOverlay.dissolve(Derived.latticeSquares(s, dir))
         .select(col("fid"), round(col("area"), 4).as("parea"),
@@ -1002,6 +1034,53 @@ object SparkEntry {
          |FROM sq CROSS JOIN z
          |WHERE LEAST(sq.max_x, z.max_x) > GREATEST(sq.min_x, z.min_x)
          |  AND LEAST(sq.max_y, z.max_y) > GREATEST(sq.min_y, z.min_y)""".stripMargin,
+
+    "geo_predicate_menu" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql}),
+         |p AS (SELECT sq.fid AS a_fid, z.fid AS b_fid,
+         |  sq.min_x AS ax0, sq.min_y AS ay0, sq.max_x AS ax1, sq.max_y AS ay1,
+         |  z.min_x AS bx0, z.min_y AS by0, z.max_x AS bx1, z.max_y AS by1,
+         |  LEAST(sq.max_x, z.max_x) - GREATEST(sq.min_x, z.min_x) AS w,
+         |  LEAST(sq.max_y, z.max_y) - GREATEST(sq.min_y, z.min_y) AS h
+         |  FROM sq CROSS JOIN z)
+         |SELECT a_fid, b_fid,
+         |  (w >= 0 AND h >= 0) AS r_intersects,
+         |  (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1) AS r_within,
+         |  (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS r_contains,
+         |  (w > 0 AND h > 0
+         |    AND NOT (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1)
+         |    AND NOT (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1)) AS r_overlaps,
+         |  (w = 0 OR h = 0) AS r_touches
+         |FROM p WHERE w >= 0 AND h >= 0""".stripMargin,
+
+    "geo_touch_join" ->
+      s"""WITH lsq AS (SELECT s_suppkey AS fid,
+         |  CAST((s_suppkey % 20) * 10 - 100 AS DOUBLE) AS ax0,
+         |  CAST(((s_suppkey // 20) % 15) * 10 - 70 AS DOUBLE) AS ay0
+         |  FROM supplier),
+         |p AS (SELECT fid, ax0, ay0, ax0 + 4 AS ax1, ay0 + 4 AS ay1,
+         |  LEAST(ax0 + 4, CAST(-60 AS DOUBLE)) - GREATEST(ax0, CAST(-96 AS DOUBLE)) AS w,
+         |  LEAST(ay0 + 4, CAST(-30 AS DOUBLE)) - GREATEST(ay0, CAST(-66 AS DOUBLE)) AS h
+         |  FROM lsq)
+         |SELECT fid AS a_fid, CAST(3 AS BIGINT) AS b_fid,
+         |  (w = 0 OR h = 0) AS t_touches,
+         |  (ax0 >= -96 AND ax1 <= -60 AND ay0 >= -66 AND ay1 <= -30) AS t_within
+         |FROM p WHERE w >= 0 AND h >= 0""".stripMargin,
+
+    "geo_select_location" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql})
+         |SELECT DISTINCT sq.fid FROM sq JOIN z
+         |  ON LEAST(sq.max_x, z.max_x) >= GREATEST(sq.min_x, z.min_x)
+         | AND LEAST(sq.max_y, z.max_y) >= GREATEST(sq.min_y, z.min_y)""".stripMargin,
+
+    "geo_remove_location" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql}),
+         |z AS (${Derived.rectZonesSql})
+         |SELECT fid FROM sq WHERE NOT EXISTS (SELECT 1 FROM z
+         |  WHERE LEAST(sq.max_x, z.max_x) >= GREATEST(sq.min_x, z.min_x)
+         |    AND LEAST(sq.max_y, z.max_y) >= GREATEST(sq.min_y, z.min_y))""".stripMargin,
 
     "geo_dissolve" ->
       s"""WITH cellsq AS (${Derived.latticeSquaresSql}),

@@ -65,6 +65,38 @@ object GeoEval {
     graft.core.Jts.clipAreaWithRect(xs.toDoubleArray(),
       ys.toDoubleArray(), parts.toIntArray(), minX, minY, maxX, maxY)
 
+  /** DE-9IM predicate codes for [[stPred]] (the reference's predicate
+    * menu, IsolateVectorFeaturesByLocation.java:240-262). */
+  val PredIntersects = 0
+  val PredWithin = 1
+  val PredContains = 2
+  val PredCovers = 3
+  val PredCoveredBy = 4
+  val PredTouches = 5
+  val PredCrosses = 6
+  val PredOverlaps = 7
+  val PredEquals = 8
+
+  def stPred(op: Int, xsA: ArrayData, ysA: ArrayData, partsA: ArrayData,
+             xsB: ArrayData, ysB: ArrayData, partsB: ArrayData): Boolean = {
+    val a = graft.core.Jts.toGeometry(xsA.toDoubleArray(),
+      ysA.toDoubleArray(), partsA.toIntArray())
+    val b = graft.core.Jts.toGeometry(xsB.toDoubleArray(),
+      ysB.toDoubleArray(), partsB.toIntArray())
+    op match {
+      case PredIntersects => a.intersects(b)
+      case PredWithin => a.within(b)
+      case PredContains => a.contains(b)
+      case PredCovers => a.covers(b)
+      case PredCoveredBy => a.coveredBy(b)
+      case PredTouches => a.touches(b)
+      case PredCrosses => a.crosses(b)
+      case PredOverlaps => a.overlaps(b)
+      case PredEquals => a.equalsTopo(b)
+      case other => throw new IllegalArgumentException(s"pred $other")
+    }
+  }
+
   /**
    * Binary overlay (op codes in Jts.Op*) of two ring/part geometries.
    * Returns a struct row (xs, ys, parts, area, minx, miny, maxx,

@@ -313,6 +313,32 @@ object OverlayGeom {
     StructField("maxx", DoubleType), StructField("maxy", DoubleType)))
 }
 
+/** st_pred(predCode, xsA, ysA, partsA, xsB, ysB, partsB): the DE-9IM
+  * predicate menu (intersects/within/contains/covers/coveredBy/
+  * touches/crosses/overlaps/equals) the reference evaluates per pair
+  * in IsolateVectorFeaturesByLocation.java:360-726, delegated to JTS
+  * exactly as the reference does. */
+case class StPred(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 7)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else GeoEval.stPred(vs(0).asInstanceOf[Int],
+      vs(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(2).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(3).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(4).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(5).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vs(6).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -348,6 +374,10 @@ object GeoFunctions {
                    xsB: Column, ysB: Column, partsB: Column): Column =
     c(OverlayGeom(Seq(x(op), x(xsA), x(ysA), x(partsA), x(xsB), x(ysB),
       x(partsB))))
+  def st_pred(pred: Column, xsA: Column, ysA: Column, partsA: Column,
+              xsB: Column, ysB: Column, partsB: Column): Column =
+    c(StPred(Seq(x(pred), x(xsA), x(ysA), x(partsA), x(xsB), x(ysB),
+      x(partsB))))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {
@@ -380,5 +410,7 @@ object GeoFunctions {
       es => ClipAreaRect(es), "built-in")
     reg.createOrReplaceTempFunction("overlay_geom",
       es => OverlayGeom(es), "built-in")
+    reg.createOrReplaceTempFunction("st_pred",
+      es => StPred(es), "built-in")
   }
 }

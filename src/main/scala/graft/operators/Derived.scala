@@ -153,6 +153,17 @@ object Derived {
       |  (CAST(2 AS BIGINT), CAST(-120.005 AS DOUBLE), CAST(-30.005 AS DOUBLE), CAST(-60.005 AS DOUBLE), CAST(30.005 AS DOUBLE))
       |) AS z(fid, min_x, min_y, max_x, max_y)""".stripMargin
 
+  /** Integer-cornered rectangle aligned with the lattice squares so
+    * edge-touching pairs actually occur (DE-9IM `touches` oracle). */
+  def touchZone(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((3L, Array(-96.0, -96.0, -60.0, -60.0),
+        Array(-66.0, -30.0, -30.0, -66.0), Array(0)))
+      .toDF("fid", "xs", "ys", "parts")
+      .withColumn("min_x", lit(-96.0)).withColumn("min_y", lit(-66.0))
+      .withColumn("max_x", lit(-60.0)).withColumn("max_y", lit(-30.0))
+  }
+
   /** Disjoint lattice squares (side 4, pitch 10) for the dissolve
     * oracle; distinct suppliers can collide on a lattice cell, which
     * exercises duplicate merging. */

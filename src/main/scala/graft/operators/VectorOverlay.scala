@@ -112,6 +112,39 @@ object VectorOverlay {
   }
 
   /**
+   * DE-9IM predicate evaluation per candidate pair — evaluates the
+   * whole predicate menu the reference parses at
+   * IsolateVectorFeaturesByLocation.java:240-262 in ONE pass over the
+   * cell-keyed candidates. Output: (a_fid, b_fid) + one boolean per
+   * requested predicate (named by caller).
+   */
+  def predicatePairs(a: DataFrame, b: DataFrame, res: Int,
+                     preds: Seq[(String, Int)]): DataFrame = {
+    val base = candidatePairs(a, b, res)
+    val withPreds = preds.foldLeft(base) { case (df, (name, code)) =>
+      df.withColumn(name, st_pred(lit(code), col("xs"), col("ys"),
+        col("parts"), col("b_xs"), col("b_ys"), col("b_parts")))
+    }
+    withPreds.select((col("fid").as("a_fid") +: col("b_fid") +:
+      preds.map(p => col(p._1))): _*)
+  }
+
+  /**
+   * Spatial predicate SEMI / ANTI join — the reference's "isolate" vs
+   * "remove features from" modes (IsolateVectorFeaturesByLocation
+   * .java:232-236): keep data features that match (semi) or don't
+   * match (anti) some feature of `b` under the predicate.
+   */
+  def predicateJoin(a: DataFrame, b: DataFrame, res: Int, pred: Int,
+                    anti: Boolean): DataFrame = {
+    val matched = candidatePairs(a, b, res)
+      .where(st_pred(lit(pred), col("xs"), col("ys"), col("parts"),
+        col("b_xs"), col("b_ys"), col("b_parts")))
+      .select("fid").distinct()
+    a.join(matched, Seq("fid"), if (anti) "left_anti" else "left_semi")
+  }
+
+  /**
    * Clip (Clip.java:240-460): each data feature intersected with the
    * UNION of the clip polygons overlapping it (the reference unions
    * the clip region first, :253-296). Features outside every clip
