@@ -465,6 +465,167 @@ object SparkEntry {
           .as("bv"))
     }),
 
+    // ---- raster-stack / utility tools (§2.2, §2.8) ----
+
+    // HighestPosition/LowestPosition (first strict max/min, 0-based,
+    // Scripts/HighestPosition.groovy:137-147) + PercentGreaterThan
+    "geo_stack_position" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      val hi = when(col("v2") > col("v1"),
+          when(col("v3") > col("v2"), 2L).otherwise(1L))
+        .otherwise(when(col("v3") > col("v1"), 2L).otherwise(0L))
+      val lo = when(col("v2") < col("v1"),
+          when(col("v3") < col("v2"), 2L).otherwise(1L))
+        .otherwise(when(col("v3") < col("v1"), 2L).otherwise(0L))
+      val gt = (when(col("v1") > 50.0, 1).otherwise(0) +
+        when(col("v2") > 50.0, 1).otherwise(0) +
+        when(col("v3") > 50.0, 1).otherwise(0))
+      st.select(col("r"), col("c"), hi.as("hi_pos"), lo.as("lo_pos"),
+        round(gt * 100.0 / 3.0, 4).as("pct_gt"))
+    }),
+
+    // Resample nearest-neighbour (ImageProcessing/Resample.java NN arm)
+    "geo_resample_nn" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val t = s.range(4000).select(
+        expr("id DIV 100").as("i"), (col("id") % 100).as("j"))
+        .withColumn("sr", expr("i * CAST(0.9 AS DOUBLE) + CAST(0.3 AS DOUBLE)"))
+        .withColumn("sc", expr("j * CAST(0.45 AS DOUBLE) + CAST(0.2 AS DOUBLE)"))
+        .withColumn("rn", expr("CAST(floor(sr + 0.5) AS BIGINT)"))
+        .withColumn("cn", expr("CAST(floor(sc + 0.5) AS BIGINT)"))
+      t.join(g, col("rn") === g("r") && col("cn") === g("c"))
+        .select(col("i"), col("j"), col("v").as("nv"))
+    }),
+
+    // Mosaic (ImageProcessingTools/Mosaic.java): later image wins
+    "geo_mosaic" -> ((s, dir) => {
+      val a = Derived.partGrid(s, dir)
+      val b = Derived.partGrid(s, dir).select((col("r") + 17).as("r"),
+        (col("c") + 23).as("c"), (col("v") + 500.0).as("bv"))
+      a.join(b, Seq("r", "c"), "full_outer")
+        .select(col("r"), col("c"),
+          coalesce(col("bv"), col("v")).as("mv"))
+    }),
+
+    // FlipImage (vertical)
+    "geo_flip" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      g.select((lit(39) - col("r")).as("r"), col("c"), col("v"))
+    }),
+
+    // Seeded random raster (RandomField semantics, deterministic by
+    // cell id so partitioning cannot change values)
+    "geo_random_field" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      g.select(col("r"), col("c"),
+        (((col("r") * 50 + col("c")) * 2654435761L + 12345L) % 1000003L)
+          .cast("double").divide(1000003.0).as("u"))
+    }),
+
+    // Medoid (Scripts/Medoid.groovy:145-180): 2-D median then the
+    // nearest point, per zone
+    "geo_medoid" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val cell = latlng_to_cell(pts("y"), pts("x"), lit(5))
+      val zoned = pts.select(col("id"), col("x"), col("y"),
+        (cell_lat_bin(cell) * 64 + cell_lon_bin(cell)).as("zone"))
+      val meds = zoned.groupBy("zone").agg(
+        sort_array(collect_list(col("x"))).as("xsArr"),
+        sort_array(collect_list(col("y"))).as("ysArr"),
+        count(lit(1)).as("n"))
+        .select(col("zone"),
+          when(col("n") % 2 === 0,
+            (element_at(col("xsArr"), (col("n") / 2).cast("int")) +
+              element_at(col("xsArr"), (col("n") / 2 + 1).cast("int"))) / 2)
+            .otherwise(element_at(col("xsArr"),
+              ((col("n") + 1) / 2).cast("int"))).as("medx"),
+          when(col("n") % 2 === 0,
+            (element_at(col("ysArr"), (col("n") / 2).cast("int")) +
+              element_at(col("ysArr"), (col("n") / 2 + 1).cast("int"))) / 2)
+            .otherwise(element_at(col("ysArr"),
+              ((col("n") + 1) / 2).cast("int"))).as("medy"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("zone")
+        .orderBy(col("d2").asc, col("id").asc)
+      zoned.join(meds, Seq("zone"))
+        .withColumn("d2", (col("x") - col("medx")) * (col("x") - col("medx")) +
+          (col("y") - col("medy")) * (col("y") - col("medy")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("zone"), col("id").as("medoid_id"))
+    }),
+
+    // CompareImagesForDifferences (StatsTools, :315-334): paired t
+    "geo_ttest" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      val d = st.select((col("v1") - col("v2")).as("d"))
+      d.agg(sum(col("d")).as("total"),
+          sum(col("d") * col("d")).as("sq"), count(lit(1)).as("n"))
+        .select(col("n"),
+          round(col("total") / col("n"), 6).as("mean_diff"),
+          round((col("total") / col("n")) /
+            (sqrt((col("n") * col("sq") - col("total") * col("total")) /
+              (col("n") * (col("n") - 1))) / sqrt(col("n"))), 6).as("t"))
+    }),
+
+    // KappaIndex (StatsTools/KappaIndex.java): agreement from the
+    // contingency table of two categorical maps
+    "geo_kappa" -> ((s, dir) => {
+      val c = Derived.table(s, dir, "customer")
+      val ab = c.select((c("c_nationkey") % 5).as("a"),
+        (c("c_custkey") * 7919 % 5).as("b"))
+      val tot = ab.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("diag"))
+      val rows = ab.groupBy("a").agg(count(lit(1)).as("ra"))
+      val cols = ab.groupBy("b").agg(count(lit(1)).as("cb"))
+      val pes = rows.join(cols, col("a") === col("b"))
+        .agg(sum(col("ra") * col("cb")).as("pesum"))
+      tot.crossJoin(broadcast(pes)).select(col("n"),
+        round(col("diag") / col("n"), 6).as("po"),
+        round((col("diag") / col("n") - col("pesum") / (col("n") * col("n"))) /
+          (lit(1.0) - col("pesum") / (col("n") * col("n"))), 6).as("kappa"))
+    }),
+
+    // NearestNeighbourAnalysis (Scripts/NearestNeighbourAnalysis
+    // .groovy, Clark-Evans): observed vs expected mean NN distance
+    "geo_clark_evans" -> ((s, dir) => {
+      val pts = Derived.customerPoints(s, dir)
+      val probe = pts.select(col("id").as("pid"), col("x").as("px0"),
+        col("y").as("py0"))
+      val build = pts.select(col("id").as("bid"), col("x").as("bx0"),
+        col("y").as("by0"))
+      val nn = SpatialJoins.knnJoin(probe, build, 2, probeId = "pid",
+          buildId = "bid", px = "px0", py = "py0", bx = "bx0",
+          by = "by0")
+        .where(col("pid") =!= col("bid"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("pid")
+            .orderBy(col("rnk"))))
+        .where(col("rn") === 1)
+      val bbox = pts.agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      nn.agg(sum(sqrt(col("dist2"))).as("sd"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(bbox.select(
+          ((col("x1") - col("x0")) * (col("y1") - col("y0"))).as("area"))))
+        .select(col("n"),
+          round(col("sd") / col("n"), 6).as("robs"),
+          round(lit(0.5) / sqrt(col("n") / col("area")), 6).as("rexp"),
+          round((col("sd") / col("n")) /
+            (lit(0.5) / sqrt(col("n") / col("area"))), 6).as("ratio"))
+    }),
+
+    // WKT export -> import round-trip (ExportWellKnownText /
+    // ImportWellKnownText); area and vertex count survive
+    "geo_wkt_roundtrip" -> ((s, dir) => {
+      val sq = Derived.supplierSquares(s, dir)
+      val rt = sq.withColumn("g", from_wkt(to_wkt(col("xs"), col("ys"),
+        col("parts"))))
+      rt.select(col("fid"),
+        round(polygon_area(col("g.xs"), col("g.ys"), col("g.parts")), 6)
+          .as("area"),
+        size(col("g.xs")).cast("long").as("nv"),
+        size(col("g.parts")).cast("long").as("nparts"))
+    }),
+
     // ---- vector geometry via JTS (buffer / clip) ----
 
     "geo_buffer_area" -> ((s, dir) => {
@@ -1407,6 +1568,102 @@ object SparkEntry {
          |JOIN g g01 ON g01.r = t2.r0 AND g01.c = t2.c0 + 1
          |JOIN g g10 ON g10.r = t2.r0 + 1 AND g10.c = t2.c0
          |JOIN g g11 ON g11.r = t2.r0 + 1 AND g11.c = t2.c0 + 1""".stripMargin,
+
+    "geo_stack_position" ->
+      s"""WITH st AS (${Derived.partStackSql})
+         |SELECT r, c,
+         |  CAST(CASE WHEN v2 > v1 THEN (CASE WHEN v3 > v2 THEN 2 ELSE 1 END)
+         |       ELSE (CASE WHEN v3 > v1 THEN 2 ELSE 0 END) END AS BIGINT) AS hi_pos,
+         |  CAST(CASE WHEN v2 < v1 THEN (CASE WHEN v3 < v2 THEN 2 ELSE 1 END)
+         |       ELSE (CASE WHEN v3 < v1 THEN 2 ELSE 0 END) END AS BIGINT) AS lo_pos,
+         |  round(((CASE WHEN v1 > 50.0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN v2 > 50.0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN v3 > 50.0 THEN 1 ELSE 0 END)) * 100.0 / 3.0, 4) AS pct_gt
+         |FROM st""".stripMargin,
+
+    "geo_resample_nn" ->
+      s"""WITH g AS ($GRID),
+         |t AS (SELECT x // 100 AS i, x % 100 AS j,
+         |  CAST(floor((x // 100) * CAST(0.9 AS DOUBLE) + CAST(0.3 AS DOUBLE) + 0.5) AS BIGINT) AS rn,
+         |  CAST(floor((x % 100) * CAST(0.45 AS DOUBLE) + CAST(0.2 AS DOUBLE) + 0.5) AS BIGINT) AS cn
+         |  FROM range(4000) AS rt(x))
+         |SELECT t.i, t.j, g.v AS nv
+         |FROM t JOIN g ON g.r = t.rn AND g.c = t.cn""".stripMargin,
+
+    "geo_mosaic" ->
+      s"""WITH g AS ($GRID),
+         |b AS (SELECT r + 17 AS r, c + 23 AS c, v + 500.0 AS bv FROM g)
+         |SELECT COALESCE(g.r, b.r) AS r, COALESCE(g.c, b.c) AS c,
+         |  COALESCE(b.bv, g.v) AS mv
+         |FROM g FULL OUTER JOIN b ON b.r = g.r AND b.c = g.c""".stripMargin,
+
+    "geo_flip" ->
+      s"""WITH g AS ($GRID)
+         |SELECT 39 - r AS r, c, v FROM g""".stripMargin,
+
+    "geo_random_field" ->
+      s"""WITH g AS ($GRID)
+         |SELECT r, c,
+         |  CAST(((r * 50 + c) * 2654435761 + 12345) % 1000003 AS DOUBLE) / CAST(1000003.0 AS DOUBLE) AS u
+         |FROM g""".stripMargin,
+
+    "geo_medoid" ->
+      s"""WITH pts AS ($PTS),
+         |zoned AS (SELECT id, x, y,
+         |  LEAST(GREATEST(CAST(floor((y + 90.0) / 180.0 * 32) AS BIGINT), 0), 31) * 64
+         |  + ((CAST(floor((x + 180.0) / 360.0 * 64) AS BIGINT) % 64) + 64) % 64 AS zone
+         |  FROM pts),
+         |meds AS (SELECT zone, list_sort(list(x)) AS xa,
+         |  list_sort(list(y)) AS ya, count(*) AS n FROM zoned GROUP BY zone),
+         |med2 AS (SELECT zone,
+         |  CASE WHEN n % 2 = 0 THEN (xa[n // 2] + xa[n // 2 + 1]) / 2
+         |       ELSE xa[(n + 1) // 2] END AS medx,
+         |  CASE WHEN n % 2 = 0 THEN (ya[n // 2] + ya[n // 2 + 1]) / 2
+         |       ELSE ya[(n + 1) // 2] END AS medy
+         |  FROM meds),
+         |ranked AS (SELECT z.zone, z.id,
+         |  ROW_NUMBER() OVER (PARTITION BY z.zone
+         |    ORDER BY (z.x - m.medx) * (z.x - m.medx) + (z.y - m.medy) * (z.y - m.medy), z.id) AS rn
+         |  FROM zoned z JOIN med2 m ON m.zone = z.zone)
+         |SELECT zone, id AS medoid_id FROM ranked WHERE rn = 1""".stripMargin,
+
+    "geo_ttest" ->
+      s"""WITH st AS (${Derived.partStackSql}),
+         |d AS (SELECT v1 - v2 AS d FROM st),
+         |agg AS (SELECT sum(d) AS total, sum(d * d) AS sq, count(*) AS n FROM d)
+         |SELECT n, round(total / n, 6) AS mean_diff,
+         |  round((total / n) / (sqrt((n * sq - total * total) / (n * (n - 1))) / sqrt(n)), 6) AS t
+         |FROM agg""".stripMargin,
+
+    "geo_kappa" ->
+      """WITH ab AS (SELECT c_nationkey % 5 AS a, (c_custkey * 7919) % 5 AS b FROM customer),
+        |tot AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS diag FROM ab),
+        |ra AS (SELECT a, count(*) AS ra FROM ab GROUP BY a),
+        |cb AS (SELECT b, count(*) AS cb FROM ab GROUP BY b),
+        |pes AS (SELECT CAST(sum(ra.ra * cb.cb) AS BIGINT) AS pesum FROM ra JOIN cb ON cb.b = ra.a)
+        |SELECT n, round(CAST(diag AS DOUBLE) / n, 6) AS po,
+        |  round((CAST(diag AS DOUBLE) / n - CAST(pesum AS DOUBLE) / (n * n)) /
+        |    (CAST(1.0 AS DOUBLE) - CAST(pesum AS DOUBLE) / (n * n)), 6) AS kappa
+        |FROM tot CROSS JOIN pes""".stripMargin,
+
+    "geo_clark_evans" ->
+      s"""WITH pts AS ($PTS),
+         |nn AS (SELECT a.id, min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d2
+         |  FROM pts a JOIN pts b ON b.id <> a.id GROUP BY a.id),
+         |agg AS (SELECT sum(sqrt(d2)) AS sd, count(*) AS n FROM nn),
+         |bb AS (SELECT (max(x) - min(x)) * (max(y) - min(y)) AS area FROM pts)
+         |SELECT n, round(sd / n, 6) AS robs,
+         |  round(0.5 / sqrt(n / area), 6) AS rexp,
+         |  round((sd / n) / (0.5 / sqrt(n / area)), 6) AS ratio
+         |FROM agg CROSS JOIN bb""".stripMargin,
+
+    "geo_wkt_roundtrip" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql})
+         |SELECT fid,
+         |  round((max_x - min_x) * (max_y - min_y), 6) AS area,
+         |  CAST(4 AS BIGINT) AS nv, CAST(1 AS BIGINT) AS nparts
+         |FROM sq""".stripMargin,
 
     "geo_buffer_area" ->
       s"""WITH s AS ($SPTS)

@@ -169,6 +169,15 @@ object Jts {
     case other => throw new IllegalArgumentException(s"op $other")
   }
 
+  /** WKT export/import (ImportExport/ExportWellKnownText.java,
+    * Scripts/ImportWellKnownText.groovy — JTS WKT delegation). */
+  def toWkt(xs: Array[Double], ys: Array[Double],
+            parts: Array[Int]): String =
+    new org.locationtech.jts.io.WKTWriter().write(toGeometry(xs, ys, parts))
+
+  def fromWkt(wkt: String): Geometry =
+    new org.locationtech.jts.io.WKTReader(gf).read(wkt)
+
   /** Dissolve: n-ary union (BufferVector's implicit dissolve /
     * Union.java coverage union semantics). */
   def unionAll(gs: Iterable[Geometry]): Geometry =

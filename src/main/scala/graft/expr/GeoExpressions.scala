@@ -339,6 +339,44 @@ case class StPred(children: Seq[Expression]) extends Expression
     copy(children = newChildren)
 }
 
+/** to_wkt(xs, ys, parts) -> WKT string (ExportWellKnownText.java
+  * delegation to JTS WKTWriter). */
+case class ToWkt(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.core.Jts.toWkt(
+        a.asInstanceOf[ArrayData].toDoubleArray(),
+        b.asInstanceOf[ArrayData].toDoubleArray(),
+        c.asInstanceOf[ArrayData].toIntArray()))
+  }
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** from_wkt(wkt) -> struct(xs, ys, parts) in shapefile winding
+  * (ImportWellKnownText.groovy delegation to JTS WKTReader). */
+case class FromWkt(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("xs", ArrayType(DoubleType, containsNull = false)),
+    StructField("ys", ArrayType(DoubleType, containsNull = false)),
+    StructField("parts", ArrayType(IntegerType, containsNull = false))))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(w: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val g = graft.core.Jts.fromWkt(w.toString)
+    val (xs, ys, parts) = graft.core.Jts.toPartsArrays(g)
+    new GenericInternalRow(Array[Any](ArrayData.toArrayData(xs),
+      ArrayData.toArrayData(ys), ArrayData.toArrayData(parts)))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -378,6 +416,9 @@ object GeoFunctions {
               xsB: Column, ysB: Column, partsB: Column): Column =
     c(StPred(Seq(x(pred), x(xsA), x(ysA), x(partsA), x(xsB), x(ysB),
       x(partsB))))
+  def to_wkt(xs: Column, ys: Column, parts: Column): Column =
+    c(ToWkt(x(xs), x(ys), x(parts)))
+  def from_wkt(wkt: Column): Column = c(FromWkt(x(wkt)))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {

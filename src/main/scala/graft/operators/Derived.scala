@@ -271,6 +271,27 @@ object Derived {
     ("es", Seq("slow", "agg", "merge", "vector")),
     ("zh", Seq("join", "small", "customer", "column")))
 
+  /** Three-band raster stack on the partGrid lattice (multiband /
+    * raster-list tools: HighestPosition, PickFromList, Mosaic,
+    * CompareImagesForDifferences). */
+  def partStack(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    p.select(
+      (p("p_partkey") % 40).as("r"),
+      expr("p_partkey DIV 40").as("c"),
+      ((p("p_partkey") * 37 % 1000) / lit(10.0)).as("v1"),
+      ((p("p_partkey") * 53 % 1000) / lit(10.0)).as("v2"),
+      ((p("p_partkey") * 97 % 1000) / lit(10.0)).as("v3"))
+      .where(col("c") < 50)
+  }
+
+  val partStackSql: String =
+    """SELECT p_partkey % 40 AS r, p_partkey // 40 AS c,
+      |  ((p_partkey * 37) % 1000) / CAST(10.0 AS DOUBLE) AS v1,
+      |  ((p_partkey * 53) % 1000) / CAST(10.0 AS DOUBLE) AS v2,
+      |  ((p_partkey * 97) % 1000) / CAST(10.0 AS DOUBLE) AS v3
+      |FROM part WHERE p_partkey // 40 < 50""".stripMargin
+
   val partGridSql: String =
     """SELECT p_partkey % 40 AS r, p_partkey // 40 AS c,
       |  ((p_partkey * 37) % 1000) / CAST(10.0 AS DOUBLE) AS v
