@@ -320,6 +320,46 @@ object SparkEntry {
     "geo_watershed" -> ((s, dir) =>
       operators.Terrain.watershed(Derived.partGrid(s, dir), width = 50)),
 
+    "geo_pennock" -> ((s, dir) =>
+      operators.Terrain.pennockLandform(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    "geo_horizon_angle" -> ((s, dir) =>
+      operators.Terrain.horizonAngleEast(Derived.partGrid(s, dir))),
+
+    "geo_dev_from_mean" -> ((s, dir) =>
+      operators.Focal.deviationFromMean(Derived.partGrid(s, dir), 2,
+        reflect = false, GridRows, GridCols)),
+
+    // WeightedOverlay / NDVI band math (§2.9)
+    "geo_weighted_overlay" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      st.select(col("r"), col("c"),
+        round(col("v1") * 0.5 + col("v2") * 0.3 + col("v3") * 0.2, 6)
+          .as("wsum"),
+        when(col("v1") + col("v2") =!= 0,
+          round((col("v1") - col("v2")) / (col("v1") + col("v2")), 6))
+          .as("ndvi"))
+    }),
+
+    // SnapPourPoints (HydroTools/SnapPourPoints.java): move each pour
+    // point to the max-accumulation cell within Chebyshev radius 3
+    "geo_snap_pour" -> ((s, dir) => {
+      val acc = operators.Terrain.flowAccumD8(Derived.partGrid(s, dir))
+      val pour = Derived.table(s, dir, "supplier")
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("pp_id"),
+          (col("s_suppkey") * 11 % 40).as("pr"),
+          (col("s_suppkey") * 17 % 50).as("pc"))
+      pour.join(acc,
+          abs(col("r") - col("pr")) <= 3 && abs(col("c") - col("pc")) <= 3)
+        .groupBy("pp_id")
+        .agg(max_by(struct(col("r"), col("c")),
+          struct(col("n_upslope"), -col("r"), -col("c"))).as("best"))
+        .select(col("pp_id"), col("best.r").as("sr"),
+          col("best.c").as("sc"))
+    }),
+
     // ---- stream-network family (§2.10) ----
 
     "geo_stream_extract" -> ((s, dir) =>
@@ -1461,6 +1501,74 @@ object SparkEntry {
          |hit AS (SELECT w.sr AS r, w.sc AS c, w.r * 50 + w.c AS sink_id
          |  FROM walk w JOIN sinks s ON s.r = w.r AND s.c = w.c)
          |SELECT r, c, sink_id FROM hit""".stripMargin,
+
+    "geo_pennock" -> {
+      val slope = s"atan(sqrt(($FxSql) * ($FxSql) + ($FySql) * ($FySql))) * $RadToDegLit"
+      s"""WITH g AS ($GRID),
+         |$surfaceSql,
+         |f AS (SELECT nb.r, nb.c, $slope AS slope,
+         |  CASE WHEN st2.p <> 0 THEN
+         |  (st2.zxx * st2.zx2 + 2 * st2.zxy * st2.zx * st2.zy + st2.zyy * st2.zy2)
+         |    * (-1.0) / pow(st2.p * (st2.p + 1), 1.5) * $RadToDegLit END AS prof,
+         |  CASE WHEN st2.p <> 0 THEN
+         |  (st2.zxx * st2.zy2 - 2 * st2.zxy * st2.zx * st2.zy + st2.zyy * st2.zx2)
+         |    / pow(st2.p, 1.5) * $RadToDegLit END AS plan
+         |  FROM nb JOIN st2 ON st2.r = nb.r AND st2.c = nb.c),
+         |cl AS (SELECT r, c, CAST(CASE
+         |  WHEN prof < -0.1 AND plan <= -0.1 AND slope > 3.0 THEN 1
+         |  WHEN prof < -0.1 AND plan > 0.1 AND slope > 3.0 THEN 2
+         |  WHEN prof > 0.1 AND plan <= 0.1 AND slope > 3.0 THEN 3
+         |  WHEN prof > 0.1 AND plan > 0.1 AND slope > 3.0 THEN 4
+         |  WHEN prof >= -0.1 AND prof < 0.1 AND slope > 3.0 AND plan <= -0.1 THEN 5
+         |  WHEN prof >= -0.1 AND prof < 0.1 AND slope > 3.0 AND plan > 0.1 THEN 6
+         |  WHEN slope <= 3.0 THEN 7 END AS BIGINT) AS cls FROM f)
+         |SELECT r, c, cls FROM cl WHERE cls IS NOT NULL""".stripMargin
+    },
+
+    "geo_horizon_angle" ->
+      s"""WITH g AS ($GRID)
+         |SELECT a.r, a.c,
+         |  round(atan(max((b.v - a.v) / CAST(b.c - a.c AS DOUBLE))), 6) AS ha
+         |FROM g a JOIN g b ON b.r = a.r AND b.c > a.c
+         |GROUP BY a.r, a.c""".stripMargin,
+
+    "geo_dev_from_mean" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = false)},
+         |agg AS (SELECT r, c, first(cz) AS z, sum(nv) AS s,
+         |  sum(nv * nv) AS ss, count(*) AS n
+         |  FROM con GROUP BY r, c),
+         |a2 AS (SELECT r, c, z, s / n AS avg0, ss, n FROM agg WHERE n > 2)
+         |SELECT r, c, round(z - avg0, 6) AS diff_mean,
+         |  CASE WHEN ss / n - avg0 * avg0 > 0 THEN
+         |    round((z - avg0) / sqrt(ss / n - avg0 * avg0), 6) END AS dev_mean
+         |FROM a2""".stripMargin,
+
+    "geo_weighted_overlay" ->
+      s"""WITH st AS (${Derived.partStackSql})
+         |SELECT r, c,
+         |  round(v1 * 0.5 + v2 * 0.3 + v3 * 0.2, 6) AS wsum,
+         |  CASE WHEN v1 + v2 <> 0 THEN round((v1 - v2) / (v1 + v2), 6) END AS ndvi
+         |FROM st""".stripMargin,
+
+    "geo_snap_pour" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |reach AS (SELECT r AS sr, c AS sc, tr, tc FROM e
+         |  UNION SELECT x.sr, x.sc, e.tr, e.tc
+         |  FROM reach x JOIN e ON x.tr = e.r AND x.tc = e.c),
+         |acc AS (SELECT tr, tc, count(*) AS k FROM reach GROUP BY tr, tc),
+         |fa AS MATERIALIZED (SELECT g.r, g.c, 1 + COALESCE(a.k, 0) AS n
+         |  FROM g LEFT JOIN acc a ON a.tr = g.r AND a.tc = g.c),
+         |pour AS (SELECT s_suppkey AS pp_id, (s_suppkey * 11) % 40 AS pr,
+         |  (s_suppkey * 17) % 50 AS pc FROM supplier WHERE s_suppkey <= 5),
+         |ranked AS (SELECT p.pp_id, f.r, f.c,
+         |  ROW_NUMBER() OVER (PARTITION BY p.pp_id
+         |    ORDER BY f.n DESC, f.r ASC, f.c ASC) AS rn
+         |  FROM pour p JOIN fa f
+         |    ON abs(f.r - p.pr) <= 3 AND abs(f.c - p.pc) <= 3)
+         |SELECT pp_id, r AS sr, c AS sc FROM ranked WHERE rn = 1""".stripMargin,
 
     "geo_stream_extract" ->
       s"""WITH RECURSIVE g AS ($GRID),

@@ -177,6 +177,26 @@ object Focal {
         round((col("s") - col("mn") - col("mx")) / (col("n") - 2), 6)
           .as("oly"))
 
+  /** DeviationFromMeanElevation / DifferenceFromMeanElevation
+    * (TerrainAnalysisTools, :296-303): diff = z - focal mean; dev =
+    * diff / population stddev (sqrt(sumsq/n - avg^2)), NoData when
+    * n <= 2. (The reference's accidental exclusion of the mid row/col
+    * band, :284, is not reproduced.) */
+  def deviationFromMean(grid: DataFrame, radius: Int, reflect: Boolean,
+                        nRows: Long, nCols: Long): DataFrame =
+    stats(grid, radius, reflect, nRows, nCols)(
+      sum(col("nv")).as("s"),
+      sum(col("nv") * col("nv")).as("ss"),
+      count(lit(1)).as("n"))
+      .where(col("n") > 2)
+      .withColumn("avg0", col("s") / col("n"))
+      .withColumn("var0", col("ss") / col("n") - col("avg0") * col("avg0"))
+      .select(col("r"), col("c"),
+        round(col("z") - col("avg0"), 6).as("diff_mean"),
+        when(col("var0") > 0,
+          round((col("z") - col("avg0")) / sqrt(col("var0")), 6))
+          .as("dev_mean"))
+
   // ---- convolutions -------------------------------------------------
 
   /** A kernel is (dy, dx, weight) triples. */

@@ -393,6 +393,86 @@ object Terrain {
       .toDF("r", "c", "n_upslope")
   }
 
+  /**
+   * Pennock landform classification (TerrainAnalysisTools/
+   * Pennocks_Landform_Classification.java:290-325): slope (degrees)
+   * + profile/plan curvature thresholds -> classes 1-7 (convergent/
+   * divergent foot/shoulder/back slopes, level). Flat cells (p = 0)
+   * produce NaN curvatures whose comparisons are all false, falling
+   * through to Level when slope <= threshold — reproduced exactly.
+   */
+  def pennockLandform(grid: DataFrame, nRows: Long, nCols: Long,
+                      slopeT: Double = 3.0, profT: Double = 0.1,
+                      planT: Double = 0.1): DataFrame = {
+    val st = fxFy(surfaceTerms(grid, nRows, nCols))
+      .withColumn("p", col("zx2") + col("zy2"))
+    val slope = atan(sqrt(col("fx") * col("fx") + col("fy") * col("fy"))) *
+      RadToDeg
+    // flat cells (p = 0) would divide by zero; the reference's NaN
+    // comparisons are all false — a null curvature behaves identically
+    val prof = when(col("p") =!= 0, (col("zxx") * col("zx2") +
+      lit(2) * col("zxy") * col("zx") * col("zy") +
+      col("zyy") * col("zy2")) *
+      lit(-1.0) / pow(col("p") * (col("p") + 1), 1.5) * RadToDeg)
+    val plan = when(col("p") =!= 0, (col("zxx") * col("zy2") -
+      lit(2) * col("zxy") * col("zx") * col("zy") +
+      col("zyy") * col("zx2")) / pow(col("p"), 1.5) * RadToDeg)
+    st.withColumn("slope", slope)
+      .withColumn("prof", prof)
+      .withColumn("plan", plan)
+      .withColumn("cls",
+        when(col("prof") < -profT && col("plan") <= -planT &&
+          col("slope") > slopeT, 1L)
+        .when(col("prof") < -profT && col("plan") > planT &&
+          col("slope") > slopeT, 2L)
+        .when(col("prof") > profT && col("plan") <= planT &&
+          col("slope") > slopeT, 3L)
+        .when(col("prof") > profT && col("plan") > planT &&
+          col("slope") > slopeT, 4L)
+        .when(col("prof") >= -profT && col("prof") < profT &&
+          col("slope") > slopeT && col("plan") <= -planT, 5L)
+        .when(col("prof") >= -profT && col("prof") < profT &&
+          col("slope") > slopeT && col("plan") > planT, 6L)
+        .when(col("slope") <= slopeT, 7L))
+      .where(col("cls").isNotNull)
+      .select(col("r"), col("c"), col("cls"))
+  }
+
+  /**
+   * HorizonAngle, due-east azimuth (TerrainAnalysisTools/
+   * HorizonAngle.java sweep semantics): per cell, atan of the max
+   * elevation-over-distance ratio among cells east of it in its row;
+   * cells with nothing east emit no row. Per-row array scan — one
+   * shuffle on the row key.
+   */
+  def horizonAngleEast(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.select(col("r"), col("c"), col("v"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (r, it) =>
+        val cells = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        for {
+          i <- cells.indices.iterator
+          maxSlope = {
+            var m = Double.NegativeInfinity
+            var j = i + 1
+            while (j < cells.length) {
+              val s = (cells(j)._2 - cells(i)._2) /
+                (cells(j)._1 - cells(i)._1).toDouble
+              if (s > m) m = s
+              j += 1
+            }
+            m
+          }
+          if maxSlope > Double.NegativeInfinity
+        } yield (r, cells(i)._1, math.atan(maxSlope))
+      }
+      .toDF("r", "c", "ha0")
+      .select(col("r"), col("c"), round(col("ha0"), 6).as("ha"))
+  }
+
   /** Decoded D8 edges (r, c) -> (tr, tc) for flowing cells. */
   private[graft] def d8Edges(grid: DataFrame): DataFrame = {
     val ptr = d8Pointer(grid)
