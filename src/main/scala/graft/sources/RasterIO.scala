@@ -156,6 +156,291 @@ object RasterIO {
     Files.write(Paths.get(path), sb.toString.getBytes(UTF_8))
   }
 
+  // ---- ESRI ArcGrid float binary (.flt + .hdr) -----------------------
+  // ImportExport/src/plugins/ImportArcGrid.java semantics: .hdr text
+  // header, float32 row-major data, LSBFIRST default byte order.
+
+  /** Read an ArcGrid .flt/.hdr pair into (r, c, v). */
+  def readArcGridFloat(spark: SparkSession, fltPath: String): DataFrame = {
+    import spark.implicits._
+    val hdrPath = fltPath.stripSuffix(".flt") + ".hdr"
+    val kv = Files.readAllLines(Paths.get(hdrPath)).toArray
+      .map(_.toString.trim).filter(_.nonEmpty)
+      .map { l => val p = l.split("\\s+", 2); p(0).toLowerCase -> p(1) }
+      .toMap
+    val cols = kv("ncols").toInt
+    val noData = kv.getOrElse("nodata_value", "-9999").toDouble
+    val isBig = kv.getOrElse("byteorder", "LSBFIRST").toUpperCase
+      .startsWith("MSB")
+    val bin = spark.read.format("binaryFile").load(fltPath)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val buf = ByteBuffer.wrap(content).order(
+        if (isBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      (0 until content.length / 4).iterator
+        .map(i => ((i / cols).toLong, (i % cols).toLong,
+          buf.getFloat(i * 4).toDouble))
+        .filter(_._3 != noData)
+    }.toDF("r", "c", "v")
+  }
+
+  /** Write (r, c, v) as ArcGrid .flt/.hdr (driver-side, dense). */
+  def writeArcGridFloat(df: DataFrame, rows: Int, cols: Int,
+                        xll: Double, yll: Double, cellSize: Double,
+                        noData: Double, fltPath: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val buf = ByteBuffer.allocate(rows * cols * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for (r <- 0 until rows; c <- 0 until cols)
+      buf.putFloat(cells.getOrElse((r.toLong, c.toLong), noData).toFloat)
+    Files.write(Paths.get(fltPath), buf.array())
+    Files.write(Paths.get(fltPath.stripSuffix(".flt") + ".hdr"),
+      (s"ncols $cols\nnrows $rows\nxllcorner $xll\nyllcorner $yll\n" +
+        s"cellsize $cellSize\nNODATA_value $noData\nbyteorder LSBFIRST\n")
+        .getBytes(UTF_8))
+  }
+
+  // ---- SRTM .hgt ----------------------------------------------------
+  // ImportExport/src/plugins/ImportSRTM.java semantics: square grid of
+  // BIG-endian int16, side = sqrt(n), voids = -32768.
+
+  def readSrtmHgt(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val n = content.length / 2
+      val side = math.sqrt(n.toDouble).toInt
+      val buf = ByteBuffer.wrap(content).order(ByteOrder.BIG_ENDIAN)
+      (0 until n).iterator
+        .map(i => ((i / side).toLong, (i % side).toLong,
+          buf.getShort(i * 2).toDouble))
+        .filter(_._3 != -32768.0)
+    }.toDF("r", "c", "v")
+  }
+
+  def writeSrtmHgt(df: DataFrame, side: Int, path: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val buf = ByteBuffer.allocate(side * side * 2)
+      .order(ByteOrder.BIG_ENDIAN)
+    for (r <- 0 until side; c <- 0 until side)
+      buf.putShort(cells.getOrElse((r.toLong, c.toLong), -32768.0)
+        .toShort)
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  // ---- Surfer ASCII .grd --------------------------------------------
+  // ImportExport/src/plugins/ImportSurferAsciiGrid.java semantics:
+  // DSAA magic, dims, x/y/z ranges, data rows BOTTOM-UP, blank value
+  // 1.70141e38.
+
+  val SurferBlank = 1.70141e38
+
+  def readSurferAscii(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val toks = new String(content, UTF_8).split("\\s+")
+        .filter(_.nonEmpty)
+      require(toks(0) == "DSAA", "not a Surfer ASCII grid")
+      val cols = toks(1).toInt
+      val rows = toks(2).toInt
+      val data = toks.drop(9).map(_.toDouble)
+      // Surfer rows run south-to-north: flip to our north-down rows
+      (0 until rows * cols).iterator.map { i =>
+        val sr = i / cols
+        ((rows - 1 - sr).toLong, (i % cols).toLong, data(i))
+      }.filter(_._3 < SurferBlank)
+    }.toDF("r", "c", "v")
+  }
+
+  def writeSurferAscii(df: DataFrame, rows: Int, cols: Int,
+                       xmin: Double, xmax: Double, ymin: Double,
+                       ymax: Double, path: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vals = cells.values
+    val (zmin, zmax) =
+      if (vals.isEmpty) (0.0, 0.0) else (vals.min, vals.max)
+    val sb = new StringBuilder(s"DSAA\n$cols $rows\n$xmin $xmax\n")
+    sb ++= s"$ymin $ymax\n$zmin $zmax\n"
+    for (sr <- 0 until rows) { // bottom-up
+      val r = rows - 1 - sr
+      sb ++= (0 until cols).map(c =>
+        cells.getOrElse((r.toLong, c.toLong), SurferBlank))
+        .mkString(" ")
+      sb += '\n'
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(UTF_8))
+  }
+
+  // ---- GRASS ASCII --------------------------------------------------
+  // ImportExport/src/plugins/ImportGRASSAsciiGrid.java semantics:
+  // north/south/east/west/rows/cols header lines, then data rows.
+
+  def readGrassAscii(spark: SparkSession, path: String,
+                     noData: Double = -9999.0): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val lines = new String(content, UTF_8).split("\n")
+        .map(_.trim).filter(_.nonEmpty)
+      val (hdr, data) = lines.span(_.contains(":"))
+      val kv = hdr.map { l =>
+        val i = l.indexOf(':')
+        l.take(i).trim.toLowerCase -> l.drop(i + 1).trim
+      }.toMap
+      val nd = kv.get("null").map(_.toDouble).getOrElse(noData)
+      data.iterator.zipWithIndex.flatMap { case (line, r) =>
+        line.split("\\s+").iterator.zipWithIndex.collect {
+          case (tok, c) if tok.toDouble != nd =>
+            (r.toLong, c.toLong, tok.toDouble)
+        }
+      }
+    }.toDF("r", "c", "v")
+  }
+
+  def writeGrassAscii(df: DataFrame, rows: Int, cols: Int,
+                      north: Double, south: Double, east: Double,
+                      west: Double, noData: Double,
+                      path: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sb = new StringBuilder
+    sb ++= s"north: $north\nsouth: $south\neast: $east\nwest: $west\n"
+    sb ++= s"rows: $rows\ncols: $cols\nnull: $noData\n"
+    for (r <- 0 until rows) {
+      sb ++= (0 until cols).map(c =>
+        cells.getOrElse((r.toLong, c.toLong), noData)).mkString(" ")
+      sb += '\n'
+    }
+    Files.write(Paths.get(path), sb.toString.getBytes(UTF_8))
+  }
+
+  // ---- IDRISI .rst/.rdc ---------------------------------------------
+  // ImportExport/src/plugins/ImportIDRISIRaster.java semantics:
+  // .rdc "key : value" metadata, .rst little-endian binary
+  // (real = float32, integer = int16).
+
+  def readIdrisi(spark: SparkSession, rstPath: String): DataFrame = {
+    import spark.implicits._
+    val rdcPath = rstPath.stripSuffix(".rst") + ".rdc"
+    val kv = Files.readAllLines(Paths.get(rdcPath)).toArray
+      .map(_.toString).flatMap { l =>
+        val i = l.indexOf(':')
+        if (i < 0) None
+        else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
+      }.toMap
+    val cols = kv("columns").toInt
+    val isReal = kv("data type").toLowerCase.startsWith("real")
+    val noData = kv.get("flag value").map(_.toDouble)
+      .getOrElse(Double.NaN)
+    val bin = spark.read.format("binaryFile").load(rstPath)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+      val w = if (isReal) 4 else 2
+      (0 until content.length / w).iterator
+        .map { i =>
+          val v = if (isReal) buf.getFloat(i * 4).toDouble
+            else buf.getShort(i * 2).toDouble
+          ((i / cols).toLong, (i % cols).toLong, v)
+        }
+        .filter(t => noData.isNaN || t._3 != noData)
+    }.toDF("r", "c", "v")
+  }
+
+  def writeIdrisi(df: DataFrame, rows: Int, cols: Int, noData: Double,
+                  rstPath: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val buf = ByteBuffer.allocate(rows * cols * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for (r <- 0 until rows; c <- 0 until cols)
+      buf.putFloat(cells.getOrElse((r.toLong, c.toLong), noData).toFloat)
+    Files.write(Paths.get(rstPath), buf.array())
+    Files.write(Paths.get(rstPath.stripSuffix(".rst") + ".rdc"),
+      (s"file format : IDRISI Raster A.1\ndata type   : real\n" +
+        s"file type   : binary\ncolumns     : $cols\nrows        : $rows\n" +
+        s"flag value  : $noData\n").getBytes(UTF_8))
+  }
+
+  // ---- generic multiband BIL / BIP / BSQ ----------------------------
+  // ImportExport/src/plugins/ImportGenericMultibandData.java:
+  // layout-strided float32 decode -> (band, r, c, v).
+
+  def readMultiband(spark: SparkSession, binPath: String, rows: Int,
+                    cols: Int, bands: Int, layout: String,
+                    noData: Double = -9999.0): DataFrame = {
+    import spark.implicits._
+    val lay = layout.toUpperCase
+    val bin = spark.read.format("binaryFile").load(binPath)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+      for {
+        b <- (0 until bands).iterator
+        r <- (0 until rows).iterator
+        c <- (0 until cols).iterator
+        idx = lay match {
+          case "BSQ" => (b * rows + r) * cols + c
+          case "BIL" => (r * bands + b) * cols + c
+          case "BIP" => (r * cols + c) * bands + b
+          case other => sys.error(s"unknown layout $other")
+        }
+        v = buf.getFloat(idx * 4).toDouble
+        if v != noData
+      } yield (b.toLong, r.toLong, c.toLong, v)
+    }.toDF("band", "r", "c", "v")
+  }
+
+  def writeMultiband(df: DataFrame, rows: Int, cols: Int, bands: Int,
+                     layout: String, noData: Double,
+                     binPath: String): Unit = {
+    val cells = df.select("band", "r", "c", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+        x.getDouble(3)).toMap
+    val lay = layout.toUpperCase
+    val buf = ByteBuffer.allocate(bands * rows * cols * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for (b <- 0 until bands; r <- 0 until rows; c <- 0 until cols) {
+      val idx = lay match {
+        case "BSQ" => (b * rows + r) * cols + c
+        case "BIL" => (r * bands + b) * cols + c
+        case "BIP" => (r * cols + c) * bands + b
+      }
+      buf.putFloat(idx * 4,
+        cells.getOrElse((b.toLong, r.toLong, c.toLong), noData).toFloat)
+    }
+    Files.write(Paths.get(binPath), buf.array())
+  }
+
+  /** Templated GML export of polygon features (ExportGML.java
+    * semantics: one gml:featureMember per record, posList ring). */
+  def writeGml(df: DataFrame, path: String): Unit = {
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0" encoding="UTF-8"?>""" + "\n"
+    sb ++= """<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">""" + "\n"
+    df.select("fid", "xs", "ys").collect().foreach { row =>
+      val fid = row.getLong(0)
+      val xs = row.getSeq[Double](1)
+      val ys = row.getSeq[Double](2)
+      val pos = (xs.zip(ys) :+ (xs.head, ys.head))
+        .map { case (x, y) => s"$x $y" }.mkString(" ")
+      sb ++= s"""  <gml:featureMember><feature fid="$fid">"""
+      sb ++= s"""<gml:Polygon><gml:exterior><gml:LinearRing>"""
+      sb ++= s"""<gml:posList>$pos</gml:posList>"""
+      sb ++= "</gml:LinearRing></gml:exterior></gml:Polygon>" +
+        "</feature></gml:featureMember>\n"
+    }
+    sb ++= "</gml:FeatureCollection>\n"
+    Files.write(Paths.get(path), sb.toString.getBytes(UTF_8))
+  }
+
   /** Delimiter auto-detection per InterpolationIDW.java:421-438:
     * try tab, then space(s), then comma on the first data line. */
   def detectDelimiter(firstLine: String): String =

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TestSpark
+
+/** Round-trip specs for the import/export format family (SURVEY §2.1):
+  * write a known grid, read it back, compare cell-exactly. */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val rows = 7
+  val cols = 9
+  // one NoData hole at (2, 3); float32-representable values so the
+  // 4-byte formats round-trip bit-exactly
+  def gridCells: Seq[(Long, Long, Double)] =
+    (for (r <- 0 until rows; c <- 0 until cols if !(r == 2 && c == 3))
+      yield (r.toLong, c.toLong, (r * 10 + c).toDouble / 2.0))
+  def grid = gridCells.toDF("r", "c", "v")
+
+  def collect(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+
+  val want: Map[(Long, Long), Double] =
+    gridCells.map(t => (t._1, t._2) -> t._3).toMap
+
+  test("ArcGrid .flt round-trip") {
+    val dir = Files.createTempDirectory("flt").toString
+    RasterIO.writeArcGridFloat(grid, rows, cols, 0, 0, 1, -9999,
+      s"$dir/g.flt")
+    assert(collect(RasterIO.readArcGridFloat(spark, s"$dir/g.flt"))
+      === want)
+  }
+
+  test("SRTM .hgt round-trip (integer grid)") {
+    val dir = Files.createTempDirectory("hgt").toString
+    val g = (for (r <- 0 until 5; c <- 0 until 5 if !(r == 1 && c == 1))
+      yield (r.toLong, c.toLong, (r * 100 + c).toDouble))
+    RasterIO.writeSrtmHgt(g.toDF("r", "c", "v"), 5, s"$dir/n00e000.hgt")
+    assert(collect(RasterIO.readSrtmHgt(spark, s"$dir/n00e000.hgt"))
+      === g.map(t => (t._1, t._2) -> t._3).toMap)
+  }
+
+  test("Surfer ASCII .grd round-trip (bottom-up rows)") {
+    val dir = Files.createTempDirectory("grd").toString
+    RasterIO.writeSurferAscii(grid, rows, cols, 0, 9, 0, 7,
+      s"$dir/g.grd")
+    assert(collect(RasterIO.readSurferAscii(spark, s"$dir/g.grd"))
+      === want)
+  }
+
+  test("GRASS ASCII round-trip") {
+    val dir = Files.createTempDirectory("grass").toString
+    RasterIO.writeGrassAscii(grid, rows, cols, 7, 0, 9, 0, -9999,
+      s"$dir/g.asc")
+    assert(collect(RasterIO.readGrassAscii(spark, s"$dir/g.asc"))
+      === want)
+  }
+
+  test("IDRISI .rst/.rdc round-trip") {
+    val dir = Files.createTempDirectory("rst").toString
+    RasterIO.writeIdrisi(grid, rows, cols, -9999, s"$dir/g.rst")
+    assert(collect(RasterIO.readIdrisi(spark, s"$dir/g.rst")) === want)
+  }
+
+  test("multiband BIL/BIP/BSQ round-trips agree") {
+    val dir = Files.createTempDirectory("mb").toString
+    val mb = (for (b <- 0 until 3; r <- 0 until 4; c <- 0 until 5)
+      yield (b.toLong, r.toLong, c.toLong,
+        (b * 100 + r * 10 + c).toDouble)).toDF("band", "r", "c", "v")
+    for (layout <- Seq("BIL", "BIP", "BSQ")) {
+      RasterIO.writeMultiband(mb, 4, 5, 3, layout, -9999,
+        s"$dir/g_$layout.bin")
+      val back = RasterIO.readMultiband(spark, s"$dir/g_$layout.bin",
+        4, 5, 3, layout).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+          x.getDouble(3)).toMap
+      assert(back.size === 60, layout)
+      assert(back((2L, 3L, 4L)) === 234.0, layout)
+    }
+  }
+
+  test("LAS 1.2 format-0 round-trip with bit-packed flags") {
+    val dir = Files.createTempDirectory("las").toString
+    val pts = Seq(
+      (1.25, 2.5, 3.75, 100, 1, 2, 2),
+      (-4.5, 5.125, -6.0, 65535, 3, 3, 9),
+      (0.0, 0.0, 0.001, 0, 7, 7, 31))
+    LasIO.writeLas(pts, s"$dir/p.las")
+    val back = LasIO.readLas(spark, s"$dir/p.las")
+      .orderBy("x").collect()
+    assert(back.length === 3)
+    val sorted = pts.sortBy(_._1)
+    sorted.zip(back).foreach { case ((x, y, z, i, rn, nr, cl), row) =>
+      assert(math.abs(row.getDouble(0) - x) < 1e-9)
+      assert(math.abs(row.getDouble(1) - y) < 1e-9)
+      assert(math.abs(row.getDouble(2) - z) < 1e-9)
+      assert(row.getLong(3) === i.toLong)
+      assert(row.getLong(4) === rn.toLong)
+      assert(row.getLong(5) === nr.toLong)
+      assert(row.getLong(6) === cl.toLong)
+    }
+  }
+
+  test("GML export emits one featureMember per feature") {
+    val dir = Files.createTempDirectory("gml").toString
+    val feats = Seq(
+      (1L, Seq(0.0, 1.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0, 1.0)),
+      (2L, Seq(5.0, 6.0, 5.5), Seq(5.0, 5.0, 6.0)))
+      .toDF("fid", "xs", "ys")
+    RasterIO.writeGml(feats, s"$dir/f.gml")
+    val xml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f.gml")), "UTF-8")
+    assert(xml.split("featureMember>").length >= 4)
+    assert(xml.contains("""fid="1""""))
+    assert(xml.contains("<gml:posList>0.0 0.0 1.0 0.0 1.0 1.0 0.0 1.0 0.0 0.0</gml:posList>"))
+  }
+}
