@@ -270,6 +270,10 @@ object SparkEntry {
         Derived.zones(s).withColumnRenamed("zone_id", "poly_id"),
         res = 6)),
 
+    "geo_contour" -> ((s, dir) =>
+      Raster.contourCrossings(Derived.partGrid(s, dir),
+        Seq(25.0, 50.0, 75.0))),
+
     "geo_rasterize_lines" -> ((s, dir) =>
       Raster.rasterizeLines(Derived.supplierLines(s, dir), res = 6)),
 
@@ -301,6 +305,19 @@ object SparkEntry {
           buildId = "bid", px = "px", py = "py", bx = "bx", by = "by")
         .select(expr("pid DIV 50").as("r"), (col("pid") % 50).as("c"),
           round(sqrt(col("dist2")), 6).as("dist"))
+    }),
+
+    // CostAccumulation/CostAllocation (driver gate: rows-only — the
+    // correctness oracle is the driver-Dijkstra differential spec)
+    "geo_cost_accum" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val cost = g.select(col("r"), col("c"),
+        (col("v") / 100.0 + 1.0).as("v"))
+      val sources = g.where(col("v") >= 97.0).select("r", "c")
+      operators.Terrain.costAccumulation(cost, sources,
+          GridRows, GridCols)
+        .select(col("r"), col("c"), round(col("acc"), 6).as("acc"),
+          col("alloc"))
     }),
 
     // FillDepressions (HydroTools/FillDepressions.java, Wang & Liu
@@ -407,6 +424,48 @@ object SparkEntry {
     }),
 
     // ---- statistics (two-pass global stats + spatial stats) ----
+
+    // HistogramEqualization (StatsTools): CDF-driven remap to 0..255,
+    // via the distributed two-pass CDF (never a global window)
+    "geo_hist_equalize" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val keyed = g.select((col("r") * 50 + col("c")).as("cid"), col("v"))
+      operators.Distribution.cumeDist(keyed, col("v"), col("cid"),
+          binWidth = 10.0)
+        .select(expr("cid DIV 50").as("r"), (col("cid") % 50).as("c"),
+          floor(col("cd") * 255).cast("long").as("eq"))
+    }),
+
+    // TrendSurface order-1 (TerrainAnalysisTools/TrendSurface.java):
+    // least-squares plane via the normal equations, solved with
+    // Cramer's rule so the oracle reproduces the arithmetic exactly
+    "geo_trend_surface" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val a = g.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("c").cast("double")).as("sx"),
+        sum(col("r").cast("double")).as("sy"),
+        sum(col("c") * col("c")).cast("double").as("sxx"),
+        sum(col("c") * col("r")).cast("double").as("sxy"),
+        sum(col("r") * col("r")).cast("double").as("syy"),
+        sum(col("v")).as("sz"),
+        sum(col("c") * col("v")).as("sxz"),
+        sum(col("r") * col("v")).as("syz"))
+      val det = col("n") * (col("sxx") * col("syy") - col("sxy") * col("sxy")) -
+        col("sx") * (col("sx") * col("syy") - col("sxy") * col("sy")) +
+        col("sy") * (col("sx") * col("sxy") - col("sxx") * col("sy"))
+      val da = col("sz") * (col("sxx") * col("syy") - col("sxy") * col("sxy")) -
+        col("sx") * (col("sxz") * col("syy") - col("sxy") * col("syz")) +
+        col("sy") * (col("sxz") * col("sxy") - col("sxx") * col("syz"))
+      val db = col("n") * (col("sxz") * col("syy") - col("sxy") * col("syz")) -
+        col("sz") * (col("sx") * col("syy") - col("sxy") * col("sy")) +
+        col("sy") * (col("sx") * col("syz") - col("sxz") * col("sy"))
+      val dc = col("n") * (col("sxx") * col("syz") - col("sxz") * col("sxy")) -
+        col("sx") * (col("sx") * col("syz") - col("sxz") * col("sy")) +
+        col("sz") * (col("sx") * col("sxy") - col("sxx") * col("sy"))
+      a.select(round(da / det, 6).as("pa"),
+        round(db / det, 6).as("pb"),
+        round(dc / det, 6).as("pc"))
+    }),
 
     "geo_zscore" -> ((s, dir) => {
       val pts = Derived.customerPoints(s, dir)
@@ -828,6 +887,16 @@ object SparkEntry {
         emb.where(col("vec_id") < 20), k = 5, nlist = 8, iters = 2,
         nprobe = 3)
     }),
+
+    // covariance aggregation core of PCA (StatsTools/
+    // PCAForAttributes.java); eigen solve is evidenced in PcaSpec
+    "pca_covariance" -> ((s, dir) =>
+      operators.Clustering.covarianceMatrix(
+          Derived.table(s, dir, "embeddings"))
+        .where(col("i") < 8 && col("j") < 8)
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          round(col("cov"), 6).as("cov"))),
 
     "cluster_kmeans" -> ((s, dir) => {
       val emb = Derived.table(s, dir, "embeddings")
@@ -1405,6 +1474,21 @@ object SparkEntry {
          |  FROM sims)
          |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
 
+    "pca_covariance" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings),
+        |means AS (SELECT pos, sum(ev) / count(*) AS m, count(*) AS n
+        |  FROM e GROUP BY pos),
+        |pairs AS (SELECT a.pos AS i, b.pos AS j,
+        |  sum(a.ev * b.ev) AS sij
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id AND a.pos <= b.pos
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  round((p.sij - mi.n * mi.m * mj.m) / (mi.n - 1), 6) AS cov
+        |FROM pairs p JOIN means mi ON mi.pos = p.i
+        |JOIN means mj ON mj.pos = p.j
+        |WHERE p.i < 8 AND p.j < 8""".stripMargin,
+
     "cluster_kmeans" ->
       s"""WITH ${operators.Clustering.kMeansSqlCtes(8, 2)}
          |SELECT vec_id, cluster FROM a_final""".stripMargin,
@@ -1422,6 +1506,19 @@ object SparkEntry {
          |SELECT lat_bin, lon_bin, CAST(max(zid) AS INT) AS poly_id
          |FROM matched GROUP BY 1, 2""".stripMargin
     },
+
+    "geo_contour" ->
+      s"""WITH g AS ($GRID),
+         |lv AS (SELECT * FROM (VALUES (CAST(25.0 AS DOUBLE)), (CAST(50.0 AS DOUBLE)), (CAST(75.0 AS DOUBLE))) t(lvl)),
+         |h AS (SELECT lvl, 'h' AS et, a.r, a.c,
+         |  round((lvl - a.v) / (b.v - a.v), 6) AS t
+         |  FROM g a JOIN g b ON b.r = a.r AND b.c = a.c + 1
+         |  CROSS JOIN lv WHERE (a.v >= lvl) <> (b.v >= lvl)),
+         |vv AS (SELECT lvl, 'v' AS et, a.r, a.c,
+         |  round((lvl - a.v) / (b.v - a.v), 6) AS t
+         |  FROM g a JOIN g b ON b.r = a.r + 1 AND b.c = a.c
+         |  CROSS JOIN lv WHERE (a.v >= lvl) <> (b.v >= lvl))
+         |SELECT * FROM h UNION ALL SELECT * FROM vv""".stripMargin,
 
     "geo_rasterize_lines" ->
       s"""WITH segs AS (${Derived.supplierLineSegsSql}),
@@ -1611,6 +1708,29 @@ object SparkEntry {
       s"""WITH pts AS ($PTS)
          |SELECT id, round(cume_dist() OVER (ORDER BY val, id), 6) AS cd
          |FROM pts""".stripMargin,
+
+    "geo_hist_equalize" ->
+      s"""WITH g AS ($GRID)
+         |SELECT r, c,
+         |  CAST(floor(round(cume_dist() OVER (ORDER BY v, r * 50 + c), 6) * 255) AS BIGINT) AS eq
+         |FROM g""".stripMargin,
+
+    "geo_trend_surface" ->
+      s"""WITH g AS ($GRID),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(c) AS DOUBLE) AS sx, CAST(sum(r) AS DOUBLE) AS sy,
+         |  CAST(sum(c * c) AS DOUBLE) AS sxx,
+         |  CAST(sum(c * r) AS DOUBLE) AS sxy,
+         |  CAST(sum(r * r) AS DOUBLE) AS syy,
+         |  sum(v) AS sz, sum(c * v) AS sxz, sum(r * v) AS syz FROM g)
+         |SELECT
+         |  round((sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) + sy * (sxz * sxy - sxx * syz))
+         |    / (n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) + sy * (sx * sxy - sxx * sy)), 6) AS pa,
+         |  round((n * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) + sy * (sx * syz - sxz * sy))
+         |    / (n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) + sy * (sx * sxy - sxx * sy)), 6) AS pb,
+         |  round((n * (sxx * syz - sxz * sxy) - sx * (sx * syz - sxz * sy) + sz * (sx * sxy - sxx * sy))
+         |    / (n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) + sy * (sx * sxy - sxx * sy)), 6) AS pc
+         |FROM a""".stripMargin,
 
     "geo_zscore" ->
       s"""WITH pts AS ($PTS),

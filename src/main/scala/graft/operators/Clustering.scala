@@ -98,6 +98,62 @@ object Clustering {
       .select("q_id", "n_id", "rnk", "sim6")
   }
 
+  /**
+   * Covariance matrix of the embedding dimensions — the aggregation
+   * core of PCAForAttributes (StatsTools/PCAForAttributes.java, 881
+   * LoC): one relational pass builds all pairwise cross-sums
+   * (partial+final decomposition free from Spark), cov(i,j) =
+   * (s_ij - n * mean_i * mean_j) / (n - 1).
+   */
+  def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val e = Similarity.exploded(emb).localCheckpoint(true)
+    val means = e.groupBy("pos")
+      .agg(sum(col("ev")).as("s"), count(lit(1)).as("n"))
+      .select(col("pos"), (col("s") / col("n")).as("m"), col("n"))
+    val a = e.select(col("vec_id"), col("pos").as("i"),
+      col("ev").as("evi"))
+    val b = e.select(col("vec_id"), col("pos").as("j"),
+      col("ev").as("evj"))
+    a.join(b, Seq("vec_id")).where(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("evi") * col("evj")).as("sij"))
+      .join(means.select(col("pos").as("i"), col("m").as("mi"),
+        col("n")), Seq("i"))
+      .join(means.select(col("pos").as("j"), col("m").as("mj")),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        ((col("sij") - col("n") * col("mi") * col("mj")) /
+          (col("n") - 1)).as("cov"))
+  }
+
+  /**
+   * PCA: eigen decomposition of the covariance matrix (driver-side
+   * via commons-math3, exactly where the reference solves it after
+   * its accumulation loops). Components sorted by eigenvalue
+   * descending; sign fixed so each vector's largest-magnitude
+   * coordinate is positive. Returns (eigenvalues, components).
+   */
+  def pca(emb: DataFrame, nComponents: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    val entries = covarianceMatrix(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val dim = entries.keys.map(_._2).max + 1
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      entries.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(m))
+    val pairs = (0 until dim).map(k =>
+      (eig.getRealEigenvalue(k), eig.getEigenvector(k).toArray))
+      .sortBy(-_._1)
+      .take(nComponents)
+      .map { case (lam, vec) =>
+        val iMax = vec.indices.maxBy(i => math.abs(vec(i)))
+        val v = if (vec(iMax) < 0) vec.map(-_) else vec
+        (lam, v)
+      }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
   /** DuckDB CTE chain mirroring [[kMeans]] over the `embeddings`
     * view: defines `e`, `c_0`..`c_<iters>` and `a_final`. */
   def kMeansSqlCtes(k: Int, iters: Int): String = {

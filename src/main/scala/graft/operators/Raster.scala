@@ -267,6 +267,37 @@ object Raster {
   }
 
   /**
+   * Contour crossings (TerrainAnalysisTools/Contour.java marching
+   * core): for each iso level, the linear-interpolated crossing
+   * position on every cell edge whose endpoint values straddle the
+   * level — the distributed geometry content of the contour tool
+   * (polyline assembly across tiles is the SURVEY §7.4 HARD v2 item).
+   * Output (level, et 'h'/'v', r, c, t) where t in [0,1) is the
+   * fractional position along the edge from (r, c).
+   */
+  def contourCrossings(grid: DataFrame,
+                       levels: Seq[Double]): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val lv = levels.toDF("lvl")
+    val right = grid.select(col("r"), (col("c") - 1).as("c"),
+      col("v").as("v2"))
+    val below = grid.select((col("r") - 1).as("r"), col("c"),
+      col("v").as("v3"))
+    val h = grid.join(right, Seq("r", "c")).crossJoin(broadcast(lv))
+      .where((col("v") >= col("lvl")) =!= (col("v2") >= col("lvl")))
+      .select(col("lvl"), lit("h").as("et"), col("r"), col("c"),
+        round((col("lvl") - col("v")) / (col("v2") - col("v")), 6)
+          .as("t"))
+    val v = grid.join(below, Seq("r", "c")).crossJoin(broadcast(lv))
+      .where((col("v") >= col("lvl")) =!= (col("v3") >= col("lvl")))
+      .select(col("lvl"), lit("v").as("et"), col("r"), col("c"),
+        round((col("lvl") - col("v")) / (col("v3") - col("v")), 6)
+          .as("t"))
+    h.unionByName(v)
+  }
+
+  /**
    * Clump (WhiteboxAPI/algorithms/Clump.java:92-210): connected-
    * component labelling of a masked grid (8-connectivity). Label =
    * min linearised cell id (r * width + c) in the component.

@@ -118,6 +118,82 @@ object FlowTiles {
     out.iterator
   }
 
+  /**
+   * One tile's cost-distance Dijkstra (GISTools/CostAccumulation
+   * .java:162-260 label-correcting semantics): accumulated cost to
+   * reach each cell from the nearest source, moving cost
+   * (cost(a) + cost(b)) / 2 * dist with dist = sqrt(2) on diagonals;
+   * ties broken by smallest source id (CostAllocation). Emits cell
+   * outputs as (-1, -1, r, c, acc, src) and boundary packets
+   * addressed to the adjacent tile as (tileR, tileC, r, c, acc, src).
+   */
+  def localCostDijkstra(tile: (Long, Long),
+                        cells: Seq[(Long, Long, Double, Boolean)],
+                        halos: Seq[(Long, Long, Double, Double, Long)],
+                        t: Long, nRows: Long, nCols: Long)
+      : Iterator[(Long, Long, Long, Long, Double, Double, Long)] = {
+    val cost = cells.iterator.map(x => (x._1, x._2) -> x._3).toMap
+    val best = scala.collection.mutable.Map
+      .empty[(Long, Long), (Double, Long)]
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Double, Long, Long, Long)](Ordering.by(x => (-x._1, -x._4)))
+    cells.foreach { case (r, c, _, isSrc) =>
+      if (isSrc) pq.enqueue((0.0, r, c, r * nCols + c))
+    }
+    halos.foreach { case (hr, hc, hl, hcost, hs) =>
+      // packets carry (accum, cost) of the out-of-tile cell; the move
+      // into the tile prices the full (cost(H) + cost(N)) / 2 * dist
+      for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0)) {
+        val n = (hr + dr, hc + dc)
+        if (Math.floorDiv(n._1, t) == tile._1 &&
+            Math.floorDiv(n._2, t) == tile._2)
+          cost.get(n).foreach { nv =>
+            val dist = if (dr != 0 && dc != 0) math.sqrt(2.0) else 1.0
+            pq.enqueue((hl + (hcost + nv) / 2.0 * dist, n._1, n._2, hs))
+          }
+      }
+    }
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    while (pq.nonEmpty) {
+      val (lvl, r, c, src) = pq.dequeue()
+      val cand = (lvl, src)
+      if (!best.contains((r, c)) || better(cand, best((r, c)))) {
+        best((r, c)) = cand
+        val myCost = cost((r, c))
+        for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0)) {
+          val n = (r + dr, c + dc)
+          if (Math.floorDiv(n._1, t) == tile._1 &&
+              Math.floorDiv(n._2, t) == tile._2)
+            cost.get(n).foreach { nv =>
+              val dist = if (dr != 0 && dc != 0) math.sqrt(2.0) else 1.0
+              val nl = lvl + (myCost + nv) / 2.0 * dist
+              val c2 = (nl, src)
+              if (!best.contains(n) || better(c2, best(n)))
+                pq.enqueue((nl, n._1, n._2, src))
+            }
+        }
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Double, Double, Long)]()
+    best.foreach { case ((r, c), (lvl, src)) =>
+      out += ((-1L, -1L, r, c, lvl, 0.0, src))
+      val dests = scala.collection.mutable.Set[(Long, Long)]()
+      for (dr <- -1 to 1; dc <- -1 to 1 if !(dr == 0 && dc == 0)) {
+        val (nr, nc) = (r + dr, c + dc)
+        if (nr >= 0 && nr < nRows && nc >= 0 && nc < nCols) {
+          val dt = (Math.floorDiv(nr, t), Math.floorDiv(nc, t))
+          if (dt != tile) dests += dt
+        }
+      }
+      dests.foreach { dt =>
+        out += ((dt._1, dt._2, r, c, lvl, cost((r, c)), src))
+      }
+    }
+    out.iterator
+  }
+
   /** Walk arriving packets through the tile in one pass, adding their
     * weight to every cell on the within-tile path segment. */
   def localWalk(tile: (Long, Long), cells: Seq[FlowCell],
@@ -652,6 +728,60 @@ object Terrain {
       converged = changed == 0
     }
     outputs.toDF("r", "c", "filled")
+  }
+
+  /**
+   * CostAccumulation + CostAllocation (GISTools/CostAccumulation
+   * .java:162-260, CostAllocation.java): per cell, the least
+   * accumulated cost to any source over the 8-connected graph with
+   * move cost (cost(a)+cost(b))/2 * dist, plus the source cell id
+   * that attains it (ties -> smallest id). Same tile-parallel
+   * label-correcting scheme as [[fillDepressions]]: sequential
+   * Dijkstra inside tiles, falling (acc, src) boundary estimates
+   * exchanged until fixpoint.
+   * cost: (r, c, v) positive cost surface; sources: (r, c).
+   */
+  def costAccumulation(cost: DataFrame, sources: DataFrame,
+                       nRows: Long, nCols: Long,
+                       tileSize: Int = 16): DataFrame = {
+    val spark = cost.sparkSession
+    import spark.implicits._
+    val T = tileSize.toLong
+    def tileOf(r: Long, c: Long): (Long, Long) =
+      (Math.floorDiv(r, T), Math.floorDiv(c, T))
+    val cells = cost
+      .join(sources.select(col("r"), col("c"), lit(true).as("isSrc")),
+        Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("v"),
+        coalesce(col("isSrc"), lit(false)).as("isSrc"))
+      .as[(Long, Long, Double, Boolean)]
+      .localCheckpoint(true)
+    val byTile = cells.groupByKey(t => tileOf(t._1, t._2))
+    var halos = spark
+      .emptyDataset[(Long, Long, Long, Long, Double, Double, Long)]
+    var converged = false
+    var outputs: org.apache.spark.sql.Dataset[
+      (Long, Long, Double, Long)] = null
+    while (!converged) {
+      val next = byTile.cogroup(
+        halos.groupByKey(h => (h._1, h._2))) { (tile, cellIt, haloIt) =>
+          FlowTiles.localCostDijkstra(tile, cellIt.toSeq,
+            haloIt.map(h => (h._3, h._4, h._5, h._6, h._7)).toSeq,
+            T, nRows, nCols)
+        }.localCheckpoint(true)
+      outputs = next.filter(_._1 == -1L)
+        .map(o => (o._3, o._4, o._5, o._7))
+      val newHalos = next.filter(_._1 >= 0L)
+      val changed = newHalos.toDF("t1", "t2", "r", "c", "lvl", "cc", "src")
+        .join(halos.toDF("t1", "t2", "r", "c", "olvl", "occ", "osrc"),
+          Seq("t1", "t2", "r", "c"), "left")
+        .where(col("olvl").isNull || col("lvl") =!= col("olvl") ||
+          col("src") =!= col("osrc"))
+        .limit(1).count()
+      halos = newHalos.localCheckpoint(true)
+      converged = changed == 0
+    }
+    outputs.toDF("r", "c", "acc", "alloc")
   }
 
   /**
