@@ -270,6 +270,17 @@ object SparkEntry {
         Derived.zones(s).withColumnRenamed("zone_id", "poly_id"),
         res = 6)),
 
+    // RasterToVectorPolygons: patch boundary rings; the oracle
+    // cross-checks the ring-assembled net area against the patch
+    // cell count (exact iff the rings close correctly)
+    "geo_r2v_polygons" -> ((s, dir) => {
+      val cells = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        floor(col("v") / 25.0).cast("long").as("cls"))
+      operators.Vectorize.rasterToPolygons(cells, width = 50)
+        .select(col("comp_id"), col("cls"), col("n_cells"),
+          round(col("net_area"), 6).as("parea"))
+    }),
+
     "geo_contour" -> ((s, dir) =>
       Raster.contourCrossings(Derived.partGrid(s, dir),
         Seq(25.0, 50.0, 75.0))),
@@ -1506,6 +1517,21 @@ object SparkEntry {
          |SELECT lat_bin, lon_bin, CAST(max(zid) AS INT) AS poly_id
          |FROM matched GROUP BY 1, 2""".stripMargin
     },
+
+    "geo_r2v_polygons" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |k AS (SELECT r, c, CAST(floor(v / 25.0) AS BIGINT) AS cls,
+         |  r * 50 + c AS id FROM g),
+         |e AS (SELECT a.id AS s, b.id AS t FROM k a JOIN k b
+         |  ON a.cls = b.cls AND ((abs(a.r - b.r) = 1 AND a.c = b.c)
+         |    OR (a.r = b.r AND abs(a.c - b.c) = 1))),
+         |reach AS (SELECT id AS s, id AS t FROM k
+         |  UNION SELECT rr.s, e.t FROM reach rr JOIN e ON rr.t = e.s),
+         |comp AS (SELECT s AS id, min(t) AS comp_id FROM reach GROUP BY s)
+         |SELECT c2.comp_id, k.cls, count(*) AS n_cells,
+         |  CAST(count(*) AS DOUBLE) AS parea
+         |FROM k JOIN comp c2 ON c2.id = k.id
+         |GROUP BY 1, 2""".stripMargin,
 
     "geo_contour" ->
       s"""WITH g AS ($GRID),

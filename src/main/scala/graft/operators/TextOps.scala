@@ -138,34 +138,72 @@ object TextOps {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), lit(1.0).as("jacc"))
 
-    // stage 2: LSH over representatives
-    val sigs = groups.select(col("rep"), col("ts"))
-      .as[(Long, Seq[String])]
-      .map { case (rep, ts) => (rep, minhashSignature(ts, perms)) }
-      .toDF("rep", "sig")
-    val buckets = sigs.select(col("rep"),
-        posexplode(col("sig")).as(Seq("pos", "h")))
-      .withColumn("band", expr(s"pos DIV $rows"))
-      .groupBy("rep", "band")
-      .agg(hash(sort_array(collect_list(struct(col("pos"), col("h")))))
-        .as("bkey"))
-    val sizesByBucket = buckets.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("__bsz"))
-    val dropped = sizesByBucket.where(col("__bsz") > maxBucket)
-    val nDropped = dropped.count()
-    if (nDropped > 0) {
-      System.err.println(s"[minhash-lsh] dropped $nDropped hot " +
-        s"buckets above cap $maxBucket — recall may be reduced")
-    }
-    val keptBuckets = buckets.join(
-      sizesByBucket.where(col("__bsz") <= maxBucket)
-        .select("band", "bkey"), Seq("band", "bkey"))
-    val l = keptBuckets.select(col("band"), col("bkey"),
-      col("rep").as("ra"))
-    val r = keptBuckets.select(col("band"), col("bkey"),
-      col("rep").as("rb"))
-    val cand = l.join(r, Seq("band", "bkey")).where(col("ra") < col("rb"))
-      .select("ra", "rb").distinct()
+    // stage 2: candidate generation over representatives. Two paths:
+    //
+    //  (a) EXACT deletion-neighborhood indexing when the threshold is
+    //      high relative to set size: j >= t forces |A delta B| <= d
+    //      with d = floor((1/t - 1) * maxSetSize) (|union| <=
+    //      |inter|/t <= maxSize/t). For d = 1, A and B must share the
+    //      key of A∩B, reachable by at most one deletion from either —
+    //      emit an order-independent XOR set-hash of the full set and
+    //      of every single-deletion subset, equi-join on the key.
+    //      Bucket sizes are bounded by exact-subset multiplicity, so
+    //      no hot-bucket blowup exists by construction; verification
+    //      stays exact, so XOR collisions only cost time.
+    //
+    //  (b) MinHash banding (the classic probabilistic path) when d is
+    //      large — low thresholds or huge sets — with the bucket-size
+    //      cap as the hot-bucket guard.
+    val maxSize = groups.agg(max(size(col("ts")))).collect()(0).getInt(0)
+    val d = math.floor((1.0 / threshold - 1.0) * maxSize).toLong
+    val cand =
+      if (d <= 1) {
+        val toks = groups.select(col("rep"), size(col("ts")).as("sz"),
+            explode(col("ts")).as("tok"))
+          .withColumn("h", expr("xxhash64(tok)"))
+        val full = toks.groupBy("rep", "sz")
+          .agg(expr("bit_xor(h)").as("key"))
+        val dels = toks
+          .join(full.select(col("rep"), col("key").as("fkey")),
+            Seq("rep"))
+          .select(col("rep"), (col("sz") - 1).as("sz"),
+            expr("fkey ^ h").as("key"))
+        val keys = full.select(col("rep"), col("sz"), col("key"))
+          .unionByName(dels)
+        keys.select(col("key"), col("sz"), col("rep").as("ra"))
+          .join(keys.select(col("key"), col("sz"),
+            col("rep").as("rb")), Seq("key", "sz"))
+          .where(col("ra") < col("rb"))
+          .select("ra", "rb").distinct()
+      } else {
+        val sigs = groups.select(col("rep"), col("ts"))
+          .as[(Long, Seq[String])]
+          .map { case (rep, ts) => (rep, minhashSignature(ts, perms)) }
+          .toDF("rep", "sig")
+        val buckets = sigs.select(col("rep"),
+            posexplode(col("sig")).as(Seq("pos", "h")))
+          .withColumn("band", expr(s"pos DIV $rows"))
+          .groupBy("rep", "band")
+          .agg(hash(sort_array(collect_list(struct(col("pos"), col("h")))))
+            .as("bkey"))
+        val sizesByBucket = buckets.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__bsz"))
+        val nDropped = sizesByBucket.where(col("__bsz") > maxBucket)
+          .count()
+        if (nDropped > 0) {
+          System.err.println(s"[minhash-lsh] dropped $nDropped hot " +
+            s"buckets above cap $maxBucket — recall may be reduced")
+        }
+        val keptBuckets = buckets.join(
+          sizesByBucket.where(col("__bsz") <= maxBucket)
+            .select("band", "bkey"), Seq("band", "bkey"))
+        val l = keptBuckets.select(col("band"), col("bkey"),
+          col("rep").as("ra"))
+        val r = keptBuckets.select(col("band"), col("bkey"),
+          col("rep").as("rb"))
+        l.join(r, Seq("band", "bkey")).where(col("ra") < col("rb"))
+          .select("ra", "rb").distinct()
+      }
     // verify each candidate pair against the two sets directly
     val ga = groups.select(col("rep").as("ra"), col("ts").as("tsa"),
       col("members").as("ma"))
