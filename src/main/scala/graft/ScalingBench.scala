@@ -80,13 +80,21 @@ object ScalingBench {
             .as("text")))
       .repartition(nPart).localCheckpoint(true)
 
+    // best-of-2: the first pass pays JIT/codegen/page-cache warmup,
+    // which otherwise swamps the cross-parallelism comparison with
+    // run-to-run variance unrelated to scaling
     def time(name: String)(f: => Long): (String, Double, Long) = {
       System.err.println(s"[scaling] running $name ...")
-      val t0 = System.nanoTime()
-      val rows = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scaling] $name: $sec%.1f s ($rows rows)")
-      (name, sec, rows)
+      var bestSec = Double.MaxValue
+      var rows = 0L
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling] $name pass $pass: $sec%.1f s ($rows rows)")
+        bestSec = math.min(bestSec, sec)
+      }
+      (name, bestSec, rows)
     }
 
     // untimed warmup: session init, codegen cache, page cache

@@ -914,6 +914,80 @@ object SparkEntry {
       operators.Clustering.kMeans(emb, k = 8, iters = 2)._1
     }),
 
+    // Sessionization (the batch twin of the
+    // flatMapGroupsWithState/session-window streaming pattern):
+    // a new session starts after a >30-minute gap per user
+    "events_sessionize" -> ((s, dir) => {
+      val e = Derived.table(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+    }),
+
+    // per-patch shape metrics (GISTools CompactnessRatio /
+    // PerimeterAreaRatio family) over the clumped components
+    "geo_patch_metrics" -> ((s, dir) => {
+      val cells = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        floor(col("v") / 25.0).cast("long").as("cls"))
+      val comps = operators.Vectorize.clumpByValue(cells, width = 50)
+      def nbrC(dr: Int, dc: Int, name: String) =
+        comps.select((col("r") - dr).as("r"), (col("c") - dc).as("c"),
+          col("comp_id").as(name))
+      val sides = comps
+        .join(nbrC(-1, 0, "cn"), Seq("r", "c"), "left")
+        .join(nbrC(1, 0, "cs"), Seq("r", "c"), "left")
+        .join(nbrC(0, -1, "cw"), Seq("r", "c"), "left")
+        .join(nbrC(0, 1, "ce"), Seq("r", "c"), "left")
+        .select(col("comp_id"),
+          (when(col("cn").isNull || col("cn") =!= col("comp_id"), 1)
+            .otherwise(0) +
+           when(col("cs").isNull || col("cs") =!= col("comp_id"), 1)
+            .otherwise(0) +
+           when(col("cw").isNull || col("cw") =!= col("comp_id"), 1)
+            .otherwise(0) +
+           when(col("ce").isNull || col("ce") =!= col("comp_id"), 1)
+            .otherwise(0)).as("exposed"))
+      sides.groupBy("comp_id")
+        .agg(count(lit(1)).as("area"),
+          sum(col("exposed")).as("perim"))
+        .select(col("comp_id"), col("area"), col("perim"),
+          round(col("perim") * col("perim") /
+            (lit(4.0) * math.Pi * col("area")), 6).as("shape_complexity"),
+          round(col("perim").cast("double") / col("area"), 6)
+            .as("perim_area_ratio"))
+    }),
+
+    // TwoImageHistogramMatching (StatsTools): remap band v1 so its
+    // rank distribution takes band v2's value at the same rank —
+    // ranks come from the DISTRIBUTED two-pass CDF, not a
+    // single-partition global window
+    "geo_hist_match" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      val keyed = st.select((col("r") * 50 + col("c")).as("cid"),
+        col("v1"), col("v2"))
+      val nTot = keyed.count()
+      val ranked = operators.Distribution
+        .cumeDist(keyed, col("v1"), col("cid"), 10.0, "cd1")
+        .withColumn("rk", round(col("cd1") * nTot).cast("long"))
+      val ref = operators.Distribution
+        .cumeDist(keyed.select(col("cid"), col("v2")), col("v2"),
+          col("cid"), 10.0, "cd2")
+        .withColumn("rk", round(col("cd2") * nTot).cast("long"))
+        .select(col("rk"), col("v2").as("matched"))
+      ranked.join(ref, Seq("rk"))
+        .select(expr("cid DIV 50").as("r"), (col("cid") % 50).as("c"),
+          col("matched"))
+    }),
+
     // ---- streaming-analog tumbling window over events ----
 
     "events_window" -> ((s, dir) => {
@@ -990,6 +1064,60 @@ object SparkEntry {
          |SELECT p.id AS c_id, s.s_id
          |FROM pts p CROSS JOIN spts s
          |WHERE (p.x-s.sx)*(p.x-s.sx)+(p.y-s.sy)*(p.y-s.sy) <= CAST(2.25 AS DOUBLE)""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, ts
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  us - LAG(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, event_id, us,
+        |  CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sess AS (SELECT user_id, event_id, us,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sess
+        |  FROM s)
+        |SELECT user_id, sess, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "geo_patch_metrics" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |k AS (SELECT r, c, CAST(floor(v / 25.0) AS BIGINT) AS cls,
+         |  r * 50 + c AS id FROM g),
+         |e AS (SELECT a.id AS s, b.id AS t FROM k a JOIN k b
+         |  ON a.cls = b.cls AND ((abs(a.r - b.r) = 1 AND a.c = b.c)
+         |    OR (a.r = b.r AND abs(a.c - b.c) = 1))),
+         |reach AS (SELECT id AS s, id AS t FROM k
+         |  UNION SELECT rr.s, e.t FROM reach rr JOIN e ON rr.t = e.s),
+         |comp AS MATERIALIZED (SELECT s AS id, min(t) AS comp_id FROM reach GROUP BY s),
+         |kc AS MATERIALIZED (SELECT k.r, k.c, k.cls, c2.comp_id
+         |  FROM k JOIN comp c2 ON c2.id = k.id),
+         |ex AS (SELECT a.comp_id,
+         |  (CASE WHEN n.comp_id IS NULL OR n.comp_id <> a.comp_id THEN 1 ELSE 0 END)
+         |  + (CASE WHEN s2.comp_id IS NULL OR s2.comp_id <> a.comp_id THEN 1 ELSE 0 END)
+         |  + (CASE WHEN w.comp_id IS NULL OR w.comp_id <> a.comp_id THEN 1 ELSE 0 END)
+         |  + (CASE WHEN e2.comp_id IS NULL OR e2.comp_id <> a.comp_id THEN 1 ELSE 0 END) AS exposed
+         |  FROM kc a
+         |  LEFT JOIN kc n ON n.r = a.r - 1 AND n.c = a.c
+         |  LEFT JOIN kc s2 ON s2.r = a.r + 1 AND s2.c = a.c
+         |  LEFT JOIN kc w ON w.r = a.r AND w.c = a.c - 1
+         |  LEFT JOIN kc e2 ON e2.r = a.r AND e2.c = a.c + 1)
+         |SELECT comp_id, count(*) AS area,
+         |  CAST(sum(exposed) AS BIGINT) AS perim,
+         |  round(sum(exposed) * sum(exposed) / (4.0 * pi() * count(*)), 6) AS shape_complexity,
+         |  round(CAST(sum(exposed) AS DOUBLE) / count(*), 6) AS perim_area_ratio
+         |FROM ex GROUP BY comp_id""".stripMargin,
+
+    "geo_hist_match" ->
+      s"""WITH st AS (${Derived.partStackSql}),
+         |keyed AS (SELECT r * 50 + c AS cid, v1, v2 FROM st),
+         |r1 AS (SELECT cid,
+         |  ROW_NUMBER() OVER (ORDER BY v1, cid) AS rk FROM keyed),
+         |r2 AS (SELECT v2 AS matched,
+         |  ROW_NUMBER() OVER (ORDER BY v2, cid) AS rk FROM keyed)
+         |SELECT r1.cid // 50 AS r, r1.cid % 50 AS c, r2.matched
+         |FROM r1 JOIN r2 ON r2.rk = r1.rk""".stripMargin,
 
     "events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,

@@ -119,7 +119,11 @@ object SpatialJoins {
     * chosen explicitly here). */
   def resForKnn(buildCount: Long, kNeighbors: Int): Int = {
     val targetCells = math.max(1.0, 25.0 * buildCount / (2.0 * kNeighbors))
-    val r = ((math.log(targetCells) / math.log(2.0) - 1) / 2).toInt
+    // ceil: err on the FINER side — a too-coarse start pays one huge
+    // candidate round, a too-fine start pays cheap extra rounds that
+    // the branch-and-bound prune shrinks geometrically
+    val r = math.ceil((math.log(targetCells) / math.log(2.0) - 1) / 2)
+      .toInt
     math.max(2, math.min(r, CellIndex.DefaultRes))
   }
 
@@ -130,12 +134,29 @@ object SpatialJoins {
               bx: String = "rx", by: String = "ry",
               k0: Int = 2): DataFrame = {
     val spark = probe.sparkSession
-    val res = if (res0 > 0) res0 else resForKnn(build.count(), kNeighbors)
+    // Density for the start resolution comes from the EFFECTIVE
+    // distinct-location count (approx distinct fine cells), not the
+    // raw row count: duplicate-heavy data (many pages per gazetteer
+    // location — the web-scale norm) otherwise picks a resolution so
+    // fine that certifying the k-th neighbour takes many deepening
+    // rounds, each a full build-side pass.
+    val keyed0 = build.select(col(buildId), col(bx), col(by))
+      .withColumn("__cellF",
+        latlng_to_cell(col(by), col(bx), lit(CellIndex.DefaultRes)))
+    val res =
+      if (res0 > 0) res0
+      else {
+        val eff = keyed0
+          .agg(approx_count_distinct(col("__cellF")).as("n"))
+          .head().getLong(0)
+        resForKnn(math.max(eff, 1L), kNeighbors)
+      }
     // materialise the keyed build side once: every deepening round
     // re-joins against a cheap parent-cell projection of it instead
     // of re-scanning the (large) build table
-    val b = build.select(col(buildId), col(bx), col(by))
-      .withColumn("__cell0", latlng_to_cell(col(by), col(bx), lit(res)))
+    val b = keyed0
+      .withColumn("__cell0", cell_to_parent(col("__cellF"), lit(res)))
+      .drop("__cellF")
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .localCheckpoint(true)
     val d2 = (col(px) - col(bx)) * (col(px) - col(bx)) +
