@@ -106,6 +106,18 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("GeoTIFF strip round-trip (multi-strip + georef tags)") {
+    val dir = Files.createTempDirectory("tif").toString
+    val p = s"$dir/g.tif"
+    GeoTiffIO.writeGeoTiff(grid, rows, cols, originX = -180.0,
+      originY = 85.0, scaleX = 0.5, scaleY = 0.5, noData = -9999,
+      path = p, rowsPerStrip = 2) // 4 strips for 7 rows
+    val back = GeoTiffIO.readGeoTiff(spark, p, noData = -9999)
+    assert(collect(back) === want)
+    val (ox, oy, sx, sy) = GeoTiffIO.readGeoref(p)
+    assert(ox === -180.0 && oy === 85.0 && sx === 0.5 && sy === 0.5)
+  }
+
   test("GML export emits one featureMember per feature") {
     val dir = Files.createTempDirectory("gml").toString
     val feats = Seq(

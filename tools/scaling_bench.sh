@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
 # Two-cluster-size scaling evidence (BASELINE.json north_rule):
-# run graft.ScalingBench on the SAME input at local[4] and local[16]
-# (N vs 4N executors stand-in; this host is ~16 physical cores + SMT,
-# so 8-vs-32 would measure hyperthread contention, not scaling),
-# then compute efficiency = (T4 / T16) / 4 and write BENCH/BASELINE.md.
+# run graft.ScalingBench on the SAME input at local[8] and local[32]
+# (N vs 4N executors stand-in; this host has 32 PHYSICAL cores,
+# 1 thread/core per lscpu — so 8-vs-32 measures real core scaling),
+# then compute efficiency = (T8 / T32) / 4 and write BENCH/BASELINE.md.
 #
 # Usage: tools/scaling_bench.sh [sfDir]   (default /root/testdata/sf0.1)
 set -euo pipefail
@@ -18,11 +18,11 @@ run() {
     grep -o '{"metric".*}' | tail -1
 }
 
-echo "running local[4]..." >&2
-J8=$(run 4)
+echo "running local[8]..." >&2
+J8=$(run 8)
 echo "$J8" > target/bench/bench8.json
-echo "running local[16]..." >&2
-J32=$(run 16)
+echo "running local[32]..." >&2
+J32=$(run 32)
 echo "$J32" > target/bench/bench32.json
 
 python3 - "$SF" <<'EOF'
@@ -39,20 +39,20 @@ lines = [
     '',
     f'Input: `{sf}` (same deterministic input at both parallelism levels),',
     'run via `sbt runMain graft.Bench` (single-JVM stand-in for spark-submit;',
-    'local[4] vs local[16] = N vs 4N executor stand-in per BASELINE.md;',
-    'this host: 16 physical cores + SMT).',
+    'local[8] vs local[32] = N vs 4N executor stand-in per BASELINE.md;',
+    'this host: 32 physical cores, 1 thread/core).',
     '',
     '| parallelism | wall (s) | pages | pages/sec (PIP join) | total q/s |',
     '|---|---|---|---|---|',
-    f"| local[4]  | {t8:.2f} | {pages} | {j8.get('pip_pages_per_sec',0):.0f} | {len(j8['queries'])/t8:.3f} |",
-    f"| local[16] | {t32:.2f} | {pages} | {j32.get('pip_pages_per_sec',0):.0f} | {len(j32['queries'])/t32:.3f} |",
+    f"| local[8]  | {t8:.2f} | {pages} | {j8.get('pip_pages_per_sec',0):.0f} | {len(j8['queries'])/t8:.3f} |",
+    f"| local[32] | {t32:.2f} | {pages} | {j32.get('pip_pages_per_sec',0):.0f} | {len(j32['queries'])/t32:.3f} |",
     '',
-    f'**Scaling efficiency** = (T4/T16)/(16/4) = ({t8:.2f}/{t32:.2f})/4 = **{eff:.3f}**',
+    f'**Scaling efficiency** = (T8/T32)/(32/8) = ({t8:.2f}/{t32:.2f})/4 = **{eff:.3f}**',
     f'(target >= 0.8 per BASELINE.json north_rule; raw speedup {t8/t32:.2f}x on 4x cores)',
     '',
     '## Per-query seconds',
     '',
-    '| query | local[4] | local[16] | speedup |',
+    '| query | local[4] | local[32] | speedup |',
     '|---|---|---|---|',
 ]
 for q in sorted(j8['queries']):
