@@ -13,7 +13,7 @@ mkdir -p BENCH target/bench
 
 run() {
   local cpus=$1
-  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+  SPARK_DRIVER_MEM=12g SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
     sbt -batch "runMain graft.ScalingBench" 2>>/tmp/scaling_stderr.log |
     grep -o '{"metric".*}' | tail -1
 }
