@@ -38,6 +38,9 @@ object Bench {
 
     val pages = spark.read.parquet(s"$sfDir/customer.parquet").count()
 
+    // reap each query's leaked checkpoint blocks so a long bench loop
+    // doesn't crowd out execution memory (graft.core.CacheReaper)
+    val inputIds = graft.core.CacheReaper.snapshot(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !excluded.contains(name) =>
         val t0 = System.nanoTime()
@@ -45,6 +48,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        graft.core.CacheReaper.reapExcept(spark, inputIds)
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -52,7 +56,15 @@ object Bench {
     val total = results.map(_._2).sum
     val pipSec = results.toMap.getOrElse("geo_pip_join", Double.NaN)
     val pps = if (pipSec > 0) pages / pipSec else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$pages,"pip_pages_per_sec":$pps,"cpus":$cpus}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$pages,"pip_pages_per_sec":$pps,"cpus":$cpus}"""
+    println(line)
+    // persist the full per-query map in-repo (the driver's archived
+    // copy truncates long lines)
+    try {
+      new java.io.File("BENCH").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH/bench_local$cpus.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

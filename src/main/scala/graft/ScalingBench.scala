@@ -83,7 +83,14 @@ object ScalingBench {
     // best-of-2: the first pass pays JIT/codegen/page-cache warmup,
     // which otherwise swamps the cross-parallelism comparison with
     // run-to-run variance unrelated to scaling
+    // SPARK_GRAFT_ONLY=a,b,c runs just those queries (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    // protect the shared inputs; reap each query's leaked checkpoint
+    // blocks after it completes (see graft.core.CacheReaper)
+    val inputIds = graft.core.CacheReaper.snapshot(spark)
     def time(name: String)(f: => Long): (String, Double, Long) = {
+      if (only.exists(!_.contains(name))) return (name, 0.0, 0L)
       System.err.println(s"[scaling] running $name ...")
       var bestSec = Double.MaxValue
       var rows = 0L
@@ -93,6 +100,7 @@ object ScalingBench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scaling] $name pass $pass: $sec%.1f s ($rows rows)")
         bestSec = math.min(bestSec, sec)
+        graft.core.CacheReaper.reapExcept(spark, inputIds)
       }
       (name, bestSec, rows)
     }

@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Lifecycle control for `localCheckpoint` blocks. Iterative operators
+ * (kNN deepening, label-correction loops) truncate lineage with eager
+ * local checkpoints; the backing blocks live in the block manager for
+ * the session lifetime unless freed. In a long-lived session running
+ * many queries (the driver's bench loop, a production job server)
+ * those blocks accumulate and crowd out execution memory — the
+ * round-2 bench measured a 5x slowdown of late queries from exactly
+ * this. Snapshot the persistent-RDD id set after building shared
+ * inputs, then reap everything newer after each query completes.
+ */
+object CacheReaper {
+
+  /** Ids of currently persisted RDDs (inputs to protect). */
+  def snapshot(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every persisted RDD not in `keep` (non-blocking). */
+  def reapExcept(spark: SparkSession, keep: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(blocking = false)
+    }
+}

@@ -70,25 +70,43 @@ object SpatialJoins {
 
   /**
    * All (left, right) pairs within planar distance `radius`.
-   * Executed as: key right rows by their cell at an adaptive
-   * resolution, explode left rows over the k-ring that guarantees
-   * covering `radius`, hash-join on cell id, exact distance filter.
+   * Executed as: ring-explode the RIGHT side (the small dim in every
+   * engine query — suppliers vs the page cloud) over the k-ring that
+   * guarantees covering `radius` and broadcast it; the big left side
+   * keys by its single containing cell and streams map-side — no
+   * shuffle and no big-side row amplification. Ring membership is
+   * symmetric on the lattice (|Δrow| and wrapped |Δcol| are
+   * symmetric), so covering from the right side yields the identical
+   * candidate superset; the exact distance predicate then decides.
+   * When the right side exceeds `broadcastRows`, falls back to a
+   * cell-keyed hash shuffle join with the explode on the right —
+   * at 1000-executor scale that is a plain equi-shuffle on cell ids
+   * with AQE skew-splitting.
    *
    * Columns: both frames need (`xCol`,`yCol`); output = left columns +
    * right columns (caller disambiguates names beforehand) + `dist2`.
    */
   def distanceJoin(left: DataFrame, right: DataFrame, radius: Double,
                    lx: String = "x", ly: String = "y",
-                   rx: String = "rx", ry: String = "ry"): DataFrame = {
+                   rx: String = "rx", ry: String = "ry",
+                   broadcastRows: Long = 1000000L): DataFrame = {
     val res = resForRadius(radius)
     val k = CellIndex.ringsForRadius(res, radius) - 1
-    val l = left.withColumn("__cell", explode(k_ring(
-      latlng_to_cell(col(ly), col(lx), lit(res)), lit(k))))
-    val r = right.withColumn("__cell",
-      latlng_to_cell(col(ry), col(rx), lit(res)))
+    val l = left.withColumn("__cell",
+      latlng_to_cell(col(ly), col(lx), lit(res)))
+    val r = right.withColumn("__cell", explode(k_ring(
+      latlng_to_cell(col(ry), col(rx), lit(res)), lit(k))))
     val d2 = (col(lx) - col(rx)) * (col(lx) - col(rx)) +
              (col(ly) - col(ry)) * (col(ly) - col(ry))
-    l.join(r, Seq("__cell"), "inner")
+    // planner size estimate of the un-exploded right side, times the
+    // ring fan-out, against a ~256 MB broadcast budget (~40 bytes/row)
+    val rBytes = right.queryExecution.optimizedPlan.stats
+      .sizeInBytes * (2L * k + 1) * (2L * k + 1)
+    val joined =
+      if (rBytes <= broadcastRows * 256L)
+        l.join(broadcast(r), Seq("__cell"), "inner")
+      else l.join(r, Seq("__cell"), "inner")
+    joined
       .where(d2 <= lit(radius * radius))
       .drop("__cell")
       .withColumn("dist2", d2)
@@ -161,28 +179,26 @@ object SpatialJoins {
       .localCheckpoint(true)
     val d2 = (col(px) - col(bx)) * (col(px) - col(bx)) +
              (col(py) - col(by)) * (col(py) - col(by))
-    // Two-level top-k against hot cells (the capital-city skew of the
-    // north rule): a probe whose ring covers a hot cell would
-    // otherwise sort millions of candidates in ONE window partition.
-    // Level 1 ranks within (probe, salt-of-build) — bounded
-    // partitions — keeping k per salt; level 2 ranks the <= 64k
-    // survivors per probe. Union of per-salt top-k contains the
-    // global top-k, so the result is identical.
-    val wSalted = Window
-      .partitionBy(col(probeId), pmod(hash(col(buildId)), lit(64)))
-      .orderBy(col("dist2").asc, col(buildId).asc)
-    val w = Window.partitionBy(probeId).orderBy(col("dist2").asc,
-      col(buildId).asc)
+    // Bounded top-k aggregation against hot cells (the capital-city
+    // skew of the north rule): a probe whose ring covers a hot cell
+    // would, under a window rank, sort millions of candidates in ONE
+    // partition. TopK.smallestK keeps a k-slot insertion buffer with
+    // MAP-SIDE partial aggregation instead, so the per-round shuffle
+    // carries one <=k buffer per (probe x partition) — candidate rows
+    // never leave the partition they were generated in.
+    val topk = TopK.smallestK(kNeighbors)
 
-    // Each round materializes its outputs (localCheckpoint truncates
-    // lineage) — without this the pending-probe plan embeds the prior
-    // round's join twice per level and grows exponentially.
+    // Each round materializes its per-probe aggregate (localCheckpoint
+    // truncates lineage) — without this the pending-probe plan embeds
+    // the prior round's join and grows exponentially. Checkpointed
+    // intermediates are freed at function end (trackedFree); only the
+    // small per-probe aggregates the result derives from are kept.
     // pending carries a branch-and-bound prune: `__bnd2` is the probe's
     // current k-th-neighbour distance² upper bound (found in an earlier
     // round but not yet certified). A build farther than the bound can
     // never enter the top-k, so coarse rounds filter hot-cell
-    // candidates BEFORE the rank — the distributed mirror of the
-    // kd-tree heap's maxDistance prune (KdTree.java:377-400).
+    // candidates BEFORE the aggregation — the distributed mirror of
+    // the kd-tree heap's maxDistance prune (KdTree.java:377-400).
     var pending = probe.select(col(probeId), col(px), col(py))
       .withColumn("__bnd2", lit(null).cast("double"))
       .localCheckpoint(true)
@@ -212,21 +228,15 @@ object SpatialJoins {
         if (pendingRows <= 2000000L)
           bT.join(broadcast(explodedPending), Seq("__cell"), "inner")
         else explodedPending.join(bT, Seq("__cell"), "inner")
-      val cand = joined0
+      // ONE aggregation jobs per round: per-probe top-k buffer + the
+      // certification stats derived from it. <= |pending| rows.
+      val agg = joined0
         .withColumn("dist2", d2)
         .where(col("__bnd2").isNull || col("dist2") <= col("__bnd2"))
-        .withColumn("__srnk", row_number().over(wSalted))
-        .where(col("__srnk") <= kNeighbors)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= kNeighbors)
-        .drop("__srnk", "__bnd2")
-        // one evaluation per round: the kth stats, the resolved slice
-        // and the pending update all reuse this (small) result
-        .localCheckpoint(true)
-      // A probe's top-k is exact iff it found k neighbours all within
-      // the guarantee radius (or the ring already spans the domain).
-      val kth = cand.groupBy(col(probeId).as("__pid"))
-        .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
+        .groupBy(col(probeId))
+        .agg(topk(col("dist2"), col(buildId)).as("__tk"))
+        .withColumn("__n", size(col("__tk.ks")))
+        .withColumn("__maxd2", element_at(col("__tk.ks"), col("__n")))
         .withColumn("__ok",
           // strict <: a build point OUTSIDE the ring can sit at
           // exactly the guarantee distance g and tie the k-th
@@ -235,28 +245,35 @@ object SpatialJoins {
           // (dist2, buildId) tie-break holds exactly.
           if (exact) lit(true)
           else col("__n") === kNeighbors && col("__maxd2") < lit(g2))
-      val joined = cand.join(kth,
-        cand(probeId) === kth("__pid"), "inner")
-      val resolved = joined.where(col("__ok"))
-        .select(col(probeId), col(buildId), col("rnk"), col("dist2"))
+        .localCheckpoint(true)
+      val resolved = agg.where(col("__ok"))
+        .select(col(probeId), col("__tk.ks").as("__ks"),
+          posexplode(col("__tk.ids")).as(Seq("__pos", buildId)))
+        .select(col(probeId), col(buildId),
+          (col("__pos") + 1).cast("long").as("rnk"),
+          element_at(col("__ks"), col("__pos") + 1).as("dist2"))
       acc = if (acc == null) resolved else acc.unionByName(resolved)
       if (exact) {
         done = true
       } else {
         // unresolved probes tighten their bound to this round's k-th
-        // candidate distance (monotonically non-increasing)
-        val unresolved = kth.where(!col("__ok"))
-          .select(col("__pid"),
+        // candidate distance (monotonically non-increasing); probes
+        // with zero candidates are absent from `agg` — left join
+        // keeps them pending with no bound.
+        val unresolved = agg.where(!col("__ok"))
+          .select(col(probeId).as("__pid"),
             when(col("__n") === kNeighbors, col("__maxd2"))
               .otherwise(lit(null).cast("double")).as("__newBnd2"))
-        val stillPending = pending.drop("__bnd2")
-          .join(unresolved, pending(probeId) === col("__pid"), "inner")
+        val resolvedIds = agg.where(col("__ok"))
+          .select(col(probeId).as("__pid"))
+        pending = pending.drop("__bnd2")
+          .join(resolvedIds, pending(probeId) === resolvedIds("__pid"),
+            "left_anti")
+          .join(unresolved, pending(probeId) === unresolved("__pid"),
+            "left_outer")
           .select(col(probeId), col(px), col(py),
             col("__newBnd2").as("__bnd2"))
-        // Probes with zero candidates never appear in `kth`; keep them.
-        val noCand = pending.join(kth,
-          pending(probeId) === col("__pid"), "left_anti")
-        pending = stillPending.unionByName(noCand).localCheckpoint(true)
+          .localCheckpoint(true)
         pendingCnt = pending.count()
         done = pendingCnt == 0
       }

@@ -11,9 +11,14 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
 mkdir -p BENCH target/bench
 
+# Heap scales with parallelism (2 GiB/core): a 4N-executor cluster has
+# 4x the total memory of an N-executor one, so the single-JVM stand-in
+# must scale the heap with the simulated executor count — a fixed heap
+# would starve per-task execution memory 4x at local[32] and measure
+# memory pressure, not scaling.
 run() {
   local cpus=$1
-  SPARK_DRIVER_MEM=12g SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+  SPARK_DRIVER_MEM="$((cpus * 2))g" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
     sbt -batch "runMain graft.ScalingBench" 2>>/tmp/scaling_stderr.log |
     grep -o '{"metric".*}' | tail -1
 }
@@ -38,8 +43,10 @@ lines = [
     '# BENCH/BASELINE.md — measured scaling evidence',
     '',
     f'Input: `{sf}` (same deterministic input at both parallelism levels),',
-    'run via `sbt runMain graft.Bench` (single-JVM stand-in for spark-submit;',
+    'run via `sbt runMain graft.ScalingBench` (single-JVM stand-in for spark-submit;',
     'local[8] vs local[32] = N vs 4N executor stand-in per BASELINE.md;',
+    'heap scales with parallelism (2 GiB/core) because a 4N-executor',
+    'cluster has 4x the total memory of an N-executor one;',
     'this host: 32 physical cores, 1 thread/core).',
     '',
     '| parallelism | wall (s) | pages | pages/sec (PIP join) | total q/s |',
@@ -52,7 +59,7 @@ lines = [
     '',
     '## Per-query seconds',
     '',
-    '| query | local[4] | local[32] | speedup |',
+    '| query | local[8] | local[32] | speedup |',
     '|---|---|---|---|',
 ]
 for q in sorted(j8['queries']):
