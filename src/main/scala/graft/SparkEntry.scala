@@ -188,7 +188,7 @@ object SparkEntry {
         GridRows, GridCols)),
 
     "geo_conv_laplacian" -> ((s, dir) =>
-      operators.Focal.convolveSubstitute(Derived.partGrid(s, dir),
+      operators.Focal.convolveSubstituteExact(Derived.partGrid(s, dir),
         operators.Focal.laplacian3x3, reflect = true,
         GridRows, GridCols)),
 
@@ -356,7 +356,7 @@ object SparkEntry {
       operators.Terrain.horizonAngleEast(Derived.partGrid(s, dir))),
 
     "geo_dev_from_mean" -> ((s, dir) =>
-      operators.Focal.deviationFromMean(Derived.partGrid(s, dir), 2,
+      operators.Focal.deviationFromMeanExact(Derived.partGrid(s, dir), 2,
         reflect = false, GridRows, GridCols)),
 
     // WeightedOverlay / NDVI band math (§2.9)
@@ -664,16 +664,22 @@ object SparkEntry {
         .select(col("zone"), col("id").as("medoid_id"))
     }),
 
-    // CompareImagesForDifferences (StatsTools, :315-334): paired t
+    // CompareImagesForDifferences (StatsTools, :315-334): paired t.
+    // Band values are exact tenths (Derived.partStack), so the sums
+    // run in scaled-integer space (d*10) — order-independent and
+    // bit-exact at any parallelism; only the final statistics touch
+    // floats, via the same correctly-rounded op sequence as the
+    // oracle.
     "geo_ttest" -> ((s, dir) => {
       val st = Derived.partStack(s, dir)
-      val d = st.select((col("v1") - col("v2")).as("d"))
-      d.agg(sum(col("d")).as("total"),
-          sum(col("d") * col("d")).as("sq"), count(lit(1)).as("n"))
+      val d = st.select(
+        round((col("v1") - col("v2")) * 10).cast("long").as("d10"))
+      d.agg(sum(col("d10")).as("s10"),
+          sum(col("d10") * col("d10")).as("q100"), count(lit(1)).as("n"))
         .select(col("n"),
-          round(col("total") / col("n"), 6).as("mean_diff"),
-          round((col("total") / col("n")) /
-            (sqrt((col("n") * col("sq") - col("total") * col("total")) /
+          round(col("s10") / 10.0 / col("n"), 6).as("mean_diff"),
+          round((col("s10") / 10.0 / col("n")) /
+            (sqrt((col("n") * col("q100") - col("s10") * col("s10")) / 100.0 /
               (col("n") * (col("n") - 1))) / sqrt(col("n"))), 6).as("t"))
     }),
 
@@ -1235,15 +1241,20 @@ object SparkEntry {
 
     "geo_conv_laplacian" -> {
       val values = operators.Focal.laplacian3x3.map { case (dy, dx, w) =>
-        s"($dy, $dx, CAST(${w.toString} AS DOUBLE))"
+        s"($dy, $dx, CAST(${w.toLong} AS BIGINT))"
       }.mkString(", ")
+      val wTot = operators.Focal.laplacian3x3.map(_._3.toLong).sum
       s"""WITH g AS ($GRID),
          |${focalConSql(1, reflect = true)},
-         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w))
-         |SELECT con.r, con.c,
-         |  round(sum(k.w * con.nv) + first(con.cz) * (CAST(0.0 AS DOUBLE) - sum(k.w)), 6) AS cv
-         |FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
-         |GROUP BY con.r, con.c""".stripMargin
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w)),
+         |agg AS (SELECT con.r, con.c,
+         |  CAST(sum(k.w * CAST(round(con.nv * 10) AS BIGINT)) AS BIGINT) AS swk,
+         |  CAST(sum(k.w) AS BIGINT) AS wp,
+         |  CAST(round(first(con.cz) * 10) AS BIGINT) AS zk
+         |  FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |  GROUP BY con.r, con.c)
+         |SELECT r, c, round((swk + zk * ($wTot - wp)) / 10.0, 6) AS cv
+         |FROM agg""".stripMargin
     },
 
     "geo_conv_sobel" -> {
@@ -1311,14 +1322,14 @@ object SparkEntry {
       s"""WITH g AS ($GRID),
          |$surfaceSql
          |SELECT r, c, round((zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2)
-         |  / pow(p, 1.5) * $RadToDegLit * 100, 6) AS plan_curv
+         |  / (p * sqrt(p)) * $RadToDegLit * 100, 6) AS plan_curv
          |FROM st2 WHERE p > 0""".stripMargin,
 
     "geo_prof_curv" ->
       s"""WITH g AS ($GRID),
          |$surfaceSql
          |SELECT r, c, round((zxx * zx2 + 2 * zxy * zx * zy + zyy * zy2)
-         |  / (p * pow(p + 1, 1.5)) * $RadToDegLit * 100, 6) AS prof_curv
+         |  / (p * ((p + 1) * sqrt(p + 1))) * $RadToDegLit * 100, 6) AS prof_curv
          |FROM st2 WHERE p > 0""".stripMargin,
 
     "geo_total_curv" ->
@@ -1665,11 +1676,11 @@ object SparkEntry {
       s"""WITH g AS ($GRID),
          |lv AS (SELECT * FROM (VALUES (CAST(25.0 AS DOUBLE)), (CAST(50.0 AS DOUBLE)), (CAST(75.0 AS DOUBLE))) t(lvl)),
          |h AS (SELECT lvl, 'h' AS et, a.r, a.c,
-         |  round((lvl - a.v) / (b.v - a.v), 6) AS t
+         |  (lvl - a.v) / (b.v - a.v) AS t
          |  FROM g a JOIN g b ON b.r = a.r AND b.c = a.c + 1
          |  CROSS JOIN lv WHERE (a.v >= lvl) <> (b.v >= lvl)),
          |vv AS (SELECT lvl, 'v' AS et, a.r, a.c,
-         |  round((lvl - a.v) / (b.v - a.v), 6) AS t
+         |  (lvl - a.v) / (b.v - a.v) AS t
          |  FROM g a JOIN g b ON b.r = a.r + 1 AND b.c = a.c
          |  CROSS JOIN lv WHERE (a.v >= lvl) <> (b.v >= lvl))
          |SELECT * FROM h UNION ALL SELECT * FROM vv""".stripMargin,
@@ -1786,13 +1797,19 @@ object SparkEntry {
     "geo_dev_from_mean" ->
       s"""WITH g AS ($GRID),
          |${focalConSql(2, reflect = false)},
-         |agg AS (SELECT r, c, first(cz) AS z, sum(nv) AS s,
-         |  sum(nv * nv) AS ss, count(*) AS n
-         |  FROM con GROUP BY r, c),
-         |a2 AS (SELECT r, c, z, s / n AS avg0, ss, n FROM agg WHERE n > 2)
+         |ks AS (SELECT r, c, dy, dx,
+         |  CAST(round(nv * 10) AS BIGINT) AS k FROM con),
+         |agg AS (SELECT r, c,
+         |  max(CASE WHEN dy = 0 AND dx = 0 THEN k END) AS zk,
+         |  CAST(sum(k) AS BIGINT) AS sk,
+         |  CAST(sum(k * k) AS BIGINT) AS ssk, count(*) AS n
+         |  FROM ks GROUP BY r, c),
+         |a2 AS (SELECT r, c, zk / 10.0 AS z, sk / 10.0 / n AS avg0,
+         |  ssk / (10.0 * 10.0) / n AS ssn, n FROM agg
+         |  WHERE zk IS NOT NULL AND n > 2)
          |SELECT r, c, round(z - avg0, 6) AS diff_mean,
-         |  CASE WHEN ss / n - avg0 * avg0 > 0 THEN
-         |    round((z - avg0) / sqrt(ss / n - avg0 * avg0), 6) END AS dev_mean
+         |  CASE WHEN ssn - avg0 * avg0 > 0 THEN
+         |    round((z - avg0) / sqrt(ssn - avg0 * avg0), 6) END AS dev_mean
          |FROM a2""".stripMargin,
 
     "geo_weighted_overlay" ->
@@ -2011,10 +2028,12 @@ object SparkEntry {
 
     "geo_ttest" ->
       s"""WITH st AS (${Derived.partStackSql}),
-         |d AS (SELECT v1 - v2 AS d FROM st),
-         |agg AS (SELECT sum(d) AS total, sum(d * d) AS sq, count(*) AS n FROM d)
-         |SELECT n, round(total / n, 6) AS mean_diff,
-         |  round((total / n) / (sqrt((n * sq - total * total) / (n * (n - 1))) / sqrt(n)), 6) AS t
+         |d AS (SELECT CAST(round((v1 - v2) * 10) AS BIGINT) AS d10 FROM st),
+         |agg AS (SELECT CAST(sum(d10) AS BIGINT) AS s10,
+         |  CAST(sum(d10 * d10) AS BIGINT) AS q100, count(*) AS n FROM d)
+         |SELECT n, round(s10 / 10.0 / n, 6) AS mean_diff,
+         |  round((s10 / 10.0 / n) /
+         |    (sqrt((n * q100 - s10 * s10) / 100.0 / (n * (n - 1))) / sqrt(n)), 6) AS t
          |FROM agg""".stripMargin,
 
     "geo_kappa" ->

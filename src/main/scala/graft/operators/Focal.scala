@@ -197,6 +197,35 @@ object Focal {
           round((col("z") - col("avg0")) / sqrt(col("var0")), 6))
           .as("dev_mean"))
 
+  /** [[deviationFromMean]] for grids whose values are exact multiples
+    * of 1/`scale`: the window sums run in scaled-integer space, so
+    * they are order-independent and bit-exact at any parallelism —
+    * a float sum's last ulp depends on partial-aggregation order,
+    * which varies with executor count and diverges from any
+    * row-ordered oracle. Only the final statistics touch doubles. */
+  def deviationFromMeanExact(grid: DataFrame, radius: Int,
+                             reflect: Boolean, nRows: Long, nCols: Long,
+                             scale: Int = 10): DataFrame = {
+    val sc = lit(scale.toDouble)
+    contributions(grid, radius, reflect, nRows, nCols)
+      .withColumn("k", round(col("nv") * scale).cast("long"))
+      .groupBy("r", "c")
+      .agg(max(when(col("dy") === 0 && col("dx") === 0, col("k"))).as("zk"),
+        sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("ssk"),
+        count(lit(1)).as("n"))
+      .where(col("zk").isNotNull && col("n") > 2)
+      .withColumn("z", col("zk") / sc)
+      .withColumn("avg0", col("sk") / sc / col("n"))
+      .withColumn("var0",
+        col("ssk") / (sc * sc) / col("n") - col("avg0") * col("avg0"))
+      .select(col("r"), col("c"),
+        round(col("z") - col("avg0"), 6).as("diff_mean"),
+        when(col("var0") > 0,
+          round((col("z") - col("avg0")) / sqrt(col("var0")), 6))
+          .as("dev_mean"))
+  }
+
   // ---- convolutions -------------------------------------------------
 
   /** A kernel is (dy, dx, weight) triples. */
@@ -292,6 +321,37 @@ object Focal {
       .join(grid, Seq("r", "c"), "inner") // centre value + existence
       .select(col("r"), col("c"),
         round(col("sw") + col("v") * (lit(wTot) - col("wp")), 6).as("cv"))
+  }
+
+  /** [[convolveSubstitute]] for integer-weight kernels over grids
+    * whose values are exact multiples of 1/`scale`: the weighted sum
+    * runs entirely in scaled-integer space (order-independent, exact
+    * at any parallelism — see [[deviationFromMeanExact]]); only the
+    * final division by `scale` touches doubles, and that is exact-
+    * input correctly-rounded, hence bit-identical across engines. */
+  def convolveSubstituteExact(grid: DataFrame, kernel: Kernel,
+                              reflect: Boolean, nRows: Long, nCols: Long,
+                              scale: Int = 10): DataFrame = {
+    require(kernel.forall(k => k._3 == math.rint(k._3)),
+      "convolveSubstituteExact needs integer kernel weights")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val radius = kernel.map(k => math.max(math.abs(k._1),
+      math.abs(k._2))).max
+    val wTot = kernel.map(_._3.toLong).sum
+    val kdf = kernel.map { case (dy, dx, w) => (dy, dx, w.toLong) }
+      .toDF("dy", "dx", "w")
+    contributions(grid, radius, reflect, nRows, nCols)
+      .join(broadcast(kdf), Seq("dy", "dx"))
+      .withColumn("k", round(col("nv") * scale).cast("long"))
+      .groupBy("r", "c")
+      .agg(sum(col("w") * col("k")).as("swk"),
+        sum(col("w")).as("wp"))
+      .join(grid, Seq("r", "c"), "inner") // centre value + existence
+      .select(col("r"), col("c"),
+        round((col("swk") +
+          round(col("v") * scale).cast("long") * (lit(wTot) - col("wp"))) /
+          lit(scale.toDouble), 6).as("cv"))
   }
 
   /** FilterSobel (FilterSobel.java:226-241): sqrt(sx^2 + sy^2) of the

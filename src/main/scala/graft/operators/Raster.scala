@@ -284,16 +284,21 @@ object Raster {
       col("v").as("v2"))
     val below = grid.select((col("r") - 1).as("r"), col("c"),
       col("v").as("v3"))
+    // NOTE: `t` is emitted unrounded. The crossing fraction is a ratio
+    // of small integers; for denominators like 2^7 the exact value
+    // lands on a .5 rounding tie at 6 decimals, where Spark
+    // (BigDecimal HALF_UP) and other engines (ties-to-even) disagree.
+    // The raw double is bit-identical everywhere (sub/div are IEEE
+    // correctly-rounded on identical inputs), so no rounding is the
+    // deterministic contract.
     val h = grid.join(right, Seq("r", "c")).crossJoin(broadcast(lv))
       .where((col("v") >= col("lvl")) =!= (col("v2") >= col("lvl")))
       .select(col("lvl"), lit("h").as("et"), col("r"), col("c"),
-        round((col("lvl") - col("v")) / (col("v2") - col("v")), 6)
-          .as("t"))
+        ((col("lvl") - col("v")) / (col("v2") - col("v"))).as("t"))
     val v = grid.join(below, Seq("r", "c")).crossJoin(broadcast(lv))
       .where((col("v") >= col("lvl")) =!= (col("v3") >= col("lvl")))
       .select(col("lvl"), lit("v").as("et"), col("r"), col("c"),
-        round((col("lvl") - col("v")) / (col("v3") - col("v")), 6)
-          .as("t"))
+        ((col("lvl") - col("v")) / (col("v3") - col("v"))).as("t"))
     h.unionByName(v)
   }
 

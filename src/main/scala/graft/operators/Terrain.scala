@@ -344,7 +344,9 @@ object Terrain {
   private val RadToDeg = 180.0 / math.Pi
 
   /** PlanCurv (PlanCurv.java:258-272): contour curvature x 180/pi x
-    * 100; flat cells (Zx^2+Zy^2 = 0) are NoData (absent). */
+    * 100; flat cells (Zx^2+Zy^2 = 0) are NoData (absent). p^1.5 is
+    * spelled p*sqrt(p) — mul and sqrt are IEEE correctly-rounded, so
+    * the value is bit-identical across engines, unlike libm pow. */
   def planCurvature(grid: DataFrame, nRows: Long, nCols: Long): DataFrame =
     surfaceTerms(grid, nRows, nCols)
       .withColumn("p", col("zx2") + col("zy2"))
@@ -353,7 +355,7 @@ object Terrain {
         round((col("zxx") * col("zy2") -
           lit(2) * col("zxy") * col("zx") * col("zy") +
           col("zyy") * col("zx2")) /
-          pow(col("p"), 1.5) * RadToDeg * 100, 6).as("plan_curv"))
+          (col("p") * sqrt(col("p"))) * RadToDeg * 100, 6).as("plan_curv"))
 
   /** ProfCurv (ProfCurv.java:258-272): profile curvature. */
   def profileCurvature(grid: DataFrame, nRows: Long, nCols: Long): DataFrame =
@@ -364,8 +366,8 @@ object Terrain {
         round((col("zxx") * col("zx2") +
           lit(2) * col("zxy") * col("zx") * col("zy") +
           col("zyy") * col("zy2")) /
-          (col("p") * pow(col("p") + 1, 1.5)) * RadToDeg * 100, 6)
-          .as("prof_curv"))
+          (col("p") * ((col("p") + 1) * sqrt(col("p") + 1))) * RadToDeg * 100,
+          6).as("prof_curv"))
 
   /** TotalCurv (TotalCurv.java:258-264): Zxx^2 + 2*Zxy^2 + Zyy^2. */
   def totalCurvature(grid: DataFrame, nRows: Long, nCols: Long): DataFrame =
