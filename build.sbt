@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // spark-submit launches executors with -Xms = -Xmx; without it a
+  // large lazily-grown heap makes every young GC page-fault fresh
+  // pages (observed: G1 pauses with Sys=16s vs User=0.7s at local[32])
+  // and the 4N-parallelism run measures kernel page zeroing, not
+  // scaling. Pre-touch so the measurement starts with a settled heap.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" "))

@@ -37,13 +37,18 @@ object ScalingBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "400").toInt
-    val spark = SparkSession.builder()
+    val bld = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("EVLOG").foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      bld.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }
+    val spark = bld.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val nPart = cpus.toInt * 3
