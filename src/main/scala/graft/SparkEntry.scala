@@ -399,7 +399,7 @@ object SparkEntry {
 
     "geo_strahler" -> ((s, dir) =>
       operators.Terrain.strahlerOrder(Derived.partGrid(s, dir), 5L,
-        width = 50, iters = 8)),
+        width = 50)),
 
     // ---- multimodal binary columns (stubbed decode, real plumbing) ----
 
@@ -980,14 +980,12 @@ object SparkEntry {
       val st = Derived.partStack(s, dir)
       val keyed = st.select((col("r") * 50 + col("c")).as("cid"),
         col("v1"), col("v2"))
-      val nTot = keyed.count()
       val ranked = operators.Distribution
-        .cumeDist(keyed, col("v1"), col("cid"), 10.0, "cd1")
-        .withColumn("rk", round(col("cd1") * nTot).cast("long"))
+        .cumeDist(keyed, col("v1"), col("cid"), 10.0, "cd1",
+          posName = Some("rk"))
       val ref = operators.Distribution
         .cumeDist(keyed.select(col("cid"), col("v2")), col("v2"),
-          col("cid"), 10.0, "cd2")
-        .withColumn("rk", round(col("cd2") * nTot).cast("long"))
+          col("cid"), 10.0, "cd2", posName = Some("rk"))
         .select(col("rk"), col("v2").as("matched"))
       ranked.join(ref, Seq("rk"))
         .select(expr("cid DIV 50").as("r"), (col("cid") % 50).as("c"),
@@ -1548,6 +1546,16 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = s.b
          |WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= CAST(0.95 AS DOUBLE)""".stripMargin,
 
+    "dedup_simhash" ->
+      s"""WITH RECURSIVE corpus AS (${Derived.dupCorpusSql}),
+         |$simhashSqlCtes
+         |SELECT a, b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    "geo_cost_accum" ->
+      s"""WITH g AS ($GRID),
+         |${costAccumSqlCtes(48)}
+         |SELECT r, c, round(acc, 6) AS acc, alloc FROM ca_48""".stripMargin,
+
     "text_quality" -> {
       val stops = Derived.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -1848,11 +1856,15 @@ object SparkEntry {
          |${streamSqlCtes(5L)}
          |SELECT r, c, link_id FROM links""".stripMargin,
 
+    // engine iterates the label correction to exact fixpoint; 40
+    // synchronous rounds bound the longest link path of the sf0.01
+    // network (92 links) with a wide margin, so the unrolled chain
+    // reaches the same fixpoint
     "geo_strahler" ->
       s"""WITH RECURSIVE g AS ($GRID),
          |${streamSqlCtes(5L)},
-         |${strahlerSqlCtes(8)}
-         |SELECT link_id, ord AS strahler FROM o_8""".stripMargin,
+         |${strahlerSqlCtes(40)}
+         |SELECT link_id, ord AS strahler FROM o_40""".stripMargin,
 
     "media_features" ->
       """WITH ch AS (SELECT doc_id,
@@ -2195,7 +2207,88 @@ object SparkEntry {
     sb.toString
   }
 
-  /** Shared D8 pointer pipeline in SQL (mirrors Terrain.d8Pointer). */
+  /**
+   * Unrolled Bellman-Ford label-correction chain for the cost-
+   * accumulation oracle (mirrors Terrain.costAccumulation semantics:
+   * move cost (cost(a)+cost(b))/2 * dist, alloc = arg-min source with
+   * (acc, alloc) tie-break). `iters` must cover the max HOP count of
+   * any optimal path — the sf0.01 cost surface is near-uniform in
+   * [1, 2) with ~60 sources on a 40x50 grid, so optimal paths are
+   * near-straight and far shorter than the 48 rounds used. Float
+   * accumulation runs in path order on both sides, so the attained
+   * minimum is bit-identical.
+   */
+  private def costAccumSqlCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """cost AS (SELECT r, c, v / 100.0 + 1.0 AS v FROM g),
+        |csrc AS (SELECT r, c, CAST(r * 50 + c AS BIGINT) AS alloc
+        |  FROM g WHERE v >= CAST(97.0 AS DOUBLE)),
+        |ce AS MATERIALIZED (SELECT a.r AS r1, a.c AS c1, b.r AS r2, b.c AS c2,
+        |  (a.v + b.v) / 2.0 *
+        |    (CASE WHEN a.r <> b.r AND a.c <> b.c THEN sqrt(2.0) ELSE 1.0 END) AS w
+        |  FROM cost a JOIN cost b
+        |  ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1
+        |    AND NOT (a.r = b.r AND a.c = b.c)),
+        |ca_0 AS MATERIALIZED (SELECT r, c, CAST(0.0 AS DOUBLE) AS acc, alloc FROM csrc)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |ca_$i AS MATERIALIZED (SELECT r, c, acc, alloc FROM (
+           |  SELECT r, c, acc, alloc,
+           |    ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY acc, alloc) AS rn
+           |  FROM (SELECT r, c, acc, alloc FROM ca_${i - 1}
+           |        UNION ALL
+           |        SELECT ce.r2 AS r, ce.c2 AS c, p.acc + ce.w AS acc, p.alloc
+           |        FROM ca_${i - 1} p
+           |        JOIN ce ON ce.r1 = p.r AND ce.c1 = p.c) u) t
+           |  WHERE rn = 1)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /**
+   * SimHash in SQL: reproduces TextOps.fnv1a64 (64-bit wrapping FNV-1a
+   * over UTF-16 units — HUGEINT arithmetic mod 2^64, with the XOR
+   * applied to the low 16 bits only since char codes < 2^16) and
+   * TextOps.simhash64 (per-bit +/-1 vote over the token MULTISET),
+   * then the same 4x16-bit band blocking + Hamming verification as
+   * TextOps.simhashPairs.
+   */
+  private lazy val simhashSqlCtes: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM corpus),
+      |fnv AS (
+      |  SELECT doc_id, i, tok, 0 AS pos,
+      |    CAST('14695981039346656037' AS HUGEINT) AS h FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, i, tok, pos + 1,
+      |    ((h - (h % 65536) +
+      |      CAST(xor(CAST(h % 65536 AS BIGINT),
+      |               CAST(unicode(substr(tok, pos + 1, 1)) AS BIGINT)) AS HUGEINT))
+      |     * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM fnv WHERE pos < length(tok)),
+      |fh AS MATERIALIZED (SELECT doc_id, i, h FROM fnv WHERE pos = length(tok)),
+      |pw AS (SELECT 0 AS b, CAST(1 AS HUGEINT) AS p
+      |  UNION ALL SELECT b + 1, p * 2 FROM pw WHERE b < 63),
+      |bits AS MATERIALIZED (SELECT f.doc_id, w.b,
+      |  SUM(CASE WHEN (f.h // w.p) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM fh f CROSS JOIN pw w GROUP BY 1, 2),
+      |shb AS MATERIALIZED (SELECT doc_id, b,
+      |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM bits),
+      |bkeys AS MATERIALIZED (SELECT s.doc_id, s.b // 16 AS band,
+      |  CAST(SUM(s.bit * CAST(q.p AS BIGINT)) AS BIGINT) AS bkey
+      |  FROM shb s JOIN pw q ON q.b = s.b % 16 GROUP BY 1, 2),
+      |scand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bkeys l JOIN bkeys r
+      |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+      |ham AS (SELECT cd.a, cd.b,
+      |  CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+      |  FROM scand cd
+      |  JOIN shb x ON x.doc_id = cd.a
+      |  JOIN shb y ON y.doc_id = cd.b AND y.b = x.b
+      |  GROUP BY 1, 2)""".stripMargin
   private lazy val d8SqlCtes: String = {
     val dy = operators.Terrain.dY
     val dx = operators.Terrain.dX

@@ -32,7 +32,8 @@ object Distribution {
    * result.
    */
   def cumeDist(df: DataFrame, value: Column, tie: Column,
-               binWidth: Double, outName: String = "cd"): DataFrame = {
+               binWidth: Double, outName: String = "cd",
+               posName: Option[String] = None): DataFrame = {
     val binned = df.withColumn("__bin",
       floor(value / binWidth).cast("long"))
     val counts = binned.groupBy("__bin")
@@ -50,9 +51,15 @@ object Distribution {
     import spark.implicits._
     val offDf = offsets.toDF("__bin", "__off")
     val w = Window.partitionBy("__bin").orderBy(value.asc, tie.asc)
-    binned.join(broadcast(offDf), Seq("__bin"))
-      .withColumn(outName,
-        round((col("__off") + row_number().over(w)) / lit(n), 6))
+    // posName: the EXACT global position (1-based) — consumers that
+    // need a rank must join on this, not un-round the CDF (a 6-decimal
+    // CDF recovers ranks only up to n*5e-7, wrong beyond ~1e6 rows)
+    val withPos = binned.join(broadcast(offDf), Seq("__bin"))
+      .withColumn("__pos",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .withColumn(outName, round(col("__pos") / lit(n), 6))
+    posName.fold(withPos.drop("__pos"))(p =>
+        withPos.withColumnRenamed("__pos", p))
       .drop("__bin", "__off")
   }
 }

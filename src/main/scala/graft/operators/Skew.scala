@@ -21,11 +21,17 @@ object Skew {
    */
   def saltedCountSum(df: DataFrame, keys: Seq[Column],
                      sumCol: Column, salts: Int): DataFrame = {
-    // Deterministic salt (hash of the row's own values, not rand()):
-    // a task retry re-derives the same salt per row, so stage retries
-    // yield identical partials even for non-commutative extensions.
+    // Deterministic salt (hash of the row's values plus its stable
+    // position id, not rand()): a task retry over a deterministic
+    // source re-derives the same salt per row, so stage retries yield
+    // identical partials even for non-commutative extensions. The
+    // position id matters for spread — value-only hashing would
+    // collapse a hot key whose rows share one sumCol value (duplicate-
+    // heavy data, exactly the case salting targets) into a single
+    // salt bucket.
     val salted = df.withColumn("__salt",
-      pmod(hash(keys :+ sumCol: _*), lit(salts)))
+      pmod(hash(keys :+ sumCol :+ monotonically_increasing_id(): _*),
+        lit(salts)))
     val partial = salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(count(lit(1)).as("__n"), sum(sumCol).as("__s"))

@@ -443,10 +443,15 @@ object Terrain {
     val byTile = cells.groupByKey(f => tileOf(f.r, f.c))
 
     // round 0: every cell is a source (load 1)
-    var outputs = byTile.flatMapGroups { (tile, it) =>
+    val outputs = byTile.flatMapGroups { (tile, it) =>
       FlowTiles.localAccumulate(tile, it.toSeq, Seq.empty, T)
     }.localCheckpoint(true)
-    var increments = outputs.filter(!_.packet)
+    // each round's increments are already materialized via the
+    // checkpoint of `next`; collecting them in a buffer and unioning
+    // ONCE at the end avoids re-copying the whole accumulated set
+    // every round (the old per-round union checkpoint was O(rounds^2))
+    val incrementParts =
+      scala.collection.mutable.ArrayBuffer(outputs.filter(!_.packet))
     var packets = outputs.filter(_.packet)
     var nPackets = packets.count()
     while (nPackets > 0) {
@@ -460,12 +465,11 @@ object Terrain {
           (tile, cellIt, pktIt) =>
             FlowTiles.localWalk(tile, cellIt.toSeq, pktIt.toSeq, T)
         }.localCheckpoint(true)
-      increments = increments.union(next.filter(!_.packet))
-        .localCheckpoint(true)
+      incrementParts += next.filter(!_.packet)
       packets = next.filter(_.packet)
       nPackets = packets.count()
     }
-    increments.groupByKey(o => (o.r, o.c))
+    incrementParts.reduce(_ union _).groupByKey(o => (o.r, o.c))
       .mapGroups((k: (Long, Long), it: Iterator[FlowOut]) =>
         (k._1, k._2, it.map(_.w).sum))
       .toDF("r", "c", "n_upslope")
@@ -530,22 +534,45 @@ object Terrain {
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (r, it) =>
+        // O(n log n) per row instead of the O(n^2) pairwise scan: the
+        // max-slope target east of a cell always lies on the upper
+        // convex hull of the cells east of it, and slope from a point
+        // west of a strictly-convex chain is unimodal along the chain
+        // — peak-find by binary search. Scan right-to-left keeping the
+        // hull (buffer ordered east->west, westmost last); the slope
+        // division uses the same operands as the naive scan, so the
+        // attained max is bit-identical.
         val cells = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        for {
-          i <- cells.indices.iterator
-          maxSlope = {
-            var m = Double.NegativeInfinity
-            var j = i + 1
-            while (j < cells.length) {
-              val s = (cells(j)._2 - cells(i)._2) /
-                (cells(j)._1 - cells(i)._1).toDouble
-              if (s > m) m = s
-              j += 1
+        val hx = new Array[Double](cells.length)
+        val hz = new Array[Double](cells.length)
+        var m = 0 // hull size; hx(0) eastmost, hx(m-1) westmost
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
+        var i = cells.length - 1
+        while (i >= 0) {
+          val qx = cells(i)._1.toDouble
+          val qz = cells(i)._2
+          if (m > 0) {
+            @inline def f(k: Int): Double = (hz(k) - qz) / (hx(k) - qx)
+            var lo = 0
+            var hi = m - 1
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (f(mid) < f(mid + 1)) lo = mid + 1 else hi = mid
             }
-            m
+            out += ((r, cells(i)._1, math.atan(f(lo))))
           }
-          if maxSlope > Double.NegativeInfinity
-        } yield (r, cells(i)._1, math.atan(maxSlope))
+          // insert q at the west end, restoring upper-hull convexity:
+          // pop the current westmost while it sits on/below segment
+          // (q -> second-westmost)
+          while (m >= 2 && {
+            val tx = hx(m - 1); val tz = hz(m - 1)
+            val sx = hx(m - 2); val sz = hz(m - 2)
+            (tz - qz) * (sx - qx) <= (sz - qz) * (tx - qx)
+          }) m -= 1
+          hx(m) = qx; hz(m) = qz; m += 1
+          i -= 1
+        }
+        out.iterator
       }
       .toDF("r", "c", "ha0")
       .select(col("r"), col("c"), round(col("ha0"), 6).as("ha"))
@@ -617,21 +644,21 @@ object Terrain {
         coalesce(col("pr"), col("r")).as("tr"),
         coalesce(col("pc"), col("c")).as("tc"))
       .localCheckpoint(true)
-    var converged = false
-    while (!converged) {
+    // pointer doubling reaches every head in ceil(log2(chain length))
+    // rounds; the stream-cell count bounds any chain, so running a
+    // COUNTED number of rounds (one materializing action each) beats
+    // a per-round moved-rows convergence job — the check used to cost
+    // as much as the round itself.
+    val nStream = math.max(2L, nxt.count())
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(nStream - 1)
+    for (_ <- 1 to rounds.toInt) {
       val hop = nxt.select(col("r").as("hr"), col("c").as("hc"),
         col("tr").as("ttr"), col("tc").as("ttc"))
-      val doubled = nxt.join(hop,
+      nxt = nxt.join(hop,
           col("tr") === col("hr") && col("tc") === col("hc"))
         .select(col("r"), col("c"), col("ttr").as("tr"),
           col("ttc").as("tc"))
         .localCheckpoint(true)
-      val moved = doubled.join(nxt.select(col("r"), col("c"),
-          col("tr").as("otr"), col("tc").as("otc")), Seq("r", "c"))
-        .where(col("tr") =!= col("otr") || col("tc") =!= col("otc"))
-        .limit(1).count()
-      nxt = doubled
-      converged = moved == 0
     }
     nxt.select(col("r"), col("c"),
       (col("tr") * width + col("tc")).as("link_id"))
@@ -641,16 +668,17 @@ object Terrain {
    * StreamOrder, Strahler method (StreamNetworkAnalysisTools/
    * StreamOrder.java): per link, 1 for headwater links; a junction
    * link takes max(child orders) + 1 when at least two children tie
-   * the max. Fixed-iteration label correction over the LINK graph
-   * (orders of magnitude smaller than the cell grid); `iters` bounds
-   * the representable order.
+   * the max. Label correction over the LINK graph, iterated to exact
+   * fixpoint (no representable-order cap).
    */
-  def strahlerOrder(grid: DataFrame, threshold: Long, width: Long,
-                    iters: Int = 8): DataFrame = {
+  def strahlerOrder(grid: DataFrame, threshold: Long,
+                    width: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
     val (stream, sedges, indeg) = streamGraph(grid, threshold)
     val links = linkFromGraph(stream, sedges, indeg, width)
       .localCheckpoint(true)
-    val linkIds = links.select("link_id").distinct().localCheckpoint(true)
+    // link-to-link edges, distributed (cell-scale joins)
     val cgraph = sedges
       .join(links.select(col("r"), col("c"), col("link_id").as("child")),
         Seq("r", "c"))
@@ -658,27 +686,50 @@ object Terrain {
         col("link_id").as("parent")), Seq("tr", "tc"))
       .where(col("child") =!= col("parent"))
       .select("child", "parent").distinct()
-      .localCheckpoint(true)
-    var ord = linkIds.select(col("link_id"), lit(1L).as("ord"))
-    for (_ <- 1 to iters) {
-      val co = cgraph.join(ord.withColumnRenamed("link_id", "child"),
-        Seq("child"))
-      val mx = co.groupBy("parent").agg(max(col("ord")).as("mx"))
-      val cm = co.join(mx, Seq("parent"))
-        .where(col("ord") === col("mx"))
-        .groupBy("parent").agg(count(lit(1)).as("cmax"))
-      ord = linkIds
-        .join(mx.withColumnRenamed("parent", "link_id"),
-          Seq("link_id"), "left")
-        .join(cm.withColumnRenamed("parent", "link_id"),
-          Seq("link_id"), "left")
-        .select(col("link_id"),
-          coalesce(col("mx") +
-            when(col("cmax") >= 2, 1L).otherwise(0L), lit(1L))
-            .cast("long").as("ord"))
-        .localCheckpoint(true)
-    }
-    ord.withColumnRenamed("ord", "strahler")
+    val linkIds = links.select("link_id").distinct()
+    // The LINK graph is junction-scale — orders of magnitude smaller
+    // than the cell grid at any raster size — so the label-correction
+    // fixpoint runs IN-MEMORY in one task over the coalesced edge
+    // list (the r2 distributed loop spent 486 s on per-round job
+    // overhead for a 92-link graph). One job, exact convergence, no
+    // order-8 cap. A graph too big for one task would mean ~10^8
+    // junctions — revisit with partitioned label correction then.
+    val edges = cgraph.as[(Long, Long)]
+    val ids = linkIds.as[Long]
+    ids.rdd.map(id => (id, Long.MinValue)) // tag ids
+      .union(edges.rdd.map { case (c, p) => (c, p) })
+      .coalesce(1)
+      .mapPartitions { it =>
+        val children = new scala.collection.mutable.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val allIds = new scala.collection.mutable.ArrayBuffer[Long]
+        it.foreach { case (a, b) =>
+          if (b == Long.MinValue) allIds += a
+          else children.getOrElseUpdate(b,
+            new scala.collection.mutable.ArrayBuffer[Long]) += a
+        }
+        val ord = new scala.collection.mutable.HashMap[Long, Long]()
+        allIds.foreach(id => ord(id) = 1L)
+        var changed = true
+        while (changed) {
+          changed = false
+          allIds.foreach { id =>
+            children.get(id).foreach { cs =>
+              var mx = 0L
+              var nMax = 0
+              cs.foreach { c =>
+                val o = ord(c)
+                if (o > mx) { mx = o; nMax = 1 }
+                else if (o == mx) nMax += 1
+              }
+              val next = if (nMax >= 2) mx + 1 else mx
+              if (next != ord(id)) { ord(id) = next; changed = true }
+            }
+          }
+        }
+        allIds.iterator.map(id => (id, ord(id)))
+      }
+      .toDF("link_id", "strahler")
   }
 
   /**

@@ -38,25 +38,48 @@ object TextOps {
       .select(col("keep_id"), col("n_copies"))
 
   /**
-   * n-gram (token-set) Jaccard similarity >= threshold, computed
-   * relationally: explode distinct tokens, self-join on token,
-   * count shared per pair, jaccard = shared / (|A| + |B| - shared).
-   * The map-reduce formulation — no all-pairs materialisation beyond
-   * token co-occurrence.
+   * n-gram (token-set) Jaccard similarity >= threshold with PPJoin
+   * prefix filtering (Xiao et al., WWW'08): candidate pairs come from
+   * a self-join over each document's PREFIX tokens only, ordered
+   * rarest-first by global document frequency; verification is an
+   * exact array intersection per surviving pair.
+   *
+   * Why it scales: jacc(A,B) >= t implies |A∩B| >= ceil(t·|A|), so a
+   * matching pair must share a token among the first
+   * |A| - ceil(t·|A|) + 1 tokens of A in ANY global total order
+   * (pigeonhole on the excluded suffix), and symmetrically for B; the
+   * (df, tok) order puts stopwords in the suffix, so the join fan-out
+   * per token is bounded by the df of RARE tokens instead of being
+   * quadratic in the df of hot ones.
    */
   def jaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dt = docTokens(corpus)
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = dt.join(dfreq, Seq("tok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = dt.select(col("doc_id").as("a"), col("tok"))
-    val b = dt.select(col("doc_id").as("b"), col("tok"))
-    val shared = a.join(b, Seq("tok")).where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+    val pref = ranked.join(sizes, Seq("doc_id"))
+      .where(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cand = pref.select(col("doc_id").as("a"), col("tok"))
+      .join(pref.select(col("doc_id").as("b"), col("tok")), Seq("tok"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = corpus.select(col("doc_id"),
+      sort_array(array_distinct(tokens(col("text")))).as("ts"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ts").as("tsa")),
+        Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("ts").as("tsb")),
+        Seq("b"))
+      .withColumn("__shared",
+        size(array_intersect(col("tsa"), col("tsb"))).cast("long"))
       .select(col("a"), col("b"),
-        (col("shared").cast("double") /
-          (col("sza") + col("szb") - col("shared"))).as("jacc"))
+        (col("__shared").cast("double") /
+          (size(col("tsa")).cast("long") + size(col("tsb")).cast("long")
+            - col("__shared"))).as("jacc"))
       .where(col("jacc") >= threshold)
   }
 
@@ -122,13 +145,22 @@ object TextOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = perms / bands
-    // stage 1: unique token sets with their member doc ids
+    // stage 1: unique token sets with their member doc ids. The
+    // shuffle KEY is a 256-bit set hash, not the token array itself —
+    // at web scale a groupBy on a multi-KB array key pays hash/compare
+    // over the full payload in every exchange; sha2 of the sorted set
+    // is 32 bytes with no false merges in practice (2^-128 collision
+    // odds). The \\u0001 separator can't occur inside a token (tokenisation splits
+    // on spaces, sha input is the joined sorted set).
     val groups = corpus
       .select(col("doc_id"),
         sort_array(array_distinct(tokens(col("text")))).as("ts"))
-      .groupBy("ts")
-      .agg(min(col("doc_id")).as("rep"),
+      .withColumn("__tsh", sha2(concat_ws("\u0001", col("ts")), 256))
+      .groupBy("__tsh")
+      .agg(first(col("ts")).as("ts"),
+        min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
+      .drop("__tsh")
       .localCheckpoint(true)
 
     // intra-group pairs: identical sets, jacc exactly 1.0 (>=  any t)

@@ -9,6 +9,10 @@ import graft.expr.GeoFunctions._
 /** Ring/part geometry payload for typed overlay stages. */
 case class GeomArrays(xs: Seq[Double], ys: Seq[Double], parts: Seq[Int])
 
+/** Tree-reduce node: a partial union tagged with its reduce-group id. */
+case class KeyedGeom(g: Long, xs: Seq[Double], ys: Seq[Double],
+                     parts: Seq[Int])
+
 /** A polygon feature with dissolved-overlay output geometry. */
 case class OverlayFeature(fid: Long, xs: Seq[Double], ys: Seq[Double],
                           parts: Seq[Int], area: Double, minx: Double,
@@ -165,41 +169,62 @@ object VectorOverlay {
 
   /**
    * Dissolve / coverage Union (Union.java; BufferVector's implicit
-   * dissolve): n-ary union of all features. Partial unions run per
-   * partition (associative reduce); the final merge and part
-   * explosion happen on the driver — the output of a dissolve is a
-   * single coverage, inherently a reduction. Output parts are sorted
-   * by (minx, miny, maxx, maxy) for determinism, fid = sort rank.
+   * dissolve): n-ary union of all features, fully on executors.
+   *
+   * Scale design — TREE reduce: level 0 unions each input partition
+   * in place (no shuffle), then log_fanout(numPartitions) rounds of
+   * groupByKey(g / fanout) merge partial coverages pairwise-ish, so
+   * no single task (and never the driver) sees more than `fanout`
+   * partial unions at once. The final part explosion runs in the last
+   * reduce task; fid = rank of the part bbox (deterministic — JTS
+   * union output geometry is order-independent as a point set, and
+   * parts of a coverage are disjoint so the bbox sort is total).
    */
-  def dissolve(features: DataFrame): DataFrame = {
+  def dissolve(features: DataFrame, fanout: Int = 16): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
-    val partials = features.select(col("xs"), col("ys"), col("parts"))
+    val src = features.select(col("xs"), col("ys"), col("parts"))
       .as[GeomArrays]
-      .mapPartitions { it =>
+    var width = src.rdd.getNumPartitions
+    var cur = spark.createDataset(
+      src.rdd.mapPartitionsWithIndex { (pid, it) =>
         val gs = it.map(g =>
           Jts.toGeometry(g.xs.toArray, g.ys.toArray, g.parts.toArray))
           .toSeq
         if (gs.isEmpty) Iterator.empty
         else {
           val (xs, ys, parts) = Jts.toPartsArrays(Jts.unionAll(gs))
-          Iterator.single(GeomArrays(xs.toSeq, ys.toSeq, parts.toSeq))
+          Iterator.single(
+            KeyedGeom(pid.toLong, xs.toSeq, ys.toSeq, parts.toSeq))
         }
-      }.collect()
-    val merged = Jts.unionAll(partials.map(g =>
-      Jts.toGeometry(g.xs.toArray, g.ys.toArray, g.parts.toArray)))
-    val feats = Jts.polygonsOf(merged)
-      .map { p =>
-        val (xs, ys, parts) = Jts.toPartsArrays(p)
+      })
+    while (width > 1) {
+      cur = cur.groupByKey(_.g / fanout)
+        .mapGroups { (g, it) =>
+          val gs = it.map(k =>
+            Jts.toGeometry(k.xs.toArray, k.ys.toArray, k.parts.toArray))
+            .toSeq
+          val (xs, ys, parts) = Jts.toPartsArrays(Jts.unionAll(gs))
+          KeyedGeom(g, xs.toSeq, ys.toSeq, parts.toSeq)
+        }
+      width = (width + fanout - 1) / fanout
+    }
+    val parts = cur.flatMap { k =>
+      val merged = Jts.toGeometry(k.xs.toArray, k.ys.toArray,
+        k.parts.toArray)
+      Jts.polygonsOf(merged).map { p =>
+        val (xs, ys, pp) = Jts.toPartsArrays(p)
         val env = p.getEnvelopeInternal
-        (xs.toSeq, ys.toSeq, parts.toSeq, p.getArea,
+        (xs.toSeq, ys.toSeq, pp.toSeq, p.getArea,
           env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
       }
-      .sortBy(t => (t._5, t._6, t._7, t._8))
-      .zipWithIndex
-      .map { case ((xs, ys, parts, area, mnx, mny, mxx, mxy), i) =>
-        OverlayFeature(i + 1L, xs, ys, parts, area, mnx, mny, mxx, mxy)
-      }
-    spark.createDataFrame(feats)
+    }.toDF("xs", "ys", "parts", "area", "minx", "miny", "maxx", "maxy")
+    parts
+      .withColumn("fid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("minx"), col("miny"), col("maxx"), col("maxy")))
+        .cast("long"))
+      .select(col("fid"), col("xs"), col("ys"), col("parts"),
+        col("area"), col("minx"), col("miny"), col("maxx"), col("maxy"))
   }
 }

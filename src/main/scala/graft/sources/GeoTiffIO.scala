@@ -136,7 +136,7 @@ object GeoTiffIO {
     val cells = df.select("r", "c", "v").collect()
       .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
     val nStrips = (rows + rowsPerStrip - 1) / rowsPerStrip
-    val entries = 10
+    val entries = 11
     val headerLen = 8
     val ifdLen = 2 + entries * 12 + 4
     // layout: header | IFD | stripOffsets | stripCounts | scale(3d) |
@@ -174,6 +174,11 @@ object GeoTiffIO {
     entry(TagRowsPerStrip, 4, 1, rowsPerStrip)
     entry(TagStripByteCounts, 4, nStrips,
       if (nStrips == 1) stripBytes.head else cntArr)
+    // SampleFormat = 3 (IEEE float): TIFF defaults to 1 (unsigned
+    // int), so without this tag conforming readers decode the float32
+    // payload as uint32 garbage (GeoTiff.java:646-698 does exactly
+    // that). Tags must stay ascending: 279 < 339 < 33550.
+    entry(339, 3, 1, 3)
     entry(TagPixelScale, 12, 3, scaleOff)
     entry(TagTiepoint, 12, 6, tieOff)
     buf.putInt(p, 0) // next IFD
