@@ -401,6 +401,82 @@ object SparkEntry {
       operators.Terrain.strahlerOrder(Derived.partGrid(s, dir), 5L,
         width = 50)),
 
+    // Contour polyline assembly: marching-squares segments chained
+    // into per-level lines (stats contract; arrays in the operator)
+    "geo_contour_lines" -> ((s, dir) =>
+      operators.ContourOps.contourLines(Derived.partGrid(s, dir),
+          Seq(25.0, 50.0, 75.0))
+        .select("lvl", "line_id", "n_pts", "closed", "len_nano")),
+
+    // RasterToVectorLines over the stream network: one polyline per
+    // junction-free link, vertices ordered downstream
+    "geo_r2v_lines" -> ((s, dir) =>
+      operators.Terrain.streamPolylines(Derived.partGrid(s, dir), 5L,
+          width = 50)
+        .select("link_id", "n_cells", "len_nano")),
+
+    // Ordinary kriging, spherical model, 2 nearest samples (closed
+    // form; the general-k executor solve is Kriging.ordinaryKriging)
+    "geo_kriging" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val smp = g.where(col("v") >= 95)
+        .select((col("r") * 50 + col("c")).as("sid"),
+          col("c").cast("double").as("sx"),
+          col("r").cast("double").as("sy"), col("v").as("sv"))
+        .localCheckpoint(true)
+      val tgt = g.select((col("r") * 50 + col("c")).as("tid"),
+        col("c").cast("double").as("tx"), col("r").cast("double").as("ty"))
+      val nn = operators.SpatialJoins.knnJoin(tgt, smp, 2,
+        probeId = "tid", buildId = "sid",
+        px = "tx", py = "ty", bx = "sx", by = "sy")
+      val pv = nn.join(smp, Seq("sid"))
+        .groupBy("tid").agg(
+          max(when(col("rnk") === 1, col("sx"))).as("sx1"),
+          max(when(col("rnk") === 1, col("sy"))).as("sy1"),
+          max(when(col("rnk") === 1, col("sv"))).as("sv1"),
+          max(when(col("rnk") === 1, col("dist2"))).as("d21"),
+          max(when(col("rnk") === 2, col("sx"))).as("sx2"),
+          max(when(col("rnk") === 2, col("sy"))).as("sy2"),
+          max(when(col("rnk") === 2, col("sv"))).as("sv2"),
+          max(when(col("rnk") === 2, col("dist2"))).as("d22"))
+      operators.Kriging.krige2Closed(pv, nugget = 0.1, psill = 0.9,
+          range = 15.0)
+        .select(expr("tid DIV 50").as("r"), (col("tid") % 50).as("c"),
+          round(col("est"), 6).as("est"))
+    }),
+
+    // Viewshed (target-parallel R3 ray marching, bilinear samples)
+    "geo_viewshed" -> ((s, dir) =>
+      operators.Terrain.viewshed(Derived.partGrid(s, dir),
+        vr = 20, vc = 25, stationH = 1.0)),
+
+    // Stream-link metrics: Shreve magnitude + trunk flag + elevation
+    // range + slope over traced length
+    "geo_stream_metrics" -> ((s, dir) =>
+      operators.Terrain.streamMetrics(Derived.partGrid(s, dir), 5L,
+        width = 50)),
+
+    // Subbasins: first stream link reached along the D8 flowpath
+    "geo_subbasins" -> ((s, dir) =>
+      operators.Terrain.subbasins(Derived.partGrid(s, dir), 5L,
+        width = 50)),
+
+    // DownslopeFlowpathLength: D8 path length to the terminal sink
+    "geo_flowpath_length" -> ((s, dir) =>
+      operators.Terrain.flowpathLength(Derived.partGrid(s, dir))),
+
+    // Dinf flow pointer (Tarboton): facet choice + two-way split
+    "geo_dinf_pointer" -> ((s, dir) =>
+      operators.Terrain.dinfPointer(Derived.partGrid(s, dir))
+        .select(col("r"), col("c"), col("facet"),
+          col("t1r"), col("t1c"), round(col("w1"), 6).as("w1"),
+          col("t2r"), col("t2c"), round(col("w2"), 6).as("w2"))),
+
+    // Dinf flow accumulation: fixed-order Jacobi over the weighted DAG
+    "geo_dinf_accum" -> ((s, dir) =>
+      operators.Terrain.dinfAccum(Derived.partGrid(s, dir), rounds = 24)
+        .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))),
+
     // ---- multimodal binary columns (stubbed decode, real plumbing) ----
 
     "media_features" -> ((s, dir) => {
@@ -1866,6 +1942,177 @@ object SparkEntry {
          |${strahlerSqlCtes(40)}
          |SELECT link_id, ord AS strahler FROM o_40""".stripMargin,
 
+    "geo_stream_metrics" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |${magnitudeSqlCtes(40)},
+         |wp AS (SELECT cg.child AS link_id, cg.parent, m.mag
+         |  FROM cgraph cg JOIN m_40 m ON m.link_id = cg.child),
+         |bst AS (SELECT parent, child AS best_child FROM (
+         |  SELECT cg.parent, cg.child,
+         |    ROW_NUMBER() OVER (PARTITION BY cg.parent
+         |      ORDER BY m.mag DESC, cg.child ASC) AS rn
+         |  FROM cgraph cg JOIN m_40 m ON m.link_id = cg.child) WHERE rn = 1),
+         |trk AS (SELECT l.link_id,
+         |  CAST(CASE WHEN w.parent IS NULL OR b.best_child = l.link_id
+         |    THEN 1 ELSE 0 END AS BIGINT) AS trunk
+         |  FROM linkids l
+         |  LEFT JOIN wp w ON w.link_id = l.link_id
+         |  LEFT JOIN bst b ON b.parent = w.parent),
+         |zr AS (SELECT l.link_id, min(g.v) AS zmin, max(g.v) AS zmax
+         |  FROM links l JOIN g ON g.r = l.r AND g.c = l.c GROUP BY 1),
+         |intra AS (SELECT l1.link_id, e.r, e.c, e.tr, e.tc FROM sedges e
+         |  JOIN links l1 ON l1.r = e.r AND l1.c = e.c
+         |  JOIN links l2 ON l2.r = e.tr AND l2.c = e.tc
+         |  WHERE l1.link_id = l2.link_id),
+         |ln AS (SELECT link_id,
+         |  CAST(sum(CAST(round(sqrt(CAST((r - tr) * (r - tr) + (c - tc) * (c - tc) AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS len_nano
+         |  FROM intra GROUP BY 1),
+         |nc AS (SELECT link_id, count(*) AS n_cells FROM links GROUP BY 1)
+         |SELECT m.link_id, CAST(m.mag AS BIGINT) AS magnitude, t.trunk,
+         |  nc.n_cells, zr.zmin, zr.zmax,
+         |  CASE WHEN COALESCE(ln.len_nano, 0) > 0 THEN
+         |    round((zr.zmax - zr.zmin) / (ln.len_nano / 1e9), 6) END AS slope
+         |FROM m_40 m
+         |JOIN trk t ON t.link_id = m.link_id
+         |JOIN zr ON zr.link_id = m.link_id
+         |JOIN nc ON nc.link_id = m.link_id
+         |LEFT JOIN ln ON ln.link_id = m.link_id""".stripMargin,
+
+    "geo_subbasins" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |estop AS (SELECT e.r, e.c, e.tr, e.tc FROM e
+         |  LEFT JOIN stream s ON s.r = e.r AND s.c = e.c
+         |  WHERE s.r IS NULL),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e2.tr, e2.tc
+         |  FROM walk w JOIN estop e2 ON e2.r = w.r AND e2.c = w.c),
+         |hit AS (SELECT w.sr AS r, w.sc AS c, l.link_id
+         |  FROM walk w JOIN links l ON l.r = w.r AND l.c = w.c)
+         |SELECT r, c, link_id AS basin FROM hit""".stripMargin,
+
+    "geo_flowpath_length" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |ed AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc,
+         |  (ptr IN (1, 4, 16, 64)) AS diag
+         |  FROM p WHERE ptr > 0),
+         |walk AS (SELECT r AS sr, c AS sc, r, c,
+         |  CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS nd FROM g
+         |  UNION SELECT w.sr, w.sc, ed.tr, ed.tc,
+         |    w.ns + CASE WHEN ed.diag THEN 0 ELSE 1 END,
+         |    w.nd + CASE WHEN ed.diag THEN 1 ELSE 0 END
+         |  FROM walk w JOIN ed ON ed.r = w.r AND ed.c = w.c),
+         |term AS (SELECT w.sr AS r, w.sc AS c, w.ns, w.nd
+         |  FROM walk w JOIN p ON p.r = w.r AND p.c = w.c AND p.ptr = 0)
+         |SELECT r, c, round(ns + nd * sqrt(2.0), 6) AS fp_len FROM term""".stripMargin,
+
+    "geo_contour_lines" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$contourLinesSql
+         |SELECT st.lvl, st.line_id, n.n_pts,
+         |  CAST(CASE WHEN st.n_segs = n.n_pts THEN 1 ELSE 0 END AS BIGINT) AS closed,
+         |  st.len_nano
+         |FROM lstats st JOIN npts n ON n.line_id = st.line_id""".stripMargin,
+
+    "geo_r2v_lines" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |intra AS (SELECT l1.link_id, e.r, e.c, e.tr, e.tc
+         |  FROM sedges e
+         |  JOIN links l1 ON l1.r = e.r AND l1.c = e.c
+         |  JOIN links l2 ON l2.r = e.tr AND l2.c = e.tc
+         |  WHERE l1.link_id = l2.link_id),
+         |ln AS (SELECT link_id,
+         |  CAST(sum(CAST(round(sqrt(CAST((r - tr) * (r - tr) + (c - tc) * (c - tc) AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS len_nano
+         |  FROM intra GROUP BY 1),
+         |nc AS (SELECT link_id, count(*) AS n_cells FROM links GROUP BY 1)
+         |SELECT nc.link_id, nc.n_cells, COALESCE(ln.len_nano, 0) AS len_nano
+         |FROM nc LEFT JOIN ln ON ln.link_id = nc.link_id""".stripMargin,
+
+    "geo_kriging" -> {
+      def gam(h: String) =
+        s"CASE WHEN $h >= 15.0 THEN 0.1 + 0.9 ELSE 0.1 + 0.9 * " +
+          s"(1.5 * ($h / 15.0) - 0.5 * ($h / 15.0) * ($h / 15.0) * ($h / 15.0)) END"
+      s"""WITH g AS ($GRID),
+         |smp AS (SELECT r * 50 + c AS sid, CAST(c AS DOUBLE) AS sx,
+         |  CAST(r AS DOUBLE) AS sy, v AS sv FROM g WHERE v >= 95),
+         |tgt AS (SELECT r * 50 + c AS tid, CAST(c AS DOUBLE) AS tx,
+         |  CAST(r AS DOUBLE) AS ty FROM g),
+         |nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+         |    ORDER BY d2, sid) AS rnk FROM (
+         |  SELECT t.tid, s.sid, s.sx, s.sy, s.sv,
+         |    (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) AS d2
+         |  FROM tgt t CROSS JOIN smp s)),
+         |pv AS (SELECT tid,
+         |  max(CASE WHEN rnk = 1 THEN sx END) AS sx1,
+         |  max(CASE WHEN rnk = 1 THEN sy END) AS sy1,
+         |  max(CASE WHEN rnk = 1 THEN sv END) AS sv1,
+         |  max(CASE WHEN rnk = 1 THEN d2 END) AS d21,
+         |  max(CASE WHEN rnk = 2 THEN sx END) AS sx2,
+         |  max(CASE WHEN rnk = 2 THEN sy END) AS sy2,
+         |  max(CASE WHEN rnk = 2 THEN sv END) AS sv2,
+         |  max(CASE WHEN rnk = 2 THEN d2 END) AS d22
+         |  FROM nn WHERE rnk <= 2 GROUP BY tid),
+         |hh AS (SELECT *, sqrt(d21) AS h1, sqrt(d22) AS h2,
+         |  sqrt((sx1 - sx2) * (sx1 - sx2) + (sy1 - sy2) * (sy1 - sy2)) AS h12
+         |  FROM pv),
+         |gm AS (SELECT *, ${gam("h1")} AS g1t, ${gam("h2")} AS g2t,
+         |  ${gam("h12")} AS g12 FROM hh),
+         |w AS (SELECT *, (1.0 - (g1t - g2t) / g12) / 2.0 AS w1 FROM gm)
+         |SELECT tid // 50 AS r, tid % 50 AS c,
+         |  round(w1 * sv1 + (1.0 - w1) * sv2, 6) AS est FROM w""".stripMargin
+    },
+
+    "geo_viewshed" ->
+      s"""WITH g AS ($GRID),
+         |vz AS (SELECT v + 1.0 AS zv FROM g WHERE r = 20 AND c = 25),
+         |t AS (SELECT g.r, g.c, g.v, vz.zv,
+         |  GREATEST(abs(g.r - 20), abs(g.c - 25)) AS n
+         |  FROM g CROSS JOIN vz),
+         |s AS (SELECT t.r, t.c, t.v, t.n, t.zv, k.k,
+         |  20 + (k.k * (t.r - 20)) / CAST(t.n AS DOUBLE) AS xr,
+         |  25 + (k.k * (t.c - 25)) / CAST(t.n AS DOUBLE) AS xc
+         |  FROM t JOIN range(1, 50) k(k) ON k.k <= t.n - 1
+         |  WHERE t.n >= 2),
+         |w AS (SELECT *, CAST(floor(xr) AS BIGINT) AS fr,
+         |  CAST(floor(xc) AS BIGINT) AS fc,
+         |  xr - floor(xr) AS wr, xc - floor(xc) AS wc FROM s),
+         |z AS (SELECT w.*, g00.v AS z00, g01.v AS z01, g10.v AS z10,
+         |  g11.v AS z11 FROM w
+         |  JOIN g g00 ON g00.r = w.fr AND g00.c = w.fc
+         |  LEFT JOIN g g01 ON g01.r = w.fr AND g01.c = w.fc + 1
+         |  LEFT JOIN g g10 ON g10.r = w.fr + 1 AND g10.c = w.fc
+         |  LEFT JOIN g g11 ON g11.r = w.fr + 1 AND g11.c = w.fc + 1),
+         |zk AS (SELECT r, c, n, zv, v, k,
+         |  z00 * (1 - wr) * (1 - wc)
+         |  + CASE WHEN wc > 0 THEN z01 * (1 - wr) * wc ELSE 0.0 END
+         |  + CASE WHEN wr > 0 THEN z10 * wr * (1 - wc) ELSE 0.0 END
+         |  + CASE WHEN wr > 0 AND wc > 0 THEN z11 * wr * wc ELSE 0.0 END
+         |  AS zk FROM z),
+         |blk AS (SELECT r, c,
+         |  max(CASE WHEN (zk - zv) / (k / CAST(n AS DOUBLE)) >= v - zv
+         |    THEN 1 ELSE 0 END) AS blk
+         |  FROM zk GROUP BY r, c)
+         |SELECT t.r, t.c, CAST(CASE WHEN t.n <= 1 THEN 1
+         |  ELSE 1 - COALESCE(b.blk, 0) END AS BIGINT) AS vis
+         |FROM t LEFT JOIN blk b ON b.r = t.r AND b.c = t.c""".stripMargin,
+
+    "geo_dinf_pointer" ->
+      s"""WITH g AS ($GRID),
+         |$dinfSqlCtes
+         |SELECT r, c, f AS facet, t1r, t1c, round(w1, 6) AS w1,
+         |  t2r, t2c, round(w2, 6) AS w2 FROM dptr""".stripMargin,
+
+    "geo_dinf_accum" ->
+      s"""WITH g AS ($GRID),
+         |$dinfSqlCtes,
+         |${dinfAccumSqlCtes(24)}
+         |SELECT r, c, round(acc, 6) AS acc FROM da_24""".stripMargin,
+
     "media_features" ->
       """WITH ch AS (SELECT doc_id,
         |  unnest(string_split(text, '')) AS ch,
@@ -2176,6 +2423,193 @@ object SparkEntry {
        |  SELECT e2.tr, e2.tc, l.link_id FROM links l
        |  JOIN sedges e2 ON e2.r = l.r AND e2.c = l.c
        |  JOIN indeg d ON d.tr = e2.tr AND d.tc = e2.tc AND d.n = 1)""".stripMargin
+
+  /** Contour polyline-assembly oracle (mirrors ContourOps): crossings
+    * with packed node ids -> per-cell marching-squares segments (fixed
+    * (top,left)+(bottom,right) saddle rule) -> recursive-CTE min-label
+    * connected components -> per-line stats. Lengths sum per-segment
+    * as round(len*1e9) BIGINTs so the totals are order-independent. */
+  private lazy val contourLinesSql: String = {
+    val segLen = "CAST(round(sqrt((xa - xb) * (xa - xb) + " +
+      "(ya - yb) * (ya - yb)) * 1e9) AS BIGINT)"
+    val sides = Seq("t", "b", "l", "rr")
+    val pairs2 = sides.combinations(2).toSeq
+    val cnt = sides.map(s => s"(CASE WHEN n_$s IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def case2(field: String, of: Int) = pairs2.map { pr =>
+      val s = pr(of)
+      s"WHEN n_${pr(0)} IS NOT NULL AND n_${pr(1)} IS NOT NULL THEN ${field}_$s"
+    }.mkString("CASE ", " ", " END")
+    s"""lv AS (SELECT * FROM (VALUES (CAST(25.0 AS DOUBLE), 0), (CAST(50.0 AS DOUBLE), 1), (CAST(75.0 AS DOUBLE), 2)) t(lvl, li)),
+       |crh AS (SELECT lvl, li, a.r, a.c, (lvl - a.v) / (b.v - a.v) AS t
+       |  FROM g a JOIN g b ON b.r = a.r AND b.c = a.c + 1
+       |  CROSS JOIN lv WHERE (a.v >= lvl) <> (b.v >= lvl)),
+       |crv AS (SELECT lvl, li, a.r, a.c, (lvl - a.v) / (b.v - a.v) AS t
+       |  FROM g a JOIN g b ON b.r = a.r + 1 AND b.c = a.c
+       |  CROSS JOIN lv WHERE (a.v >= lvl) <> (b.v >= lvl)),
+       |nodes AS (
+       |  SELECT lvl, 'h' AS et, r, c,
+       |    li * 100000 + (r * 64 + c) * 2 AS node,
+       |    c + t AS x, CAST(r AS DOUBLE) AS y FROM crh
+       |  UNION ALL
+       |  SELECT lvl, 'v' AS et, r, c,
+       |    li * 100000 + (r * 64 + c) * 2 + 1 AS node,
+       |    CAST(c AS DOUBLE) AS x, r + t AS y FROM crv),
+       |ct AS (SELECT lvl, r, c, node AS n_t, x AS x_t, y AS y_t
+       |  FROM nodes WHERE et = 'h'),
+       |cb AS (SELECT lvl, r - 1 AS r, c, node AS n_b, x AS x_b, y AS y_b
+       |  FROM nodes WHERE et = 'h'),
+       |cl AS (SELECT lvl, r, c, node AS n_l, x AS x_l, y AS y_l
+       |  FROM nodes WHERE et = 'v'),
+       |crr AS (SELECT lvl, r, c - 1 AS c, node AS n_rr, x AS x_rr, y AS y_rr
+       |  FROM nodes WHERE et = 'v'),
+       |cell AS (SELECT * FROM ct
+       |  FULL JOIN cb USING (lvl, r, c)
+       |  FULL JOIN cl USING (lvl, r, c)
+       |  FULL JOIN crr USING (lvl, r, c)),
+       |s2f AS (SELECT lvl,
+       |  ${case2("n", 0)} AS n1, ${case2("x", 0)} AS x1, ${case2("y", 0)} AS y1,
+       |  ${case2("n", 1)} AS n2, ${case2("x", 1)} AS x2, ${case2("y", 1)} AS y2
+       |  FROM cell WHERE $cnt = 2),
+       |s4 AS (
+       |  SELECT lvl, n_t AS n1, x_t AS x1, y_t AS y1,
+       |    n_l AS n2, x_l AS x2, y_l AS y2 FROM cell WHERE $cnt = 4
+       |  UNION ALL
+       |  SELECT lvl, n_b AS n1, x_b AS x1, y_b AS y1,
+       |    n_rr AS n2, x_rr AS x2, y_rr AS y2 FROM cell WHERE $cnt = 4),
+       |segs AS MATERIALIZED (SELECT lvl,
+       |  LEAST(n1, n2) AS na, GREATEST(n1, n2) AS nb,
+       |  CASE WHEN n1 <= n2 THEN x1 ELSE x2 END AS xa,
+       |  CASE WHEN n1 <= n2 THEN y1 ELSE y2 END AS ya,
+       |  CASE WHEN n1 <= n2 THEN x2 ELSE x1 END AS xb,
+       |  CASE WHEN n1 <= n2 THEN y2 ELSE y1 END AS yb
+       |  FROM (SELECT * FROM s2f UNION ALL SELECT * FROM s4)),
+       |sege AS MATERIALIZED (SELECT na AS a, nb AS b FROM segs
+       |  UNION ALL SELECT nb AS a, na AS b FROM segs),
+       |cc AS (
+       |  SELECT a AS node, LEAST(a, b) AS lbl FROM sege
+       |  UNION
+       |  SELECT s.b AS node, c2.lbl FROM cc c2 JOIN sege s ON s.a = c2.node),
+       |comp AS MATERIALIZED (SELECT node, min(lbl) AS comp FROM cc GROUP BY node),
+       |lstats AS (SELECT s.lvl, c1.comp AS line_id,
+       |  count(*) AS n_segs, CAST(sum($segLen) AS BIGINT) AS len_nano
+       |  FROM segs s JOIN comp c1 ON c1.node = s.na GROUP BY 1, 2),
+       |npts AS (SELECT comp AS line_id, count(*) AS n_pts
+       |  FROM comp GROUP BY 1)""".stripMargin
+  }
+
+  /** Dinf pointer CTEs (mirrors Terrain.dinfPointer): nb -> facet
+    * slopes -> first-max facet -> split weights. Branch decisions
+    * compare s1/s2 algebraically (never the atan2 output) so they are
+    * bit-exact across engines; atan2 appears only in the continuous
+    * diagonal weight. Produces `dptr(r, c, f, t1r, t1c, w1, t2r, t2c,
+    * w2)` and `dedges(r, c, tr, tc, w, j)`. */
+  private lazy val dinfSqlCtes: String = {
+    val dy = operators.Terrain.dY
+    val dx = operators.Terrain.dX
+    val facets = Seq((1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4),
+      (3, 2), (1, 2))
+    val joins = (0 until 8).map(i =>
+      s"LEFT JOIN g a$i ON a$i.r = g.r + ${dy(i)} AND a$i.c = g.c + ${dx(i)}")
+      .mkString("\n")
+    val ns = (0 until 8).map(i => s"a$i.v AS n$i").mkString(", ")
+    def s1(f: Int) = s"(v - n${facets(f)._1})"
+    def s2(f: Int) = s"(n${facets(f)._1} - n${facets(f)._2})"
+    val fs = (0 until 8).map { f =>
+      val (o, d) = facets(f)
+      s"""CASE WHEN n$o IS NULL OR n$d IS NULL THEN NULL
+         | WHEN ${s2(f)} < 0 THEN ${s1(f)}
+         | WHEN ${s2(f)} > ${s1(f)} THEN (v - n$d) / sqrt(2.0)
+         | ELSE sqrt(${s1(f)} * ${s1(f)} + ${s2(f)} * ${s2(f)}) END AS f$f"""
+        .stripMargin.replace("\n", "")
+    }.mkString(",\n  ")
+    val mxExpr = (0 until 8).map(f => s"COALESCE(f$f, -99999999.0)")
+      .mkString("GREATEST(", ", ", ")")
+    val chosenExpr = (0 until 8).map(f =>
+      s"WHEN f$f IS NOT NULL AND f$f = mx THEN $f").mkString(" ")
+    val w2Expr = (0 until 8).map { f =>
+      s"WHEN ff = $f THEN (CASE WHEN ${s2(f)} < 0 THEN 0.0" +
+        s" WHEN ${s2(f)} > ${s1(f)} THEN 1.0" +
+        s" ELSE atan2(${s2(f)}, ${s1(f)}) / ${math.Pi / 4.0} END)"
+    }.mkString(" ")
+    def tgt(sel: ((Int, Int)) => Int, delta: Seq[Int]) =
+      (0 until 8).map(f => s"WHEN ff = $f THEN ${delta(sel(facets(f)))}")
+        .mkString(" ")
+    s"""dnb AS (SELECT g.r, g.c, g.v, $ns FROM g
+       |$joins),
+       |dsl AS (SELECT r, c, v, n0, n1, n2, n3, n4, n5, n6, n7,
+       |  $fs
+       |  FROM dnb),
+       |dmx AS (SELECT *, $mxExpr AS mx FROM dsl),
+       |dch AS (SELECT *, CASE $chosenExpr ELSE -1 END AS ff
+       |  FROM dmx WHERE mx > 0),
+       |dptr AS MATERIALIZED (SELECT r, c, CAST(ff AS BIGINT) AS f,
+       |  CAST(r + CASE ${tgt(_._1, dy.map(_.toInt))} END AS BIGINT) AS t1r,
+       |  CAST(c + CASE ${tgt(_._1, dx.map(_.toInt))} END AS BIGINT) AS t1c,
+       |  1.0 - (CASE $w2Expr END) AS w1,
+       |  CAST(r + CASE ${tgt(_._2, dy.map(_.toInt))} END AS BIGINT) AS t2r,
+       |  CAST(c + CASE ${tgt(_._2, dx.map(_.toInt))} END AS BIGINT) AS t2c,
+       |  (CASE $w2Expr END) AS w2
+       |  FROM dch),
+       |dedges AS MATERIALIZED (SELECT *,
+       |  CASE ${(0 until 8).map(j =>
+             s"WHEN r - tr = ${dy(j)} AND c - tc = ${dx(j)} THEN $j")
+             .mkString(" ")} ELSE -1 END AS j
+       |  FROM (SELECT r, c, t1r AS tr, t1c AS tc, w1 AS w FROM dptr WHERE w1 > 0
+       |        UNION ALL
+       |        SELECT r, c, t2r AS tr, t2c AS tc, w2 AS w FROM dptr WHERE w2 > 0))"""
+      .stripMargin
+  }
+
+  /** Unrolled Dinf Jacobi accumulation (mirrors Terrain.dinfAccum):
+    * incoming loads pivot into 8 fixed direction slots, summed in
+    * textual order; `iters` >= the longest weighted flowpath (measured
+    * 14 on this grid) makes the final round the exact fixpoint. */
+  private def dinfAccumSqlCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "da_0 AS (SELECT r, c, CAST(1.0 AS DOUBLE) AS acc FROM g)"
+    for (i <- 1 to iters) {
+      val ds = (0 until 8).map(j =>
+        s"sum(CASE WHEN e.j = $j THEN e.w * a.acc END) AS d$j")
+        .mkString(", ")
+      val adds = (0 until 8).map(j => s"COALESCE(d$j, 0.0)")
+        .mkString(" + ")
+      sb ++=
+        s""",
+           |dc_$i AS (SELECT e.tr AS r, e.tc AS c, $ds
+           |  FROM dedges e JOIN da_${i - 1} a ON a.r = e.r AND a.c = e.c
+           |  GROUP BY 1, 2),
+           |da_$i AS MATERIALIZED (SELECT g.r, g.c, 1.0 + $adds AS acc
+           |  FROM g LEFT JOIN dc_$i x ON x.r = g.r AND x.c = g.c)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Unrolled Shreve-magnitude chain over the link graph (mirrors
+    * Terrain.streamMetrics' in-memory fixpoint; synchronous rounds
+    * converge once `iters` covers the junction depth). */
+  private def magnitudeSqlCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """linkids AS MATERIALIZED (SELECT DISTINCT link_id FROM links),
+        |cgraph AS MATERIALIZED (SELECT DISTINCT lu.link_id AS child, lv.link_id AS parent
+        |  FROM sedges e2
+        |  JOIN links lu ON lu.r = e2.r AND lu.c = e2.c
+        |  JOIN links lv ON lv.r = e2.tr AND lv.c = e2.tc
+        |  WHERE lu.link_id <> lv.link_id),
+        |m_0 AS (SELECT link_id, CAST(1 AS BIGINT) AS mag FROM linkids)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |m_$i AS MATERIALIZED (SELECT l.link_id,
+           |  CAST(COALESCE(s.sm, 1) AS BIGINT) AS mag
+           |  FROM linkids l LEFT JOIN (
+           |    SELECT cg.parent AS link_id, CAST(sum(o.mag) AS BIGINT) AS sm
+           |    FROM cgraph cg JOIN m_${i - 1} o ON o.link_id = cg.child
+           |    GROUP BY 1) s ON s.link_id = l.link_id)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** Unrolled Strahler iteration chain (mirrors Terrain.strahlerOrder). */
   private def strahlerSqlCtes(iters: Int): String = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One D8 cell with its decoded downstream target (self when sink). */
@@ -591,6 +591,213 @@ object Terrain {
       (col("r") + dyExpr).as("tr"), (col("c") + dxExpr).as("tc"))
   }
 
+  /** Dinf facet table (Tarboton 1997; reference FlowPointerDinf.java):
+    * (orthogonal neighbour index, diagonal neighbour index) per facet
+    * in the shared dY/dX neighbour order. Facet f spans the 45-degree
+    * wedge between its orthogonal and diagonal edge. */
+  private[operators] val dinfFacets: Seq[(Int, Int)] =
+    Seq((1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4), (3, 2), (1, 2))
+
+  /**
+   * FlowPointerDinf (Tarboton's D-infinity; reference
+   * FlowPointerDinf.java facet sweep): per cell, the steepest of 8
+   * triangular facets; flow splits between the facet's orthogonal
+   * neighbour e1 and diagonal neighbour e2 by the angular position of
+   * the steepest direction within the facet.
+   *
+   * Facet slope with s1 = z - z_e1, s2 = z_e1 - z_e2:
+   *   s2 < 0   -> direction clamps to e1, slope s1       (all flow e1)
+   *   s2 > s1  -> clamps to the diagonal, (z - z_e2)/√2  (all flow e2)
+   *   else     -> sqrt(s1² + s2²), diagonal weight atan2(s2, s1)/(π/4)
+   *
+   * The clamp branches compare s1/s2 directly (never the atan2 result)
+   * so branch decisions are bit-exact across engines; atan2 appears
+   * only inside the continuous weight. Facets missing a neighbour
+   * (grid edge) are invalid; max-slope <= 0 or no valid facet -> sink.
+   * First facet attaining the max wins (d8Pointer's tie rule).
+   *
+   * Output: one row per flowing cell, (r, c, facet, t1r, t1c, w1,
+   * t2r, t2c, w2) with w1 + w2 = 1 and w_i >= 0.
+   */
+  def dinfPointer(grid: DataFrame): DataFrame = {
+    val nb = gatherNeighbors(grid)
+    val sq2 = math.sqrt(2.0)
+    def s1(f: Int) = col("v") - col(s"n${dinfFacets(f)._1}")
+    def s2(f: Int) = col(s"n${dinfFacets(f)._1}") - col(s"n${dinfFacets(f)._2}")
+    def sF(f: Int) = {
+      val (o, d) = dinfFacets(f)
+      when(col(s"n$o").isNull || col(s"n$d").isNull,
+        lit(null).cast("double"))
+        .when(s2(f) < 0, s1(f))
+        .when(s2(f) > s1(f), (col("v") - col(s"n$d")) / sq2)
+        .otherwise(sqrt(s1(f) * s1(f) + s2(f) * s2(f)))
+    }
+    // materialize between stages: CollapseProject would otherwise
+    // inline each facet-slope tree into every downstream reference
+    // (mx, chosen, weights — exponential expression blowup)
+    val withS = nb.select(
+      (col("r") +: col("c") +: col("v") +:
+        (0 until 8).map(i => col(s"n$i"))) ++
+        (0 until 8).map(f => sF(f).as(s"f$f")): _*)
+      .localCheckpoint(true)
+    val mx = greatest((0 until 8).map(f =>
+      coalesce(col(s"f$f"), lit(-9.9999999e7))): _*)
+    val chosen = (0 until 8).foldLeft(lit(-1)) { (acc, f) =>
+      when(acc === -1 && col(s"f$f").isNotNull && col(s"f$f") === col("__mx"),
+        lit(f)).otherwise(acc)
+    }
+    val pi4 = math.Pi / 4.0
+    def perFacet(mk: Int => Column): Column =
+      (0 until 8).foldLeft(lit(null).cast("double")) { (acc, f) =>
+        when(col("__f") === f, mk(f)).otherwise(acc)
+      }
+    withS.withColumn("__mx", mx)
+      .where(col("__mx") > 0)
+      .withColumn("__f", chosen)
+      .localCheckpoint(true)
+      .withColumn("__w2", perFacet(f =>
+        when(s2(f) < 0, lit(0.0))
+          .when(s2(f) > s1(f), lit(1.0))
+          .otherwise(atan2(s2(f), s1(f)) / pi4)))
+      .select(col("r"), col("c"), col("__f").cast("long").as("facet"),
+        (col("r") + perFacet(f => lit(dY(dinfFacets(f)._1).toDouble)))
+          .cast("long").as("t1r"),
+        (col("c") + perFacet(f => lit(dX(dinfFacets(f)._1).toDouble)))
+          .cast("long").as("t1c"),
+        (lit(1.0) - col("__w2")).as("w1"),
+        (col("r") + perFacet(f => lit(dY(dinfFacets(f)._2).toDouble)))
+          .cast("long").as("t2r"),
+        (col("c") + perFacet(f => lit(dX(dinfFacets(f)._2).toDouble)))
+          .cast("long").as("t2c"),
+        col("__w2").as("w2"))
+  }
+
+  /** Dinf weighted edges (r, c) -> (tr, tc, w), w > 0, plus the
+    * direction index `j` of the source RELATIVE TO the target (so the
+    * accumulation can pivot incoming loads into a fixed 8-slot order —
+    * at most one in-edge per slot — and sum them in deterministic
+    * textual order on both engines). */
+  private[graft] def dinfEdges(grid: DataFrame): DataFrame = {
+    val p = dinfPointer(grid)
+    val e1 = p.where(col("w1") > 0).select(col("r"), col("c"),
+      col("t1r").as("tr"), col("t1c").as("tc"), col("w1").as("w"))
+    val e2 = p.where(col("w2") > 0).select(col("r"), col("c"),
+      col("t2r").as("tr"), col("t2c").as("tc"), col("w2").as("w"))
+    val dirIdx = (0 until 8).foldLeft(lit(-1)) { (acc, j) =>
+      when(col("r") - col("tr") === dY(j) && col("c") - col("tc") === dX(j),
+        lit(j)).otherwise(acc)
+    }
+    e1.unionByName(e2).withColumn("j", dirIdx)
+  }
+
+  /**
+   * Dinf flow accumulation: specific catchment = 1 + Σ(w_in · acc_up)
+   * over the weighted Dinf DAG.
+   *
+   * Executed as `rounds` synchronous Jacobi iterations with the
+   * incoming loads pivoted into the 8 fixed direction slots and added
+   * in textual order (d0 + … + d7) — every round is bit-exact against
+   * the identically-unrolled SQL oracle, and once the longest weighted
+   * path has propagated the iteration is EXACTLY stationary (the same
+   * doubles recompute), so any rounds >= longest-path-length yield the
+   * fixpoint. The whole loop is lazy (one job at the end); lineage is
+   * truncated every few rounds. At cluster scale each round is one
+   * shuffle of the cell relation — for deep flowpaths prefer the
+   * packet-tiled D8 scheme's generalisation; this form is chosen for
+   * its deterministic summation order.
+   */
+  def dinfAccum(grid: DataFrame, rounds: Int = 24): DataFrame = {
+    val edges = dinfEdges(grid).localCheckpoint(true)
+    val base = grid.select(col("r"), col("c")).localCheckpoint(true)
+    var acc = base.withColumn("acc", lit(1.0))
+    for (i <- 1 to rounds) {
+      val contrib = edges
+        .join(acc.select(col("r"), col("c"), col("acc").as("__a")),
+          Seq("r", "c"))
+        .groupBy(col("tr").as("r"), col("tc").as("c"))
+        .agg(sum(when(col("j") === 0, col("w") * col("__a"))).as("d0"),
+          (1 until 8).map(j =>
+            sum(when(col("j") === j, col("w") * col("__a"))).as(s"d$j")): _*)
+      acc = base.join(contrib, Seq("r", "c"), "left")
+        .select(col("r"), col("c"),
+          (0 until 8).foldLeft(lit(1.0)) { (s, j) =>
+            s + coalesce(col(s"d$j"), lit(0.0))
+          }.as("acc"))
+      // frequent lineage truncation: nested join+pivot rounds blow up
+      // the optimizer's constraint propagation (OOM past ~6 rounds)
+      if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
+    }
+    acc
+  }
+
+  /**
+   * Viewshed (TerrainAnalysisTools/Viewshed.java semantics): a cell is
+   * visible from the station iff no point along the sight line
+   * subtends a vertical angle >= the target's. Executed target-
+   * parallel (R3): each target samples its ray at the n-1 integer
+   * parameter steps (n = Chebyshev distance), reads the surface by
+   * bilinear interpolation, and blocks when any intermediate tangent
+   * (z_k - z_station)/(k/n) meets the target tangent — collinear
+   * samples let the common ray length cancel, so only the k/n
+   * fraction appears. The reference sweeps cells serially per
+   * octant; the per-target form is embarrassingly parallel (the
+   * choice for a 1000-executor cluster) at O(n^1.5) total samples.
+   *
+   * All arithmetic is +,-,*,/ and floor on identical inputs, so the
+   * result is bit-exact against the SQL mirror. Station height adds
+   * `stationH` to the station cell's elevation.
+   */
+  def viewshed(grid: DataFrame, vr: Long, vc: Long,
+               stationH: Double = 1.0): DataFrame = {
+    val vz = grid.where(col("r") === vr && col("c") === vc)
+      .select((col("v") + stationH).as("zv"))
+    val t = grid.crossJoin(broadcast(vz))
+      .withColumn("n", greatest(abs(col("r") - vr), abs(col("c") - vc)))
+      .localCheckpoint(true)
+    val s = t.where(col("n") >= 2)
+      .withColumn("k", explode(sequence(lit(1L), col("n") - 1)))
+      .withColumn("xr",
+        lit(vr) + (col("k") * (col("r") - vr)) / col("n").cast("double"))
+      .withColumn("xc",
+        lit(vc) + (col("k") * (col("c") - vc)) / col("n").cast("double"))
+      .withColumn("fr", floor(col("xr")).cast("long"))
+      .withColumn("fc", floor(col("xc")).cast("long"))
+      .withColumn("wr", col("xr") - floor(col("xr")))
+      .withColumn("wc", col("xc") - floor(col("xc")))
+    def gAt(rr: Column, cc: Column, name: String) =
+      grid.select(rr.as("__jr"), cc.as("__jc"), col("v").as(name))
+    val z = s
+      .join(gAt(col("r"), col("c"), "z00").toDF("__jr", "__jc", "z00"),
+        col("fr") === col("__jr") && col("fc") === col("__jc"))
+      .drop("__jr", "__jc")
+      .join(gAt(col("r"), col("c"), "z01").toDF("__jr", "__jc", "z01"),
+        col("fr") === col("__jr") && col("fc") + 1 === col("__jc"), "left")
+      .drop("__jr", "__jc")
+      .join(gAt(col("r"), col("c"), "z10").toDF("__jr", "__jc", "z10"),
+        col("fr") + 1 === col("__jr") && col("fc") === col("__jc"), "left")
+      .drop("__jr", "__jc")
+      .join(gAt(col("r"), col("c"), "z11").toDF("__jr", "__jc", "z11"),
+        col("fr") + 1 === col("__jr") && col("fc") + 1 === col("__jc"), "left")
+      .drop("__jr", "__jc")
+    val zk = z.withColumn("zk",
+      col("z00") * (lit(1) - col("wr")) * (lit(1) - col("wc")) +
+        when(col("wc") > 0,
+          col("z01") * (lit(1) - col("wr")) * col("wc")).otherwise(0.0) +
+        when(col("wr") > 0,
+          col("z10") * col("wr") * (lit(1) - col("wc"))).otherwise(0.0) +
+        when(col("wr") > 0 && col("wc") > 0,
+          col("z11") * col("wr") * col("wc")).otherwise(0.0))
+    val blk = zk.groupBy("r", "c")
+      .agg(max(when((col("zk") - col("zv")) /
+        (col("k") / col("n").cast("double")) >= col("v") - col("zv"), 1)
+        .otherwise(0)).as("blk"))
+    t.join(blk, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("n") <= 1, lit(1L))
+          .otherwise(lit(1L) - coalesce(col("blk"), lit(0)).cast("long"))
+          .as("vis"))
+  }
+
   /**
    * ExtractStreams (StreamNetworkAnalysisTools/ExtractStreams.java):
    * cells whose D8 flow accumulation meets `threshold`.
@@ -665,6 +872,68 @@ object Terrain {
   }
 
   /**
+   * RasterToVectorLines (ConversionTools/RasterToVectorLines.java,
+   * 520 LoC) over the stream network: every stream LINK (maximal
+   * junction-free arc, streamLinkId) becomes one polyline whose
+   * vertices are its cell centres ordered downstream. The walk runs
+   * sequentially per link inside `mapGroups` (per-link memory bounds
+   * at the arc length, matching the reference's per-arc tracing);
+   * step lengths (1 or √2) sum as round(len·1e9) integers so the
+   * per-link total is order-independent and SQL-mirrorable.
+   *
+   * Output: (link_id, n_cells, len_nano, xs, ys).
+   */
+  def streamPolylines(grid: DataFrame, threshold: Long,
+                      width: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    // intra-link downstream edges
+    val intra = sedges
+      .join(links.select(col("r"), col("c"), col("link_id")), Seq("r", "c"))
+      .join(links.select(col("r").as("tr"), col("c").as("tc"),
+        col("link_id").as("__l2")), Seq("tr", "tc"))
+      .where(col("link_id") === col("__l2"))
+      .select(col("link_id"), col("r"), col("c"), col("tr"), col("tc"))
+    val cells = links.select(col("link_id"), col("r"), col("c"),
+        lit(null).cast("long").as("tr"), lit(null).cast("long").as("tc"))
+      .unionByName(intra.select(col("link_id"), col("r"), col("c"),
+        col("tr"), col("tc")))
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+    cells.groupByKey(_._1).mapGroups { (linkId, it) =>
+      val rows = it.toArray
+      val nodes = rows.filter(_._4.isEmpty).map(t => (t._2, t._3)).distinct
+      val nxt = rows.flatMap(t => t._4.map(tr => (t._2, t._3) -> (tr, t._5.get)))
+        .toMap
+      val hasPred = nxt.values.toSet
+      // head = the link's cell with no intra-link predecessor
+      val head = nodes.filterNot(hasPred.contains).minOption
+        .getOrElse(nodes.min)
+      val xs = scala.collection.mutable.ArrayBuffer[Double]()
+      val ys = scala.collection.mutable.ArrayBuffer[Double]()
+      var lenNano = 0L
+      var cur = head
+      var continue = true
+      val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+      while (continue) {
+        seen += cur
+        xs += cur._2.toDouble; ys += cur._1.toDouble
+        nxt.get(cur) match {
+          case Some(n) if !seen.contains(n) =>
+            val dr = (n._1 - cur._1).toDouble
+            val dc = (n._2 - cur._2).toDouble
+            lenNano += math.round(math.sqrt(dr * dr + dc * dc) * 1e9)
+            cur = n
+          case _ => continue = false
+        }
+      }
+      (linkId, xs.length.toLong, lenNano, xs.toSeq, ys.toSeq)
+    }.toDF("link_id", "n_cells", "len_nano", "xs", "ys")
+  }
+
+  /**
    * StreamOrder, Strahler method (StreamNetworkAnalysisTools/
    * StreamOrder.java): per link, 1 for headwater links; a junction
    * link takes max(child orders) + 1 when at least two children tie
@@ -730,6 +999,186 @@ object Terrain {
         allIds.iterator.map(id => (id, ord(id)))
       }
       .toDF("link_id", "strahler")
+  }
+
+  /**
+   * Stream-link metrics (StreamNetworkAnalysisTools StreamMagnitude/
+   * StreamLinkLength/StreamLinkSlope/FindMainStem): per link —
+   * Shreve magnitude (count of headwater links upstream, inclusive),
+   * trunk flag (the max-magnitude child at its downstream junction,
+   * ties to the smaller link id; outlet links are trunk), elevation
+   * min/max over the link's cells, and slope = (zmax - zmin) /
+   * (len / 1e9) over the traced length. The magnitude fixpoint runs
+   * in-memory over the junction-scale link graph (one job — the
+   * strahlerOrder pattern); cell-scale aggregates stay distributed.
+   */
+  def streamMetrics(grid: DataFrame, threshold: Long,
+                    width: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    val cgraph = sedges
+      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
+        Seq("r", "c"))
+      .join(links.select(col("r").as("tr"), col("c").as("tc"),
+        col("link_id").as("parent")), Seq("tr", "tc"))
+      .where(col("child") =!= col("parent"))
+      .select("child", "parent").distinct()
+    val linkIds = links.select("link_id").distinct()
+    // in-memory Shreve magnitude fixpoint over the link graph
+    val mags = linkIds.as[Long].rdd.map(id => (id, Long.MinValue))
+      .union(cgraph.as[(Long, Long)].rdd)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val children = new scala.collection.mutable.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val allIds = new scala.collection.mutable.ArrayBuffer[Long]
+        it.foreach { case (a, b) =>
+          if (b == Long.MinValue) allIds += a
+          else children.getOrElseUpdate(b,
+            new scala.collection.mutable.ArrayBuffer[Long]) += a
+        }
+        val mag = new scala.collection.mutable.HashMap[Long, Long]()
+        allIds.foreach(id => mag(id) = 1L)
+        var changed = true
+        while (changed) {
+          changed = false
+          allIds.foreach { id =>
+            children.get(id).foreach { cs =>
+              val next = math.max(1L, cs.map(mag).sum)
+              if (next != mag(id)) { mag(id) = next; changed = true }
+            }
+          }
+        }
+        allIds.iterator.map(id => (id, mag(id)))
+      }.toDF("link_id", "magnitude").localCheckpoint(true)
+    // trunk: max-(magnitude, -link_id) child of the link's parent; a
+    // link with no parent (outlet) is trunk
+    val withParent = cgraph
+      .join(mags.select(col("link_id").as("child"),
+        col("magnitude").as("cmag")), Seq("child"))
+    val best = withParent.groupBy("parent")
+      .agg(max_by(col("child"),
+        struct(col("cmag"), -col("child"))).as("bestChild"))
+    val trunk = mags.select(col("link_id"))
+      .join(withParent.select(col("child").as("link_id"),
+        col("parent")), Seq("link_id"), "left")
+      .join(best, Seq("parent"), "left")
+      .select(col("link_id"),
+        when(col("parent").isNull ||
+          col("bestChild") === col("link_id"), 1L).otherwise(0L)
+          .as("trunk"))
+    // elevation range per link + traced length
+    val zr = links.join(grid, Seq("r", "c"))
+      .groupBy("link_id")
+      .agg(min(col("v")).as("zmin"), max(col("v")).as("zmax"))
+    val lens = streamPolylines(grid, threshold, width)
+      .select(col("link_id"), col("n_cells"), col("len_nano"))
+    mags.join(trunk, Seq("link_id"))
+      .join(zr, Seq("link_id"))
+      .join(lens, Seq("link_id"))
+      .select(col("link_id"), col("magnitude"), col("trunk"),
+        col("n_cells"), col("zmin"), col("zmax"),
+        when(col("len_nano") > 0,
+          round((col("zmax") - col("zmin")) /
+            (col("len_nano") / 1e9), 6)).as("slope"))
+  }
+
+  /**
+   * Subbasins (HydroTools/Subbasins.java semantics): label every cell
+   * with the stream LINK id of the first stream cell its D8 flowpath
+   * reaches; cells draining to a non-stream sink are NoData (absent).
+   * Pointer doubling with stream cells as absorbing states — the
+   * watershed machinery with a different absorbing set.
+   */
+  def subbasins(grid: DataFrame, threshold: Long,
+                width: Long): DataFrame = {
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    val isStream = stream.withColumn("__s", lit(true))
+    var next = ptr.join(isStream, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("r"))
+          .otherwise(col("r") + dyExpr).as("tr"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("c"))
+          .otherwise(col("c") + dxExpr).as("tc"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val hop = next.select(col("r").as("hr"), col("c").as("hc"),
+        col("tr").as("ttr"), col("tc").as("ttc"))
+      val doubled = next.join(hop,
+          col("tr") === col("hr") && col("tc") === col("hc"), "inner")
+        .select(col("r"), col("c"), col("ttr").as("tr"),
+          col("ttc").as("tc"))
+        .localCheckpoint(true)
+      val moved = doubled.join(next.select(col("r"), col("c"),
+          col("tr").as("otr"), col("tc").as("otc")), Seq("r", "c"))
+        .where(col("tr") =!= col("otr") || col("tc") =!= col("otc"))
+        .count()
+      next = doubled
+      converged = moved == 0
+    }
+    next.join(links.select(col("r").as("tr"), col("c").as("tc"),
+        col("link_id")), Seq("tr", "tc"))
+      .select(col("r"), col("c"), col("link_id").as("basin"))
+  }
+
+  /**
+   * DownslopeFlowpathLength (HydroTools/DownslopeFlowpathLength.java):
+   * the D8 path length from each cell to its terminal sink. Pointer
+   * doubling composes (target, straightSteps, diagSteps) pairs — the
+   * step counts add EXACTLY as integers under composition, and the
+   * final length nS + nD·√2 is evaluated once, so the distributed
+   * doubling is bit-exact against the sequential-walk oracle.
+   */
+  def flowpathLength(grid: DataFrame): DataFrame = {
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    val diag = (0 until 8).foldLeft(lit(false)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(i % 2 == 0)).otherwise(acc)
+    }
+    var next = ptr.select(col("r"), col("c"),
+        when(col("ptr") > 0, col("r") + dyExpr).otherwise(col("r")).as("tr"),
+        when(col("ptr") > 0, col("c") + dxExpr).otherwise(col("c")).as("tc"),
+        when(col("ptr") > 0 && !diag, 1L).otherwise(0L).as("ns"),
+        when(col("ptr") > 0 && diag, 1L).otherwise(0L).as("nd"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val hop = next.select(col("r").as("hr"), col("c").as("hc"),
+        col("tr").as("ttr"), col("tc").as("ttc"),
+        col("ns").as("hns"), col("nd").as("hnd"))
+      val doubled = next.join(hop,
+          col("tr") === col("hr") && col("tc") === col("hc"), "inner")
+        .select(col("r"), col("c"), col("ttr").as("tr"),
+          col("ttc").as("tc"), (col("ns") + col("hns")).as("ns"),
+          (col("nd") + col("hnd")).as("nd"))
+        .localCheckpoint(true)
+      val moved = doubled.join(next.select(col("r"), col("c"),
+          col("ns").as("ons"), col("nd").as("ond")), Seq("r", "c"))
+        .where(col("ns") =!= col("ons") || col("nd") =!= col("ond"))
+        .count()
+      next = doubled
+      converged = moved == 0
+    }
+    next.select(col("r"), col("c"),
+      round(col("ns") + col("nd") * math.sqrt(2.0), 6).as("fp_len"))
   }
 
   /**
