@@ -60,9 +60,10 @@ object ScalingBench {
     val sup = supBase.localCheckpoint(true)
     // kNN probe side scaled with the build side so per-round work
     // dominates round-trip latency
+    val supFactor = math.max(8, factor / 50)
     val supRep = supBase
-      .crossJoin(spark.range(8).select(col("id").as("rep")))
-      .select((col("s_id") * 8 + col("rep")).as("s_id"),
+      .crossJoin(spark.range(supFactor).select(col("id").as("rep")))
+      .select((col("s_id") * supFactor + col("rep")).as("s_id"),
         (col("sx") + col("rep") * 1e-5).as("sx"),
         (col("sy") + col("rep") * 1e-5).as("sy"))
       .repartition(nPart).localCheckpoint(true)
@@ -85,12 +86,14 @@ object ScalingBench {
             .as("text")))
       .repartition(nPart).localCheckpoint(true)
 
-    // best-of-2: the first pass pays JIT/codegen/page-cache warmup,
-    // which otherwise swamps the cross-parallelism comparison with
-    // run-to-run variance unrelated to scaling
+    // best-of-3: the first pass pays JIT/codegen/page-cache warmup and
+    // the host shows multi-second transient throughput dips; the
+    // minimum is the stable capability number the cross-parallelism
+    // comparison needs
     // SPARK_GRAFT_ONLY=a,b,c runs just those queries (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     // protect the shared inputs; reap each query's leaked checkpoint
     // blocks after it completes (see graft.core.CacheReaper)
     val inputIds = graft.core.CacheReaper.snapshot(spark)
@@ -99,7 +102,7 @@ object ScalingBench {
       System.err.println(s"[scaling] running $name ...")
       var bestSec = Double.MaxValue
       var rows = 0L
-      for (pass <- 1 to 2) {
+      for (pass <- 1 to passes) {
         val t0 = System.nanoTime()
         rows = f
         val sec = (System.nanoTime() - t0) / 1e9
@@ -147,9 +150,10 @@ object ScalingBench {
       },
       time("ann_topk") {
         val embBase = Derived.table(spark, sfDir, "embeddings")
+        val embFactor = math.max(8, factor / 25)
         val emb = embBase
-          .crossJoin(spark.range(8).select(col("id").as("rep")))
-          .select((col("vec_id") * 8 + col("rep")).as("vec_id"),
+          .crossJoin(spark.range(embFactor).select(col("id").as("rep")))
+          .select((col("vec_id") * embFactor + col("rep")).as("vec_id"),
             col("embedding"), col("label"))
           .repartition(nPart).localCheckpoint(true)
         Similarity.bruteForceTopK(emb,

@@ -450,6 +450,110 @@ object SparkEntry {
       operators.Terrain.viewshed(Derived.partGrid(s, dir),
         vr = 20, vc = 25, stationH = 1.0)),
 
+    // Morphological opening / closing (ImageProcessingTools Opening/
+    // Closing): grayscale erode(min)->dilate(max) and the reverse,
+    // 3x3, no edge reflection — two passes of the one-shuffle focal
+    // scatter engine
+    "geo_morph_open" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val er = operators.Focal.contributions(g, 1, reflect = false,
+          GridRows, GridCols)
+        .groupBy("r", "c").agg(min(col("nv")).as("v"))
+      operators.Focal.contributions(er, 1, reflect = false,
+          GridRows, GridCols)
+        .groupBy("r", "c").agg(max(col("nv")).as("v"))
+    }),
+
+    "geo_morph_close" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val di = operators.Focal.contributions(g, 1, reflect = false,
+          GridRows, GridCols)
+        .groupBy("r", "c").agg(max(col("nv")).as("v"))
+      operators.Focal.contributions(di, 1, reflect = false,
+          GridRows, GridCols)
+        .groupBy("r", "c").agg(min(col("nv")).as("v"))
+    }),
+
+    // RemoveSpurs (ImageProcessingTools/RemoveSpurs.java): iteratively
+    // delete mask cells with < 2 8-neighbours (endpoints + isolates),
+    // 3 unrolled iterations
+    "geo_remove_spurs" -> ((s, dir) => {
+      var m = Derived.partGrid(s, dir).where(col("v") >= 70)
+        .select("r", "c")
+      for (_ <- 1 to 3) {
+        val nbr = m.select(col("r").as("br"), col("c").as("bc"))
+        m = m.join(nbr,
+            abs(col("r") - col("br")) <= 1 &&
+            abs(col("c") - col("bc")) <= 1 &&
+            !(col("r") === col("br") && col("c") === col("bc")))
+          .groupBy("r", "c").agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= 2).select("r", "c")
+      }
+      m
+    }),
+
+    // MosaicWithFeathering (ImageProcessingTools/Mosaic.java 1007):
+    // two overlapping rasters blend by distance-to-own-border weights
+    "geo_mosaic_feather" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      val a = st.select(col("r"), col("c"), col("v1"))
+      val b = st.select((col("r") + 15).as("r"), (col("c") + 20).as("c"),
+        col("v2"))
+      a.join(b, Seq("r", "c"), "full")
+        .select(col("r"), col("c"), round(
+          when(col("v1").isNotNull && col("v2").isNotNull, {
+            val wa = least(col("r"), lit(39) - col("r"), col("c"),
+              lit(49) - col("c")) + 1
+            val wb = least(col("r") - 15, lit(54) - col("r"),
+              col("c") - 20, lit(69) - col("c")) + 1
+            (wa * col("v1") + wb * col("v2")) / (wa + wb)
+          }).when(col("v1").isNotNull, col("v1"))
+            .otherwise(col("v2")), 6).as("v"))
+    }),
+
+    // TIN (ConstructTIN.groovy): Delaunay triangles by the exact
+    // empty-circumcircle definition over the supplier feature layer
+    "geo_tin_delaunay" -> ((s, dir) =>
+      operators.Tin.delaunayBrute(
+        Derived.supplierPoints(s, dir).where(col("s_id") <= 40)
+          .select(col("s_id").as("pid"), col("sx").as("px"),
+            col("sy").as("py")))),
+
+    // Voronoi adjacency = Delaunay dual edges
+    "geo_voronoi_neighbors" -> ((s, dir) =>
+      operators.Tin.voronoiNeighbors(
+        Derived.supplierPoints(s, dir).where(col("s_id") <= 40)
+          .select(col("s_id").as("pid"), col("sx").as("px"),
+            col("sy").as("py")))),
+
+    // TestForNormality (StatsTools/TestForNormality.java): one-sample
+    // K-S statistic against N(mean, sd). Φ comes from one generated
+    // Horner text parsed by BOTH engines (Distribution.phiSqlText);
+    // moments run in exact cents-integer space; ranks come from the
+    // distributed two-pass cumeDist (no global single-partition sort).
+    "stats_ks_normal" -> ((s, dir) => {
+      val c = Derived.table(s, dir, "customer")
+      val cents = c.select(col("c_custkey").as("id"),
+        round(col("c_acctbal") * 100).cast("long").as("k"))
+      val st = cents.agg(sum(col("k")).as("sx"),
+        sum(col("k") * col("k")).as("sxx"), count(lit(1)).as("n"))
+      val ranked = operators.Distribution.cumeDist(cents, col("k"),
+        col("id"), binWidth = 10000.0, posName = Some("rn"))
+      val z = ranked.crossJoin(broadcast(st))
+        .withColumn("__z",
+          (col("k") - (col("sx").cast("double") / col("n"))) /
+            sqrt((col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+              (col("n") - 1)))
+        .withColumn("__phi",
+          expr(operators.Distribution.phiSqlText("__z")))
+        .withColumn("__d", greatest(
+          col("rn").cast("double") / col("n") - col("__phi"),
+          col("__phi") - (col("rn").cast("double") - 1) / col("n")))
+      z.groupBy().agg(max(col("n")).as("n"),
+        round(max(col("__d")), 6).as("ks_d"))
+    }),
+
     // Stream-link metrics: Shreve magnitude + trunk flag + elevation
     // range + slope over traced length
     "geo_stream_metrics" -> ((s, dir) =>
@@ -1942,6 +2046,88 @@ object SparkEntry {
          |${strahlerSqlCtes(40)}
          |SELECT link_id, ord AS strahler FROM o_40""".stripMargin,
 
+    "geo_morph_open" ->
+      s"""WITH g AS ($GRID),
+         |offs AS (SELECT a.x AS dy, b.x AS dx FROM range(-1, 2) a(x)
+         |  CROSS JOIN range(-1, 2) b(x)),
+         |er AS (SELECT t.r, t.c, min(s.v) AS v FROM g t CROSS JOIN offs o
+         |  JOIN g s ON s.r = t.r + o.dy AND s.c = t.c + o.dx
+         |  GROUP BY t.r, t.c)
+         |SELECT t.r, t.c, max(s.v) AS v FROM er t CROSS JOIN offs o
+         |JOIN er s ON s.r = t.r + o.dy AND s.c = t.c + o.dx
+         |GROUP BY t.r, t.c""".stripMargin,
+
+    "geo_morph_close" ->
+      s"""WITH g AS ($GRID),
+         |offs AS (SELECT a.x AS dy, b.x AS dx FROM range(-1, 2) a(x)
+         |  CROSS JOIN range(-1, 2) b(x)),
+         |di AS (SELECT t.r, t.c, max(s.v) AS v FROM g t CROSS JOIN offs o
+         |  JOIN g s ON s.r = t.r + o.dy AND s.c = t.c + o.dx
+         |  GROUP BY t.r, t.c)
+         |SELECT t.r, t.c, min(s.v) AS v FROM di t CROSS JOIN offs o
+         |JOIN di s ON s.r = t.r + o.dy AND s.c = t.c + o.dx
+         |GROUP BY t.r, t.c""".stripMargin,
+
+    "geo_remove_spurs" -> {
+      val iter = (i: Int) =>
+        s"""m$i AS (SELECT a.r, a.c FROM m${i - 1} a JOIN m${i - 1} b
+           |  ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1
+           |  AND NOT (a.r = b.r AND a.c = b.c)
+           |  GROUP BY a.r, a.c HAVING count(*) >= 2)""".stripMargin
+      s"""WITH g AS ($GRID),
+         |m0 AS (SELECT r, c FROM g WHERE v >= 70),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT r, c FROM m3""".stripMargin
+    },
+
+    "geo_mosaic_feather" ->
+      s"""WITH st AS (${Derived.partStackSql}),
+         |a AS (SELECT r, c, v1 FROM st),
+         |b AS (SELECT r + 15 AS r, c + 20 AS c, v2 FROM st),
+         |j AS (SELECT r, c, v1, v2 FROM a FULL JOIN b USING (r, c))
+         |SELECT r, c, round(CASE
+         |  WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN
+         |    ((LEAST(r, 39 - r, c, 49 - c) + 1) * v1 +
+         |     (LEAST(r - 15, 54 - r, c - 20, 69 - c) + 1) * v2) /
+         |    ((LEAST(r, 39 - r, c, 49 - c) + 1) +
+         |     (LEAST(r - 15, 54 - r, c - 20, 69 - c) + 1))
+         |  WHEN v1 IS NOT NULL THEN v1 ELSE v2 END, 6) AS v
+         |FROM j""".stripMargin,
+
+    "geo_tin_delaunay" ->
+      s"""WITH sp AS ($SPTS),
+         |$tinSqlCtes
+         |SELECT ia, ib, ic FROM t ANTI JOIN bad USING (ia, ib, ic)""".stripMargin,
+
+    "geo_voronoi_neighbors" ->
+      s"""WITH sp AS ($SPTS),
+         |$tinSqlCtes,
+         |tri AS (SELECT t.ia, t.ib, t.ic FROM t
+         |  ANTI JOIN bad USING (ia, ib, ic))
+         |SELECT pa, pb FROM (
+         |  SELECT ia AS pa, ib AS pb FROM tri
+         |  UNION SELECT ia AS pa, ic AS pb FROM tri
+         |  UNION SELECT ib AS pa, ic AS pb FROM tri)""".stripMargin,
+
+    "stats_ks_normal" ->
+      s"""WITH k AS (SELECT c_custkey AS id,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) AS k FROM customer),
+         |st AS (SELECT CAST(sum(k) AS BIGINT) AS sx,
+         |  CAST(sum(k * k) AS BIGINT) AS sxx, count(*) AS n FROM k),
+         |z AS (SELECT id, k.k, n,
+         |  (k.k - (CAST(sx AS DOUBLE) / n)) /
+         |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS __z,
+         |  ROW_NUMBER() OVER (ORDER BY k.k, id) AS rn
+         |  FROM k CROSS JOIN st),
+         |p AS (SELECT n, rn,
+         |  ${operators.Distribution.phiSqlText("__z")} AS phi FROM z)
+         |SELECT max(n) AS n,
+         |  round(max(GREATEST(CAST(rn AS DOUBLE) / n - phi,
+         |    phi - (CAST(rn AS DOUBLE) - 1) / n)), 6) AS ks_d
+         |FROM p""".stripMargin,
+
     "geo_stream_metrics" ->
       s"""WITH RECURSIVE g AS ($GRID),
          |${streamSqlCtes(5L)},
@@ -2584,6 +2770,30 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Delaunay-by-empty-circumcircle CTEs (mirrors Tin.delaunayBrute):
+    * candidate triples with orientation + incircle anti-join set.
+    * Expects `sp` = supplier points CTE. */
+  private lazy val tinSqlCtes: String =
+    s"""p AS (SELECT s_id AS pid, sx AS px, sy AS py FROM sp
+       |  WHERE s_id <= 40),
+       |t0 AS (SELECT a.pid AS ia, a.px AS xa, a.py AS ya,
+       |  b.pid AS ib, b.px AS xb, b.py AS yb,
+       |  c.pid AS ic, c.px AS xc, c.py AS yc,
+       |  (b.px - a.px) * (c.py - a.py) - (b.py - a.py) * (c.px - a.px) AS o
+       |  FROM p a JOIN p b ON a.pid < b.pid JOIN p c ON b.pid < c.pid),
+       |t AS MATERIALIZED (SELECT * FROM t0 WHERE o <> 0),
+       |w AS (SELECT t.ia, t.ib, t.ic, t.o,
+       |  (t.xa - d.px) AS a1, (t.ya - d.py) AS a2,
+       |  (t.xb - d.px) AS b1, (t.yb - d.py) AS b2,
+       |  (t.xc - d.px) AS c1, (t.yc - d.py) AS c2
+       |  FROM t JOIN p d ON d.pid <> t.ia AND d.pid <> t.ib
+       |    AND d.pid <> t.ic),
+       |w2 AS (SELECT *, a1 * a1 + a2 * a2 AS a3, b1 * b1 + b2 * b2 AS b3,
+       |  c1 * c1 + c2 * c2 AS c3 FROM w),
+       |bad AS (SELECT DISTINCT ia, ib, ic FROM w2
+       |  WHERE (a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1)
+       |    + a3 * (b1 * c2 - b2 * c1)) * o > 0)""".stripMargin
 
   /** Unrolled Shreve-magnitude chain over the link graph (mirrors
     * Terrain.streamMetrics' in-memory fixpoint; synchronous rounds

@@ -54,6 +54,71 @@ object Clustering {
   }
 
   /**
+   * ISODATA classification (ImageProcessingTools/
+   * IsodataClassification.java semantics, deterministic re-statement):
+   * k-means rounds interleaved with structural updates — clusters
+   * smaller than `minSize` are DISCARDED (members re-assign next
+   * round), and while below `maxK` the cluster with the largest
+   * per-dimension variance splits when that variance exceeds
+   * `splitVar` (the two children seed at mean ± sqrt(var) on the
+   * widest dimension, rounded to 6 decimals). All tie-breaks are by
+   * cluster id, so the trajectory is reproducible.
+   *
+   * Returns (assignments (vec_id, cluster), centroids (cluster, pos,
+   * cv)); cluster ids are the seed vector ids and split children take
+   * ids maxId+1/maxId+2 at the time of the split.
+   */
+  def isodata(emb: DataFrame, k0: Int, iters: Int, minSize: Long,
+              maxK: Int, splitVar: Double): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Similarity.exploded(emb).localCheckpoint(true)
+    var c = e.where(col("vec_id") < k0)
+      .select(col("vec_id").as("cluster"), col("pos"),
+        col("ev").as("cv"))
+      .localCheckpoint(true)
+    var nextId = c.agg(max(col("cluster"))).head().getLong(0) + 1
+    for (_ <- 1 to iters) {
+      val a = assign(e, c)
+      val sizes = a.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      val kept = a.join(sizes.where(col("sz") >= minSize)
+        .select("cluster"), Seq("cluster"))
+      val stats = kept.join(e, Seq("vec_id"))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("ev")), 6).as("cv"),
+          round(avg(col("ev") * col("ev")) -
+            avg(col("ev")) * avg(col("ev")), 6).as("vr"))
+        .localCheckpoint(true)
+      val nClusters = stats.select("cluster").distinct().count()
+      // widest (cluster, pos) by variance, ties to smaller ids
+      val worst = stats
+        .orderBy(col("vr").desc, col("cluster").asc, col("pos").asc)
+        .limit(1).collect().headOption
+      c = worst match {
+        case Some(w) if nClusters < maxK && w.getDouble(3) > splitVar =>
+          val (splitCl, splitPos, splitVr) =
+            (w.getLong(0), w.getInt(1), w.getDouble(3))
+          val delta = math.sqrt(splitVr)
+          val parent = stats.where(col("cluster") === splitCl)
+          val others = stats.where(col("cluster") =!= splitCl)
+            .select("cluster", "pos", "cv")
+          val childA = parent.select(lit(nextId).as("cluster"),
+            col("pos"), round(when(col("pos") === splitPos,
+              col("cv") - delta).otherwise(col("cv")), 6).as("cv"))
+          val childB = parent.select(lit(nextId + 1).as("cluster"),
+            col("pos"), round(when(col("pos") === splitPos,
+              col("cv") + delta).otherwise(col("cv")), 6).as("cv"))
+          nextId += 2
+          others.unionByName(childA).unionByName(childB)
+            .localCheckpoint(true)
+        case _ =>
+          stats.select("cluster", "pos", "cv").localCheckpoint(true)
+      }
+    }
+    (assign(e, c), c)
+  }
+
+  /**
    * IVF ANN with a TRAINED coarse quantizer: k-means lists, queries
    * probe their `nprobe` nearest lists, exact cosine runs only inside
    * probed lists — probe cost O(N * nprobe / nlist) instead of O(N).

@@ -31,6 +31,36 @@ object Distribution {
    * the per-bin count table is collected and broadcast), never the
    * result.
    */
+  /**
+   * Standard-normal CDF Φ(z) as generated SQL text — the same string
+   * is parsed by BOTH Spark (expr) and DuckDB, so the arithmetic tree
+   * is identical by construction (TestForNormality's K-S statistic
+   * needs Φ, and libm erf is not cross-engine reproducible).
+   *
+   * Maclaurin series in Horner form over u = z²:
+   *   Φ(z) = 0.5 + z · Σ_k a_k u^k,
+   *   a_k = (−1)^k / (k!·2^k·(2k+1)·√(2π)).
+   * With maxTerms = 25 the truncation error is < 1e-12 for |z| <= 3.5
+   * (the alternating terms peak near k = z²/2 then decay factorially);
+   * callers must standardize inputs into that range. Every literal is
+   * CAST(x AS DOUBLE) because Spark SQL would otherwise parse decimal
+   * literals as DECIMAL and diverge from DuckDB's doubles.
+   */
+  def phiSqlText(z: String, maxTerms: Int = 25): String = {
+    val coefs = (0 until maxTerms).map { k =>
+      var a = 1.0 / math.sqrt(2.0 * math.Pi)
+      for (i <- 1 to k) a /= (2.0 * i)      // k! * 2^k
+      a /= (2 * k + 1)
+      if (k % 2 == 1) -a else a
+    }
+    def dlit(d: Double) = s"CAST(${java.lang.Double.toString(d)} AS DOUBLE)"
+    val u = s"(($z) * ($z))"
+    val horner = coefs.reverse.tail.foldLeft(dlit(coefs.last)) {
+      (acc, c) => s"(${dlit(c)} + $u * ($acc))"
+    }
+    s"(CAST(0.5 AS DOUBLE) + ($z) * $horner)"
+  }
+
   def cumeDist(df: DataFrame, value: Column, tie: Column,
                binWidth: Double, outName: String = "cd",
                posName: Option[String] = None): DataFrame = {

@@ -37,7 +37,12 @@ object Similarity {
       col("pos"), col("ev").as("qv"))
     val norms = e.groupBy("vec_id")
       .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
-    val dots = q.join(e, Seq("pos"))
+    // broadcast the probe batch EXPLICITLY: the join key `pos` has only
+    // d distinct values, so a shuffle join would collapse parallelism
+    // to d skewed partitions (observed 6x run-to-run swings when the
+    // planner flipped); with q broadcast, the big side streams map-side
+    // at full parallelism and the plan is deterministic
+    val dots = e.join(broadcast(q), Seq("pos"))
       .where(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("qv") * col("ev")).as("dot"))
@@ -71,7 +76,9 @@ object Similarity {
         col("ev").as("qv"), col("label"))
     val norms = exploded(emb).groupBy("vec_id")
       .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
-    val dots = q.join(e, Seq("pos", "label"))
+    // same broadcast rationale as bruteForceTopK: (pos, label) is a
+    // low-cardinality key, the probe batch is the small side
+    val dots = e.join(broadcast(q), Seq("pos", "label"))
       .where(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
       .agg(sum(col("qv") * col("ev")).as("dot"))

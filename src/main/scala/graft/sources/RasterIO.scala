@@ -201,6 +201,69 @@ object RasterIO {
         .getBytes(UTF_8))
   }
 
+  // ---- SAGA .sgrd/.sdat ----------------------------------------------
+  // ImportExport/src/plugins/ImportSagaGrid.java (621 LoC) semantics:
+  // `KEY = VALUE` header in .sgrd, float32 cells in .sdat, rows stored
+  // BOTTOM-UP unless TOPTOBOTTOM = TRUE. Engine convention stays
+  // top-down (r = 0 is the north row), so the row index flips on read
+  // and write when the file is bottom-up.
+
+  def readSagaGrid(spark: SparkSession, sgrdPath: String): DataFrame = {
+    import spark.implicits._
+    val kv = Files.readAllLines(Paths.get(sgrdPath)).toArray
+      .map(_.toString).flatMap { line =>
+        val i = line.indexOf('=')
+        if (i < 0) None
+        else Some(line.take(i).trim.toUpperCase -> line.drop(i + 1).trim)
+      }.toMap
+    val rows = kv("CELLCOUNT_Y").toInt
+    val cols = kv("CELLCOUNT_X").toInt
+    val noData = kv.getOrElse("NODATA_VALUE", "-99999").toDouble
+    val isBig = kv.getOrElse("BYTEORDER_BIG", "FALSE")
+      .equalsIgnoreCase("TRUE")
+    val topDown = kv.getOrElse("TOPTOBOTTOM", "FALSE")
+      .equalsIgnoreCase("TRUE")
+    val offset = kv.getOrElse("DATAFILE_OFFSET", "0").toInt
+    val sdat = sgrdPath.stripSuffix(".sgrd") + ".sdat"
+    val bin = spark.read.format("binaryFile").load(sdat)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val buf = ByteBuffer.wrap(content).order(
+        if (isBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      (0 until (content.length - offset) / 4).iterator.map { i =>
+        val fileRow = i / cols
+        val r = if (topDown) fileRow.toLong
+          else (rows - 1 - fileRow).toLong
+        (r, (i % cols).toLong,
+          buf.getFloat(offset + i * 4).toDouble)
+      }.filter(_._3 != noData)
+    }.toDF("r", "c", "v")
+  }
+
+  /** Write (r, c, v) as SAGA .sgrd/.sdat (driver-side, dense,
+    * bottom-up row order — SAGA's default). */
+  def writeSagaGrid(df: DataFrame, rows: Int, cols: Int,
+                    xmin: Double, ymin: Double, cellSize: Double,
+                    noData: Double, sgrdPath: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val buf = ByteBuffer.allocate(rows * cols * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    for (fileRow <- 0 until rows; c <- 0 until cols) {
+      val r = rows - 1 - fileRow
+      buf.putFloat(cells.getOrElse((r.toLong, c.toLong), noData).toFloat)
+    }
+    Files.write(Paths.get(sgrdPath.stripSuffix(".sgrd") + ".sdat"),
+      buf.array())
+    Files.write(Paths.get(sgrdPath),
+      (s"NAME\t= graft\nDATAFILE_OFFSET\t= 0\nDATAFORMAT\t= FLOAT\n" +
+        s"BYTEORDER_BIG\t= FALSE\nPOSITION_XMIN\t= $xmin\n" +
+        s"POSITION_YMIN\t= $ymin\nCELLSIZE\t= $cellSize\n" +
+        s"CELLCOUNT_X\t= $cols\nCELLCOUNT_Y\t= $rows\n" +
+        s"NODATA_VALUE\t= $noData\nTOPTOBOTTOM\t= FALSE\n")
+        .getBytes(UTF_8))
+  }
+
   // ---- SRTM .hgt ----------------------------------------------------
   // ImportExport/src/plugins/ImportSRTM.java semantics: square grid of
   // BIG-endian int16, side = sqrt(n), voids = -32768.

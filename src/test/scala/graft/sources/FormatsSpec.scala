@@ -36,6 +36,14 @@ class FormatsSpec extends AnyFunSuite {
       === want)
   }
 
+  test("SAGA .sgrd/.sdat round-trip (bottom-up rows)") {
+    val dir = Files.createTempDirectory("sgrd").toString
+    RasterIO.writeSagaGrid(grid, rows, cols, 0, 0, 1, -99999,
+      s"$dir/g.sgrd")
+    assert(collect(RasterIO.readSagaGrid(spark, s"$dir/g.sgrd"))
+      === want)
+  }
+
   test("SRTM .hgt round-trip (integer grid)") {
     val dir = Files.createTempDirectory("hgt").toString
     val g = (for (r <- 0 until 5; c <- 0 until 5 if !(r == 1 && c == 1))

@@ -19,6 +19,7 @@ mkdir -p BENCH target/bench
 run() {
   local cpus=$1
   SPARK_DRIVER_MEM="$((cpus * 2))g" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+    SPARK_GRAFT_SCALE="${SPARK_GRAFT_SCALE:-1600}" \
     sbt -batch "runMain graft.ScalingBench" 2>>/tmp/scaling_stderr.log |
     grep -o '{"metric".*}' | tail -1
 }
