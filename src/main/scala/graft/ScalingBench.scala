@@ -156,7 +156,7 @@ object ScalingBench {
           .select((col("vec_id") * embFactor + col("rep")).as("vec_id"),
             col("embedding"), col("label"))
           .repartition(nPart).localCheckpoint(true)
-        Similarity.bruteForceTopK(emb,
+        Similarity.bruteForceTopKFused(emb,
           emb.where(col("vec_id") % 400 === 0), 10).count()
       }
     )

@@ -1076,6 +1076,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
     }),
 
+    // fused scale path: in-row array dot product (zip_with +
+    // aggregate, left-fold order = DuckDB list_dot_product) + bounded
+    // top-k buffer — no d-way explosion, no |N|x|Q|-group hash agg
+    "ann_topk_fused" -> ((s, dir) => {
+      val emb = Derived.table(s, dir, "embeddings")
+      Similarity.bruteForceTopKFused(emb, emb.where(col("vec_id") < 10),
+        5)
+    }),
+
     // IVF over a TRAINED k-means coarse quantizer (8 lists, 2
     // iterations, 3 probes) — probe cost O(N * nprobe / nlist)
     "ann_ivf" -> ((s, dir) => {
@@ -1785,6 +1794,20 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
         |  FROM sims)
         |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "ann_topk_fused" ->
+      """WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM en WHERE vec_id < 10),
+        |sims AS (SELECT q.q_id, en.vec_id AS n_id,
+        |  round(list_dot_product(en.e, q.qe) / (q.qnrm * en.nrm), 6) AS sim6
+        |  FROM en CROSS JOIN q WHERE en.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, n_id, sim6,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, rnk, sim6 + 0.0 AS sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH ${operators.Clustering.kMeansSqlCtes(8, 2)},

@@ -59,6 +59,34 @@ object GeoEval {
   def bufferPointArea(x: Double, y: Double, dist: Double): Double =
     graft.core.Jts.bufferPointArea(x, y, dist)
 
+  /** Sequential-fold dot product over float arrays: products widened
+    * to double, accumulated in index order — bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` and to DuckDB's
+    * `list_dot_product` on DOUBLE[], but with zero per-row allocation
+    * (reads Tungsten arrays in place). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Double-array variant of [[dotF]]. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
   def clipAreaWithRect(xs: ArrayData, ys: ArrayData, parts: ArrayData,
                        minX: Double, minY: Double, maxX: Double,
                        maxY: Double): Double =

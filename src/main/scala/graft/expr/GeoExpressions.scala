@@ -339,6 +339,31 @@ case class StPred(children: Seq[Expression]) extends Expression
     copy(children = newChildren)
 }
 
+/** arr_dot(a, b) -> Double: sequential-fold dot product of two
+  * numeric arrays (float or double elements), allocation-free and
+  * codegen'd — the hot inner kernel of the ANN similarity family. */
+case class ArrDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private lazy val fn =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "dotF"
+      case _ => "dotD"
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (fn == "dotF") GeoEval.dotF(aa, bb) else GeoEval.dotD(aa, bb)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.GeoEval.$fn($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(l, r)
+}
+
 /** to_wkt(xs, ys, parts) -> WKT string (ExportWellKnownText.java
   * delegation to JTS WKTWriter). */
 case class ToWkt(first: Expression, second: Expression,
@@ -416,6 +441,7 @@ object GeoFunctions {
               xsB: Column, ysB: Column, partsB: Column): Column =
     c(StPred(Seq(x(pred), x(xsA), x(ysA), x(partsA), x(xsB), x(ysB),
       x(partsB))))
+  def arr_dot(a: Column, b: Column): Column = c(ArrDot(x(a), x(b)))
   def to_wkt(xs: Column, ys: Column, parts: Column): Column =
     c(ToWkt(x(xs), x(ys), x(parts)))
   def from_wkt(wkt: Column): Column = c(FromWkt(x(wkt)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -92,5 +92,52 @@ object Similarity {
     sims.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "sim6")
+  }
+
+  /** Sequential (array-order) dot product of two numeric arrays,
+    * products widened to double: a custom codegen'd expression
+    * ([[graft.expr.ArrDot]]) that reads Tungsten arrays in place —
+    * no per-row zip_with array allocation — while keeping the
+    * left-fold order that makes the float sum bit-reproducible
+    * across engines (DuckDB's `list_dot_product` folds the same
+    * way). */
+  def dotArr(a: Column, b: Column): Column =
+    graft.expr.GeoFunctions.arr_dot(a, b)
+
+  /**
+   * Fused brute-force cosine top-k — the scale path. Contract of
+   * [[bruteForceTopK]] (q_id, n_id, rnk, sim6) but with the dot
+   * product computed in-row over the embedding arrays instead of the
+   * exploded relational form: no d-way row explosion, no
+   * |N|x|Q|-group hash aggregate (the exploded form's spill point),
+   * and the final ranking is a bounded [[TopK]] buffer with map-side
+   * partial merge, so the only shuffle carries <=k entries per
+   * (probe x partition). Per-vector norms are computed once in a
+   * projection before the cross join.
+   */
+  def bruteForceTopKFused(emb: DataFrame, queries: DataFrame,
+                          k: Int): DataFrame = {
+    val en = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm",
+        sqrt(dotArr(col("embedding"), col("embedding"))))
+    val qn = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qemb"))
+      .withColumn("qnrm", sqrt(dotArr(col("qemb"), col("qemb"))))
+    val sims = en.crossJoin(broadcast(qn))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dotArr(col("embedding"), col("qemb")) /
+          (col("qnrm") * col("nrm")), 6).as("sim6"))
+    // key = -sim6: ascending (-sim6, n_id) == (sim6 desc, n_id asc)
+    val topk = TopK.smallestK(k)
+    sims.groupBy("q_id")
+      .agg(topk(-col("sim6"), col("n_id")).as("__tk"))
+      .select(col("q_id"), col("__tk.ks").as("__ks"),
+        posexplode(col("__tk.ids")).as(Seq("__pos", "n_id")))
+      .select(col("q_id"), col("n_id"),
+        (col("__pos") + 1).cast("long").as("rnk"),
+        // negation is exact in IEEE; + 0.0 canonicalizes -0.0
+        (-element_at(col("__ks"), col("__pos") + 1) + lit(0.0))
+          .as("sim6"))
   }
 }
