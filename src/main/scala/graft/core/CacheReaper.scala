@@ -19,9 +19,14 @@ object CacheReaper {
   def snapshot(spark: SparkSession): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  /** Unpersist every persisted RDD not in `keep` (non-blocking). */
-  def reapExcept(spark: SparkSession, keep: Set[Int]): Unit =
+  /** Unpersist every persisted RDD not in `keep`. Blocking by
+    * default: a non-blocking reap between bench queries leaves the
+    * previous query's blocks draining (and memory pressured) while
+    * the next query is being timed — measured as a 4-5x slowdown of
+    * the query that follows a checkpoint-heavy one. */
+  def reapExcept(spark: SparkSession, keep: Set[Int],
+                 blocking: Boolean = true): Unit =
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!keep.contains(id)) rdd.unpersist(blocking = false)
+      if (!keep.contains(id)) rdd.unpersist(blocking = blocking)
     }
 }

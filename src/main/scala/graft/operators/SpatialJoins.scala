@@ -151,32 +151,38 @@ object SpatialJoins {
               px: String = "x", py: String = "y",
               bx: String = "rx", by: String = "ry",
               k0: Int = 2): DataFrame = {
-    val spark = probe.sparkSession
-    // Density for the start resolution comes from the EFFECTIVE
-    // distinct-location count (approx distinct fine cells), not the
-    // raw row count: duplicate-heavy data (many pages per gazetteer
-    // location — the web-scale norm) otherwise picks a resolution so
-    // fine that certifying the k-th neighbour takes many deepening
-    // rounds, each a full build-side pass.
-    val keyed0 = build.select(col(buildId), col(bx), col(by))
+    // Materialise the keyed build side once (inheriting the input's
+    // partitioning — a repartition here would add a full extra
+    // shuffle+write of the big side that does not parallelise);
+    // every deepening round re-joins against a cheap parent-cell
+    // projection of it instead of re-scanning the build table.
+    val b = build.select(col(buildId), col(bx), col(by))
       .withColumn("__cellF",
         latlng_to_cell(col(by), col(bx), lit(CellIndex.DefaultRes)))
+      .localCheckpoint(true)
     val res =
       if (res0 > 0) res0
       else {
-        val eff = keyed0
-          .agg(approx_count_distinct(col("__cellF")).as("n"))
-          .head().getLong(0)
-        resForKnn(math.max(eff, 1L), kNeighbors)
+        // ONE pass over the checkpointed build side for both density
+        // stats. The start resolution accounts for BOTH effects of
+        // duplicate-heavy data (many pages per gazetteer location —
+        // the web-scale norm):
+        //  - density from the EFFECTIVE distinct-location count, not
+        //    raw rows (raw count picks a resolution so fine that
+        //    certification takes many deepening rounds);
+        //  - the k-th neighbour needs only ceil(k / dupFactor)
+        //    LOCATIONS when each location carries dupFactor rows —
+        //    sizing the ring for k full locations at dup 1000 makes
+        //    round 0 process ~1000x more candidates than the top-k
+        //    can ever keep.
+        val r = b.agg(approx_count_distinct(col("__cellF")).as("n"),
+          count(lit(1)).as("c")).head()
+        val eff = math.max(r.getLong(0), 1L)
+        val dup = math.max(1.0, r.getLong(1).toDouble / eff)
+        val neededLocs =
+          math.max(1, math.ceil(kNeighbors / dup).toInt)
+        resForKnn(eff, neededLocs)
       }
-    // materialise the keyed build side once: every deepening round
-    // re-joins against a cheap parent-cell projection of it instead
-    // of re-scanning the (large) build table
-    val b = keyed0
-      .withColumn("__cell0", cell_to_parent(col("__cellF"), lit(res)))
-      .drop("__cellF")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
-      .localCheckpoint(true)
     val d2 = (col(px) - col(bx)) * (col(px) - col(bx)) +
              (col(py) - col(by)) * (col(py) - col(by))
     // Bounded top-k aggregation against hot cells (the capital-city
@@ -215,19 +221,34 @@ object SpatialJoins {
       val guarantee = CellIndex.kRingGuaranteeDeg(resT, k0)
       val g2 = guarantee * guarantee
       val bT = b.withColumn("__cell",
-        cell_to_parent(col("__cell0"), lit(resT))).drop("__cell0")
-      val explodedPending = pending
-        .withColumn("__cell", explode(k_ring(
-          latlng_to_cell(col(py), col(px), lit(resT)), lit(ring))))
-      // When the exploded probe side is small (always true after the
-      // first rounds — pending shrinks geometrically), broadcast it:
-      // the big build side then streams map-side with NO shuffle.
-      // Otherwise shuffle both sides on the cell key as usual.
+        cell_to_parent(col("__cellF"), lit(resT))).drop("__cellF")
+      val pcells = pending.withColumn("__pcell",
+        latlng_to_cell(col(py), col(px), lit(resT)))
+      // Probes sharing a cell share its ring, so the broadcast side is
+      // (distinct probe cell) x k-ring — NOT probe x k-ring. On
+      // duplicate-heavy probes (many pages per gazetteer location —
+      // the web-scale norm) this shrinks the broadcast relation by the
+      // duplication factor, and the driver-serial hashed-relation
+      // build (measured ~2 s per round at 1.6M exploded entries) drops
+      // to milliseconds. The big build side then streams map-side
+      // through BOTH broadcasts (ring membership, then per-probe
+      // expansion) straight into the top-k partial aggregation: zero
+      // candidate shuffle. Falls back to a cell-key shuffle join when
+      // pending is too large to broadcast (first rounds of a
+      // billion-probe join on a real cluster).
       val pendingRows = pendingCnt * (2L * ring + 1) * (2L * ring + 1)
       val joined0 =
-        if (pendingRows <= 2000000L)
-          bT.join(broadcast(explodedPending), Seq("__cell"), "inner")
-        else explodedPending.join(bT, Seq("__cell"), "inner")
+        if (pendingRows <= 8000000L && pendingCnt <= 4000000L) {
+          val ringPairs = pcells.select(col("__pcell")).distinct()
+            .withColumn("__cell", explode(k_ring(col("__pcell"),
+              lit(ring))))
+          bT.join(broadcast(ringPairs), Seq("__cell"), "inner")
+            .join(broadcast(pcells), Seq("__pcell"), "inner")
+        } else {
+          pcells.withColumn("__cell", explode(k_ring(col("__pcell"),
+              lit(ring))))
+            .join(bT, Seq("__cell"), "inner")
+        }
       // ONE aggregation jobs per round: per-probe top-k buffer + the
       // certification stats derived from it. <= |pending| rows.
       val agg = joined0
@@ -256,26 +277,28 @@ object SpatialJoins {
       if (exact) {
         done = true
       } else {
-        // unresolved probes tighten their bound to this round's k-th
-        // candidate distance (monotonically non-increasing); probes
-        // with zero candidates are absent from `agg` — left join
-        // keeps them pending with no bound.
-        val unresolved = agg.where(!col("__ok"))
-          .select(col(probeId).as("__pid"),
-            when(col("__n") === kNeighbors, col("__maxd2"))
-              .otherwise(lit(null).cast("double")).as("__newBnd2"))
-        val resolvedIds = agg.where(col("__ok"))
-          .select(col(probeId).as("__pid"))
-        pending = pending.drop("__bnd2")
-          .join(resolvedIds, pending(probeId) === resolvedIds("__pid"),
-            "left_anti")
-          .join(unresolved, pending(probeId) === unresolved("__pid"),
-            "left_outer")
-          .select(col(probeId), col(px), col(py),
-            col("__newBnd2").as("__bnd2"))
-          .localCheckpoint(true)
-        pendingCnt = pending.count()
+        // ONE tiny job over the checkpointed per-probe aggregate for
+        // the round's bookkeeping (replaces a separate
+        // pending.count() action): probes with zero candidates are
+        // absent from `agg` and stay pending with no bound.
+        val okCnt = agg.agg(
+          coalesce(sum(when(col("__ok"), 1L).otherwise(0L)), lit(0L))
+            .as("ok"))
+          .head().getLong(0)
+        pendingCnt -= okCnt
         done = pendingCnt == 0
+        if (!done) {
+          // unresolved probes tighten their bound to this round's
+          // k-th candidate distance (monotonically non-increasing)
+          pending = pending.drop("__bnd2")
+            .join(agg.select(col(probeId), col("__ok"), col("__n"),
+                col("__maxd2")), Seq(probeId), "left_outer")
+            .where(col("__ok").isNull || !col("__ok"))
+            .select(col(probeId), col(px), col(py),
+              when(col("__n") === kNeighbors, col("__maxd2"))
+                .otherwise(lit(null).cast("double")).as("__bnd2"))
+            .localCheckpoint(true)
+        }
       }
       if (sys.env.contains("GRAFT_KNN_DEBUG")) {
         System.err.println(f"[knn] round $t resT=$resT " +

@@ -706,8 +706,15 @@ object Terrain {
    * packet-tiled D8 scheme's generalisation; this form is chosen for
    * its deterministic summation order.
    */
-  def dinfAccum(grid: DataFrame, rounds: Int = 24): DataFrame = {
-    val edges = dinfEdges(grid).localCheckpoint(true)
+  def dinfAccum(grid: DataFrame, rounds: Int = 24): DataFrame =
+    weightedAccum(dinfEdges(grid), grid, rounds)
+
+  /** Shared weighted-DAG accumulation: `rounds` direction-slot Jacobi
+    * iterations over (r, c) -> (tr, tc, w, j) edges (see [[dinfAccum]]
+    * for the bit-exactness rationale). Used by Dinf and FD8. */
+  private[graft] def weightedAccum(edgesIn: DataFrame, grid: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
     val base = grid.select(col("r"), col("c")).localCheckpoint(true)
     var acc = base.withColumn("acc", lit(1.0))
     for (i <- 1 to rounds) {
@@ -728,6 +735,83 @@ object Terrain {
       if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
     }
     acc
+  }
+
+  /**
+   * FD8 weighted edges (HydroTools/FlowAccumFD8.java:400-436): flow
+   * splits among ALL strictly-lower neighbours proportionally to
+   * relief^power (relief = z - z_n, NOT distance-corrected — the
+   * reference apportions on relief alone). Output matches
+   * [[dinfEdges]]'s contract: (r, c, tr, tc, w, j) with j the
+   * direction of the source relative to the target, so
+   * [[weightedAccum]]'s fixed-slot pivot applies unchanged.
+   */
+  private[graft] def fd8Edges(grid: DataFrame,
+                              power: Double): DataFrame = {
+    val nb = gatherNeighbors(grid)
+    def relief(i: Int) =
+      when(col(s"n$i").isNotNull && col("v") > col(s"n$i"),
+        pow(col("v") - col(s"n$i"), lit(power)))
+        .otherwise(lit(null).cast("double"))
+    val withR = nb.select(
+      (col("r") +: col("c") +:
+        (0 until 8).map(i => relief(i).as(s"rl$i"))): _*)
+      .withColumn("__tot", (0 until 8).foldLeft(lit(0.0)) { (s, i) =>
+        s + coalesce(col(s"rl$i"), lit(0.0))
+      })
+      .where(col("__tot") > 0)
+    val perDir = (0 until 8).map { i =>
+      withR.where(col(s"rl$i").isNotNull)
+        .select(col("r"), col("c"),
+          (col("r") + dY(i)).as("tr"), (col("c") + dX(i)).as("tc"),
+          (col(s"rl$i") / col("__tot")).as("w"),
+          // direction of source relative to target = opposite of i
+          lit((i + 4) % 8).as("j"))
+    }
+    perDir.reduce(_.unionByName(_))
+  }
+
+  /** FD8 flow accumulation (FlowAccumFD8.java): 1 + relief-weighted
+    * multi-direction inflow, via [[weightedAccum]]. */
+  def fd8Accum(grid: DataFrame, power: Double = 1.0,
+               rounds: Int = 24): DataFrame =
+    weightedAccum(fd8Edges(grid, power), grid, rounds)
+
+  /**
+   * Rho8 stochastic flow pointer (HydroTools/FlowPointerRho8.java:
+   * 210-255): D8's steepest-descent rule, but each DIAGONAL
+   * neighbour's relief is scaled by 1/(2 - u), u ~ U(0,1) — on
+   * average the diagonal distance correction, randomized so repeated
+   * runs trace distinct plausible flowpaths (Fairfield & Leymarie).
+   * Cardinal neighbours use plain relief. The reference draws from a
+   * seeded java.util.Random in scan order; a distributed engine
+   * cannot reproduce a sequential PRNG stream, so u is a hash of
+   * (r, c, i) — partition-invariant, retry-deterministic, and
+   * SQL-mirrorable (the geo_random_field LCG pattern).
+   * Output: (r, c, ptr) with ptr = 2^i of the chosen direction, 0 for
+   * sinks — d8Pointer's encoding.
+   */
+  def rho8Pointer(grid: DataFrame): DataFrame = {
+    val nb = gatherNeighbors(grid)
+    def u(i: Int) =
+      ((((col("r") * 50 + col("c")) * 8 + lit(i)) * 2654435761L +
+        98765L) % 1000003L).cast("double") / 1000003.0
+    val slopes = (0 until 8).map { i =>
+      val rel = col("v") - col(s"n$i")
+      // i odd = cardinal (E,S,W,N in the dX/dY layout); even = diagonal
+      val s = if (i % 2 == 1) rel else rel / (lit(2.0) - u(i))
+      s.as(s"s$i")
+    }
+    val withS = nb.select((col("r") +: col("c") +: slopes): _*)
+    val m = greatest((0 until 8).map(i =>
+      coalesce(col(s"s$i"), lit(-9.9999999e7))): _*)
+    withS.withColumn("__m", m)
+      .select(col("r"), col("c"),
+        when(col("__m") > 0,
+          (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+            when(acc === 0 && col(s"s$i").isNotNull &&
+              col(s"s$i") === col("__m"), lit(1 << i)).otherwise(acc)
+          }).otherwise(lit(0)).cast("long").as("ptr"))
   }
 
   /**
