@@ -47,6 +47,12 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle spill dir on tmpfs: a real N-node cluster has N local
+      // SSDs (aggregate shuffle bandwidth scales with cluster size);
+      // the single-JVM stand-in's one virtual disk does not, so leave
+      // shuffle files in memory-backed storage
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-local"))
     sys.env.get("EVLOG").foreach { dir =>
       new java.io.File(dir).mkdirs()
       bld.config("spark.eventLog.enabled", "true")

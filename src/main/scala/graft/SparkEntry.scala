@@ -581,6 +581,30 @@ object SparkEntry {
       operators.Terrain.dinfAccum(Derived.partGrid(s, dir), rounds = 24)
         .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))),
 
+    // FD8 multiple-flow-direction accumulation (FlowAccumFD8.java):
+    // relief-proportional split among all lower neighbours
+    "geo_fd8_accum" -> ((s, dir) =>
+      operators.Terrain.fd8Accum(Derived.partGrid(s, dir), power = 1.0,
+          rounds = 24)
+        .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))),
+
+    // Rho8 stochastic pointer (FlowPointerRho8.java): D8 with
+    // hash-seeded random diagonal scaling 1/(2-u)
+    "geo_rho8_pointer" -> ((s, dir) =>
+      operators.Terrain.rho8Pointer(Derived.partGrid(s, dir))),
+
+    // MassFluxD8 (MassFluxD8.java): loading routed down the D8 DAG
+    // with per-source absorption and efficiency
+    "geo_mass_flux" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+        .withColumn("load", col("v"))
+        .withColumn("eff",
+          lit(0.8) + (col("r") % 3).cast("double") * lit(0.05))
+        .withColumn("absorp", (col("c") % 4).cast("double") * lit(0.01))
+      operators.Terrain.massFluxD8(g, rounds = 24)
+        .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))
+    }),
+
     // ---- multimodal binary columns (stubbed decode, real plumbing) ----
 
     "media_features" -> ((s, dir) => {
@@ -2322,6 +2346,77 @@ object SparkEntry {
          |${dinfAccumSqlCtes(24)}
          |SELECT r, c, round(acc, 6) AS acc FROM da_24""".stripMargin,
 
+    "geo_fd8_accum" ->
+      s"""WITH g AS ($GRID),
+         |$fd8SqlCtes,
+         |${accumSqlCtes(24, "fedges", "fa")}
+         |SELECT r, c, round(acc, 6) AS acc FROM fa_24""".stripMargin,
+
+    "geo_mass_flux" -> {
+      val dy = operators.Terrain.dY
+      val dx = operators.Terrain.dX
+      val trC = (0 until 8).map(i => s"WHEN ${1 << i} THEN ${dy(i)}")
+        .mkString("CASE ptr ", " ", " END")
+      val tcC = (0 until 8).map(i => s"WHEN ${1 << i} THEN ${dx(i)}")
+        .mkString("CASE ptr ", " ", " END")
+      val jC = (0 until 8).map(i => s"WHEN ${1 << i} THEN ${(i + 4) % 8}")
+        .mkString("CASE ptr ", " ", " END")
+      val sb = new StringBuilder
+      sb ++= "mf_0 AS (SELECT r, c, load AS acc FROM ga)"
+      for (i <- 1 to 24) {
+        val ds = (0 until 8).map(j =>
+          s"sum(CASE WHEN e.j = $j THEN GREATEST((a.acc - t.absorp) * t.eff, 0.0) END) AS d$j")
+          .mkString(", ")
+        val adds = (0 until 8).map(j => s"COALESCE(d$j, 0.0)")
+          .mkString(" + ")
+        sb ++=
+          s""",
+             |mfc_$i AS (SELECT e.tr AS r, e.tc AS c, $ds
+             |  FROM medges e JOIN mf_${i - 1} a ON a.r = e.r AND a.c = e.c
+             |  JOIN ga t ON t.r = e.r AND t.c = e.c
+             |  GROUP BY 1, 2),
+             |mf_$i AS MATERIALIZED (SELECT ga.r, ga.c, ga.load + $adds AS acc
+             |  FROM ga LEFT JOIN mfc_$i x ON x.r = ga.r AND x.c = ga.c)"""
+            .stripMargin
+      }
+      s"""WITH g AS ($GRID),
+         |$d8SqlCtes,
+         |ga AS (SELECT g.r, g.c, g.v AS load,
+         |  CAST(0.8 AS DOUBLE) + CAST(g.r % 3 AS DOUBLE) * CAST(0.05 AS DOUBLE) AS eff,
+         |  CAST(g.c % 4 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS absorp FROM g),
+         |medges AS MATERIALIZED (SELECT r, c, r + $trC AS tr,
+         |  c + $tcC AS tc, $jC AS j FROM p WHERE ptr > 0),
+         |${sb.toString}
+         |SELECT r, c, round(acc, 6) AS acc FROM mf_24""".stripMargin
+    },
+
+    "geo_rho8_pointer" -> {
+      val dy = operators.Terrain.dY
+      val dx = operators.Terrain.dX
+      val joins = (0 until 8).map(i =>
+        s"LEFT JOIN g b$i ON b$i.r = g.r + ${dy(i)} AND b$i.c = g.c + ${dx(i)}")
+        .mkString("\n")
+      val ns = (0 until 8).map(i => s"b$i.v AS n$i").mkString(", ")
+      val ss = (0 until 8).map { i =>
+        if (i % 2 == 1) s"(v - n$i) AS s$i"
+        else s"((v - n$i) / (2.0 - CAST((((r * 50 + c) * 8 + $i) * " +
+          s"2654435761 + 98765) % 1000003 AS DOUBLE) / 1000003.0)) AS s$i"
+      }.mkString(",\n  ")
+      val m = (0 until 8).map(i => s"COALESCE(s$i, -99999999.0)")
+        .mkString("GREATEST(", ", ", ")")
+      val pick = (0 until 8).map(i =>
+        s"WHEN s$i IS NOT NULL AND s$i = m THEN ${1 << i}").mkString(" ")
+      s"""WITH g AS ($GRID),
+         |rnb AS (SELECT g.r, g.c, g.v, $ns FROM g
+         |$joins),
+         |rsl AS (SELECT r, c,
+         |  $ss
+         |  FROM rnb),
+         |rm AS (SELECT *, $m AS m FROM rsl)
+         |SELECT r, c, CAST(CASE WHEN m > 0 THEN (CASE $pick ELSE 0 END)
+         |  ELSE 0 END AS BIGINT) AS ptr FROM rm""".stripMargin
+    },
+
     "media_features" ->
       """WITH ch AS (SELECT doc_id,
         |  unnest(string_split(text, '')) AS ch,
@@ -2713,6 +2808,37 @@ object SparkEntry {
     * bit-exact across engines; atan2 appears only in the continuous
     * diagonal weight. Produces `dptr(r, c, f, t1r, t1c, w1, t2r, t2c,
     * w2)` and `dedges(r, c, tr, tc, w, j)`. */
+  /** FD8 relief-proportional edges CTE (mirrors Terrain.fd8Edges,
+    * power 1: pow(x, 1.0) == x exactly in IEEE, so the oracle omits
+    * the pow call). Expects `g` = the grid CTE. */
+  private lazy val fd8SqlCtes: String = {
+    val dy = operators.Terrain.dY
+    val dx = operators.Terrain.dX
+    val joins = (0 until 8).map(i =>
+      s"LEFT JOIN g b$i ON b$i.r = g.r + ${dy(i)} AND b$i.c = g.c + ${dx(i)}")
+      .mkString("\n")
+    val ns = (0 until 8).map(i => s"b$i.v AS n$i").mkString(", ")
+    val rls = (0 until 8).map(i =>
+      s"CASE WHEN n$i IS NOT NULL AND v > n$i THEN v - n$i END AS rl$i")
+      .mkString(",\n  ")
+    val tot = (0 until 8).map(i => s"COALESCE(rl$i, 0.0)")
+      .mkString(" + ")
+    val arms = (0 until 8).map { i =>
+      s"""SELECT r, c, r + ${dy(i)} AS tr, c + ${dx(i)} AS tc,
+         |  rl$i / tot AS w, ${(i + 4) % 8} AS j FROM ftot
+         |  WHERE rl$i IS NOT NULL""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""fnb AS (SELECT g.r, g.c, g.v, $ns FROM g
+       |$joins),
+       |frl AS (SELECT r, c,
+       |  $rls
+       |  FROM fnb),
+       |ftot AS MATERIALIZED (SELECT *, $tot AS tot FROM frl
+       |  WHERE $tot > 0),
+       |fedges AS MATERIALIZED (
+       |$arms)""".stripMargin
+  }
+
   private lazy val dinfSqlCtes: String = {
     val dy = operators.Terrain.dY
     val dx = operators.Terrain.dX
@@ -2774,9 +2900,16 @@ object SparkEntry {
     * incoming loads pivot into 8 fixed direction slots, summed in
     * textual order; `iters` >= the longest weighted flowpath (measured
     * 14 on this grid) makes the final round the exact fixpoint. */
-  private def dinfAccumSqlCtes(iters: Int): String = {
+  private def dinfAccumSqlCtes(iters: Int): String =
+    accumSqlCtes(iters, "dedges", "da")
+
+  /** Unrolled weighted-DAG accumulation CTEs (mirrors
+    * Terrain.weightedAccum's direction-slot Jacobi) over any edges
+    * CTE with (r, c, tr, tc, w, j). */
+  private def accumSqlCtes(iters: Int, edges: String,
+                           pfx: String): String = {
     val sb = new StringBuilder
-    sb ++= "da_0 AS (SELECT r, c, CAST(1.0 AS DOUBLE) AS acc FROM g)"
+    sb ++= s"${pfx}_0 AS (SELECT r, c, CAST(1.0 AS DOUBLE) AS acc FROM g)"
     for (i <- 1 to iters) {
       val ds = (0 until 8).map(j =>
         s"sum(CASE WHEN e.j = $j THEN e.w * a.acc END) AS d$j")
@@ -2785,11 +2918,11 @@ object SparkEntry {
         .mkString(" + ")
       sb ++=
         s""",
-           |dc_$i AS (SELECT e.tr AS r, e.tc AS c, $ds
-           |  FROM dedges e JOIN da_${i - 1} a ON a.r = e.r AND a.c = e.c
+           |${pfx}c_$i AS (SELECT e.tr AS r, e.tc AS c, $ds
+           |  FROM $edges e JOIN ${pfx}_${i - 1} a ON a.r = e.r AND a.c = e.c
            |  GROUP BY 1, 2),
-           |da_$i AS MATERIALIZED (SELECT g.r, g.c, 1.0 + $adds AS acc
-           |  FROM g LEFT JOIN dc_$i x ON x.r = g.r AND x.c = g.c)""".stripMargin
+           |${pfx}_$i AS MATERIALIZED (SELECT g.r, g.c, 1.0 + $adds AS acc
+           |  FROM g LEFT JOIN ${pfx}c_$i x ON x.r = g.r AND x.c = g.c)""".stripMargin
     }
     sb.toString
   }

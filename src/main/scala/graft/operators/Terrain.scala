@@ -778,6 +778,52 @@ object Terrain {
     weightedAccum(fd8Edges(grid, power), grid, rounds)
 
   /**
+   * MassFluxD8 (HydroTools/MassFluxD8.java:274-305): each cell starts
+   * at its loading; along the D8 pointer DAG a cell passes
+   * max(0, (flux - absorption) * efficiency) to its downslope
+   * neighbour. Input grid carries (r, c, v, load, eff, absorp);
+   * executed as synchronous direction-slot Jacobi rounds (the
+   * [[weightedAccum]] exactness scheme, with the source-side
+   * clamp transform) — stationary once the longest flowpath has
+   * propagated, bit-exact vs the identically-unrolled SQL oracle.
+   */
+  def massFluxD8(grid: DataFrame, rounds: Int = 24): DataFrame = {
+    val ptr = d8Pointer(grid.select(col("r"), col("c"), col("v")))
+    def fromPtr(ds: Seq[Int]) = (0 until 8).foldLeft(lit(0)) { (a, i) =>
+      when(col("ptr") === (1 << i), lit(ds(i))).otherwise(a)
+    }
+    val jIdx = (0 until 8).foldLeft(lit(-1)) { (a, i) =>
+      when(col("ptr") === (1 << i), lit((i + 4) % 8)).otherwise(a)
+    }
+    val edges = ptr.where(col("ptr") > 0)
+      .select(col("r"), col("c"),
+        (col("r") + fromPtr(dY)).as("tr"),
+        (col("c") + fromPtr(dX)).as("tc"), jIdx.as("j"))
+      .localCheckpoint(true)
+    val attrs = grid.select(col("r"), col("c"), col("load"),
+      col("eff"), col("absorp")).localCheckpoint(true)
+    var acc = attrs.select(col("r"), col("c"), col("load").as("acc"))
+    for (i <- 1 to rounds) {
+      val send = greatest((col("__a") - col("absorp")) * col("eff"),
+        lit(0.0))
+      val contrib = edges
+        .join(acc.select(col("r"), col("c"), col("acc").as("__a"))
+          .join(attrs, Seq("r", "c")), Seq("r", "c"))
+        .groupBy(col("tr").as("r"), col("tc").as("c"))
+        .agg(sum(when(col("j") === 0, send)).as("d0"),
+          (1 until 8).map(j =>
+            sum(when(col("j") === j, send)).as(s"d$j")): _*)
+      acc = attrs.join(contrib, Seq("r", "c"), "left")
+        .select(col("r"), col("c"),
+          (0 until 8).foldLeft(col("load")) { (s, j) =>
+            s + coalesce(col(s"d$j"), lit(0.0))
+          }.as("acc"))
+      if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
+    }
+    acc
+  }
+
+  /**
    * Rho8 stochastic flow pointer (HydroTools/FlowPointerRho8.java:
    * 210-255): D8's steepest-descent rule, but each DIAGONAL
    * neighbour's relief is scaled by 1/(2 - u), u ~ U(0,1) — on

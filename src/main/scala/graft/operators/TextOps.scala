@@ -114,6 +114,23 @@ object TextOps {
     sig
   }
 
+  /** [[minhashSignature]] over pre-hashed tokens (the base is the
+    * token's xxhash64 instead of fnv1a64 of its string — the banding
+    * collision probabilities are identical). */
+  def minhashSignatureL(toks: Iterable[Long], perms: Int): Array[Long] = {
+    val sig = Array.fill(perms)(Long.MaxValue)
+    toks.foreach { base =>
+      var i = 0
+      while (i < perms) {
+        val a = 0x9E3779B97F4A7C15L * (2 * i + 1)
+        val h = base * a + (i * 0x100000001b3L)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
   /**
    * MinHash-LSH near-duplicate pairs, hot-bucket safe. Three stages:
    *
@@ -154,13 +171,15 @@ object TextOps {
     // on spaces, sha input is the joined sorted set).
     val groups = corpus
       .select(col("doc_id"),
-        sort_array(array_distinct(tokens(col("text")))).as("ts"))
-      .withColumn("__tsh", sha2(concat_ws("\u0001", col("ts")), 256))
-      .groupBy("__tsh")
+        sort_array(array_distinct(transform(tokens(col("text")),
+          t => xxhash64(t)))).as("ts"))
+      .groupBy(xxhash64(col("ts")).as("__h1"),
+        xxhash64(reverse(col("ts"))).as("__h2"),
+        size(col("ts")).as("__sz"))
       .agg(first(col("ts")).as("ts"),
         min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      .drop("__tsh")
+      .select("ts", "rep", "members")
       .localCheckpoint(true)
 
     // intra-group pairs: identical sets, jacc exactly 1.0 (>=  any t)
@@ -190,27 +209,36 @@ object TextOps {
     val d = math.floor((1.0 / threshold - 1.0) * maxSize).toLong
     val cand =
       if (d <= 1) {
-        val toks = groups.select(col("rep"), size(col("ts")).as("sz"),
-            explode(col("ts")).as("tok"))
-          .withColumn("h", expr("xxhash64(tok)"))
-        val full = toks.groupBy("rep", "sz")
-          .agg(expr("bit_xor(h)").as("key"))
-        val dels = toks
-          .join(full.select(col("rep"), col("key").as("fkey")),
-            Seq("rep"))
+        // tokens are already hashed: the full-set XOR key is an
+        // in-row fold, and each deletion key is fkey ^ element — no
+        // explode+groupBy+join-back stages
+        val withKey = groups.select(col("rep"),
+          size(col("ts")).as("sz"), col("ts"),
+          aggregate(col("ts"), lit(0L),
+            (a, x) => a.bitwiseXOR(x)).as("fkey"))
+        val full = withKey.select(col("rep"), col("sz"),
+          col("fkey").as("key"))
+        val dels = withKey
           .select(col("rep"), (col("sz") - 1).as("sz"),
-            expr("fkey ^ h").as("key"))
-        val keys = full.select(col("rep"), col("sz"), col("key"))
-          .unionByName(dels)
+            col("fkey"), explode(col("ts")).as("h"))
+          .select(col("rep"), col("sz"),
+            col("fkey").bitwiseXOR(col("h")).as("key"))
+        val keys = full.unionByName(dels)
+        // shuffle_hash hint: the planner cannot size a checkpointed
+        // relation and happily BROADCASTS all ~31n deletion keys —
+        // a driver-serial 20M-entry hashed-relation build measured at
+        // 12 s (95% of the whole query). The shuffle-hash join
+        // partitions both sides by key and scales with cores.
         keys.select(col("key"), col("sz"), col("rep").as("ra"))
+          .hint("shuffle_hash")
           .join(keys.select(col("key"), col("sz"),
             col("rep").as("rb")), Seq("key", "sz"))
           .where(col("ra") < col("rb"))
           .select("ra", "rb").distinct()
       } else {
         val sigs = groups.select(col("rep"), col("ts"))
-          .as[(Long, Seq[String])]
-          .map { case (rep, ts) => (rep, minhashSignature(ts, perms)) }
+          .as[(Long, Seq[Long])]
+          .map { case (rep, ts) => (rep, minhashSignatureL(ts, perms)) }
           .toDF("rep", "sig")
         val buckets = sigs.select(col("rep"),
             posexplode(col("sig")).as(Seq("pos", "h")))
