@@ -167,7 +167,7 @@ object ScalingBench {
           threshold = 0.95).count()
       },
       time("ann_topk") {
-        Similarity.bruteForceTopKFused(emb,
+        Similarity.bruteForceTopKBlocked(emb,
           emb.where(col("vec_id") % 400 === 0), 10).count()
       }
     )

@@ -192,6 +192,35 @@ object SparkEntry {
         operators.Focal.laplacian3x3, reflect = true,
         GridRows, GridCols)),
 
+    // Emboss 'n' mask (FilterEmboss.java:206) — integer kernel via
+    // the exact scaled-integer convolution
+    "geo_conv_emboss" -> ((s, dir) =>
+      operators.Focal.convolveSubstituteExact(Derived.partGrid(s, dir),
+        operators.Focal.embossN3x3, reflect = true,
+        GridRows, GridCols)),
+
+    // Laplacian-of-Gaussian (FilterLoG.java:245-260), substitute-
+    // centre semantics
+    "geo_conv_log" -> ((s, dir) =>
+      operators.Focal.convolveSubstitute(Derived.partGrid(s, dir),
+        operators.Focal.logKernel(0.5), reflect = true,
+        GridRows, GridCols)),
+
+    // Difference-of-Gaussians (FilterDoG semantics): two
+    // renormalizing gaussian convolutions differenced per cell
+    "geo_conv_dog" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val g1 = operators.Focal.convolveRenormalized(g,
+        operators.Focal.gaussianKernel(0.5), reflect = true,
+        GridRows, GridCols).withColumnRenamed("cv", "cv1")
+      val g2 = operators.Focal.convolveRenormalized(g,
+        operators.Focal.gaussianKernel(0.75), reflect = true,
+        GridRows, GridCols).withColumnRenamed("cv", "cv2")
+      g1.join(g2, Seq("r", "c"))
+        .select(col("r"), col("c"),
+          round(col("cv1") - col("cv2"), 6).as("cv"))
+    }),
+
     "geo_conv_sobel" -> ((s, dir) =>
       operators.Focal.filterSobel(Derived.partGrid(s, dir),
         reflect = true, GridRows, GridCols)),
@@ -354,6 +383,15 @@ object SparkEntry {
 
     "geo_horizon_angle" -> ((s, dir) =>
       operators.Terrain.horizonAngleEast(Derived.partGrid(s, dir))),
+
+    // DirectionalRelief, east azimuth (DirectionalRelief.java:337-392)
+    "geo_directional_relief" -> ((s, dir) =>
+      operators.Terrain.directionalReliefEast(Derived.partGrid(s, dir))),
+
+    // FetchAnalysis, east azimuth (FetchAnalysis.java:233-292)
+    "geo_fetch" -> ((s, dir) =>
+      operators.Terrain.fetchAnalysisEast(Derived.partGrid(s, dir),
+        heightIncrement = 0.05, nCols = GridCols)),
 
     "geo_dev_from_mean" -> ((s, dir) =>
       operators.Focal.deviationFromMeanExact(Derived.partGrid(s, dir), 2,
@@ -1035,6 +1073,21 @@ object SparkEntry {
         .select(col("fid"), round(col("area"), 4).as("parea"),
           col("minx"), col("miny"), col("maxx"), col("maxy"))),
 
+    // Fuse (union of two layers + coverage dissolve): lattice squares
+    // fused with their (+2,+2)-shifted copies -> per-component area 28
+    "geo_fuse" -> ((s, dir) => {
+      val la = Derived.latticeSquares(s, dir)
+      val lb = la.select((col("fid") + 100000).as("fid"),
+        transform(col("xs"), v => v + 2).as("xs"),
+        transform(col("ys"), v => v + 2).as("ys"),
+        col("parts"),
+        (col("min_x") + 2).as("min_x"), (col("min_y") + 2).as("min_y"),
+        (col("max_x") + 2).as("max_x"), (col("max_y") + 2).as("max_y"))
+      operators.VectorOverlay.fuse(la, lb)
+        .select(col("fid"), round(col("area"), 4).as("parea"),
+          col("minx"), col("miny"), col("maxx"), col("maxy"))
+    }),
+
     // ---- webtext: geo-entity extraction + zone overlay ----
 
     "geo_extract" -> ((s, dir) => {
@@ -1107,6 +1160,14 @@ object SparkEntry {
       val emb = Derived.table(s, dir, "embeddings")
       Similarity.bruteForceTopKFused(emb, emb.where(col("vec_id") < 10),
         5)
+    }),
+
+    // blocked 100TB shape: broadcast probe block + per-partition
+    // primitive top-k buffers (bit-identical to ann_topk_fused)
+    "ann_topk_blocked" -> ((s, dir) => {
+      val emb = Derived.table(s, dir, "embeddings")
+      Similarity.bruteForceTopKBlocked(emb,
+        emb.where(col("vec_id") < 10), 5)
     }),
 
     // IVF over a TRAINED k-means coarse quantizer (8 lists, 2
@@ -1468,6 +1529,66 @@ object SparkEntry {
          |FROM agg""".stripMargin
     },
 
+    "geo_conv_emboss" -> {
+      val values = operators.Focal.embossN3x3.map { case (dy, dx, w) =>
+        s"($dy, $dx, CAST(${w.toLong} AS BIGINT))"
+      }.mkString(", ")
+      val wTot = operators.Focal.embossN3x3.map(_._3.toLong).sum
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = true)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w)),
+         |agg AS (SELECT con.r, con.c,
+         |  CAST(sum(k.w * CAST(round(con.nv * 10) AS BIGINT)) AS BIGINT) AS swk,
+         |  CAST(sum(k.w) AS BIGINT) AS wp,
+         |  CAST(round(first(con.cz) * 10) AS BIGINT) AS zk
+         |  FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |  GROUP BY con.r, con.c)
+         |SELECT r, c, round((swk + zk * ($wTot - wp)) / 10.0, 6) AS cv
+         |FROM agg""".stripMargin
+    },
+
+    "geo_conv_log" -> {
+      val kernel = operators.Focal.logKernel(0.5)
+      val radius = kernel.map(k => math.max(math.abs(k._1),
+        math.abs(k._2))).max
+      val wTot = kernel.map(_._3).sum
+      val values = kernel.map { case (dy, dx, w) =>
+        s"($dy, $dx, CAST(${w.toString} AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH g AS ($GRID),
+         |${focalConSql(radius, reflect = true)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w)),
+         |agg AS (SELECT con.r, con.c, sum(k.w * con.nv) AS sw,
+         |  sum(k.w) AS wp, first(con.cz) AS cz
+         |  FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |  GROUP BY con.r, con.c)
+         |SELECT r, c, round(sw + cz * (CAST(${wTot.toString} AS DOUBLE) - wp), 6) AS cv
+         |FROM agg""".stripMargin
+    },
+
+    "geo_conv_dog" -> {
+      def vals(sig: Double) = operators.Focal.gaussianKernel(sig)
+        .map { case (dy, dx, w) =>
+          s"($dy, $dx, CAST(${w.toString} AS DOUBLE))"
+        }.mkString(", ")
+      val rad = operators.Focal.gaussianKernel(0.75)
+        .map(k => math.max(math.abs(k._1), math.abs(k._2))).max
+      s"""WITH g AS ($GRID),
+         |${focalConSql(rad, reflect = true)},
+         |k1 AS (SELECT * FROM (VALUES ${vals(0.5)}) AS t(dy, dx, w)),
+         |k2 AS (SELECT * FROM (VALUES ${vals(0.75)}) AS t(dy, dx, w)),
+         |a1 AS (SELECT con.r, con.c,
+         |  round(sum(k1.w * con.nv) / sum(k1.w), 6) AS cv1
+         |  FROM con JOIN k1 ON k1.dy = con.dy AND k1.dx = con.dx
+         |  GROUP BY con.r, con.c),
+         |a2 AS (SELECT con.r, con.c,
+         |  round(sum(k2.w * con.nv) / sum(k2.w), 6) AS cv2
+         |  FROM con JOIN k2 ON k2.dy = con.dy AND k2.dx = con.dx
+         |  GROUP BY con.r, con.c)
+         |SELECT a1.r, a1.c, round(cv1 - cv2, 6) AS cv
+         |FROM a1 JOIN a2 ON a2.r = a1.r AND a2.c = a1.c""".stripMargin
+    },
+
     "geo_conv_sobel" -> {
       val kx = operators.Focal.sobelX3x3
       val ky = operators.Focal.sobelY3x3
@@ -1721,6 +1842,14 @@ object SparkEntry {
          |  x0 AS minx, y0 AS miny, x0 + 4 AS maxx, y0 + 4 AS maxy
          |FROM ranked""".stripMargin,
 
+    "geo_fuse" ->
+      s"""WITH cellsq AS (${Derived.latticeSquaresSql}),
+         |ranked AS (SELECT x0, y0,
+         |  ROW_NUMBER() OVER (ORDER BY x0, y0) AS fid FROM cellsq)
+         |SELECT fid, CAST(28.0 AS DOUBLE) AS parea,
+         |  x0 AS minx, y0 AS miny, x0 + 6 AS maxx, y0 + 6 AS maxy
+         |FROM ranked""".stripMargin,
+
     "geo_buffer_select" ->
       s"""WITH pts AS ($PTS), spts AS ($SPTS)
          |SELECT DISTINCT p.id FROM pts p JOIN spts s
@@ -1820,6 +1949,20 @@ object SparkEntry {
         |SELECT q_id, n_id, rnk, sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "ann_topk_fused" ->
+      """WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm FROM en WHERE vec_id < 10),
+        |sims AS (SELECT q.q_id, en.vec_id AS n_id,
+        |  round(list_dot_product(en.e, q.qe) / (q.qnrm * en.nrm), 6) AS sim6
+        |  FROM en CROSS JOIN q WHERE en.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, n_id, sim6,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, n_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, rnk, sim6 + 0.0 AS sim6 FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "ann_topk_blocked" ->
       """WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                        CAST(embedding AS DOUBLE[]))) AS nrm
@@ -2028,6 +2171,26 @@ object SparkEntry {
          |  round(atan(max((b.v - a.v) / CAST(b.c - a.c AS DOUBLE))), 6) AS ha
          |FROM g a JOIN g b ON b.r = a.r AND b.c > a.c
          |GROUP BY a.r, a.c""".stripMargin,
+
+    "geo_directional_relief" ->
+      s"""WITH g AS ($GRID)
+         |SELECT r, c, round(COALESCE(
+         |  CAST(sum(CAST(round(v * 10) AS BIGINT)) OVER w AS DOUBLE)
+         |    / (count(*) OVER w * 10.0) - v, 0.0), 6) AS relief
+         |FROM g
+         |WINDOW w AS (PARTITION BY r ORDER BY c
+         |  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "geo_fetch" ->
+      s"""WITH g AS ($GRID),
+         |blk AS (SELECT a.r, a.c,
+         |  min(CASE WHEN b.v >= a.v + (b.c - a.c) * CAST(0.05 AS DOUBLE)
+         |    THEN b.c - a.c END) AS mk
+         |  FROM g a LEFT JOIN g b ON b.r = a.r AND b.c > a.c
+         |  GROUP BY a.r, a.c)
+         |SELECT r, c,
+         |  CAST(COALESCE(mk, ${GridCols - 1} - c) AS DOUBLE) AS fetch
+         |FROM blk""".stripMargin,
 
     "geo_dev_from_mean" ->
       s"""WITH g AS ($GRID),

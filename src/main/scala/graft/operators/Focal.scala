@@ -354,6 +354,29 @@ object Focal {
           lit(scale.toDouble), 6).as("cv"))
   }
 
+  /** FilterEmboss 'n' mask (ImageProcessingTools/FilterEmboss.java:
+    * 206: {0,-1,0, 0,0,0, 0,1,0} row-major). Integer weights — runs
+    * through the exact scaled-integer convolution. */
+  val embossN3x3: Kernel = Seq((-1, 0, -1.0), (1, 0, 1.0))
+
+  /** Laplacian-of-Gaussian kernel (ImageProcessingTools/
+    * FilterLoG.java:245-260): w(x,y) = ((x²+y²−2σ²)/σ⁴) ·
+    * exp(−(x²+y²)/2σ²) over the square window of radius
+    * ceil(3σ). */
+  def logKernel(sigma: Double): Kernel = {
+    val radius = math.ceil(3 * sigma).toInt
+    val twoSigmaSqr = 2.0 * sigma * sigma
+    val sigma4 = sigma * sigma * sigma * sigma
+    for {
+      dy <- -radius to radius
+      dx <- -radius to radius
+    } yield {
+      val d2 = (dx * dx + dy * dy).toDouble
+      (dy, dx, (d2 - twoSigmaSqr) / sigma4 *
+        math.exp(-d2 / twoSigmaSqr))
+    }
+  }
+
   /** FilterSobel (FilterSobel.java:226-241): sqrt(sx^2 + sy^2) of the
     * two mask convolutions (substitute-centre semantics). */
   def filterSobel(grid: DataFrame, reflect: Boolean, nRows: Long,

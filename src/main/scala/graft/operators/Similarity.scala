@@ -104,6 +104,94 @@ object Similarity {
   def dotArr(a: Column, b: Column): Column =
     graft.expr.GeoFunctions.arr_dot(a, b)
 
+  /** Array-order float dot product widened to double — the JVM twin
+    * of [[graft.expr.GeoEval.dotF]] (same fold order, bit-identical
+    * result). */
+  private def dotFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Catalyst `round(_, 6)` semantics for doubles (HALF_UP on the
+    * decimal representation) — used so the blocked kernel's rounding
+    * is bit-identical to the SQL form. */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * Blocked brute-force cosine top-k — the 100 TB execution shape.
+   * Same contract and bit-identical results as [[bruteForceTopK]] /
+   * [[bruteForceTopKFused]], but the probe batch is collected,
+   * broadcast as primitive float arrays, and every embedding
+   * partition streams once through a tight JVM loop holding ONE
+   * k-slot insertion buffer per probe: no |N|x|Q| joined-row
+   * materialisation (the nested-loop join's ~1 us/pair row machinery
+   * measured 10x slower than the arithmetic), no shuffle of
+   * candidates — each partition emits <= |Q| * k partial rows, and a
+   * bounded [[graft.expr.SmallestKAgg]] merge finishes. On a real
+   * cluster this is a map-side GEMM block against a broadcast
+   * variable — executor count scales it linearly.
+   */
+  def bruteForceTopKBlocked(emb: DataFrame, queries: DataFrame,
+                            k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(
+      (qs.map(_._1), qs.map(_._2),
+        qs.map(e => math.sqrt(dotFF(e._2, e._2)))))
+    val partials = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (ids, qe, qn) = bq.value
+        val nq = ids.length
+        val ks = Array.fill(nq)(Array.fill(k)(Double.PositiveInfinity))
+        val vs = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        it.foreach { case (nid, e) =>
+          val nrm = math.sqrt(dotFF(e, e))
+          var qi = 0
+          while (qi < nq) {
+            if (ids(qi) != nid) {
+              val key = -round6(dotFF(e, qe(qi)) / (qn(qi) * nrm))
+              val kk = ks(qi)
+              val vv = vs(qi)
+              if (key < kk(k - 1) ||
+                (key == kk(k - 1) && nid < vv(k - 1))) {
+                var pos = k - 1
+                while (pos > 0 && (key < kk(pos - 1) ||
+                  (key == kk(pos - 1) && nid < vv(pos - 1)))) {
+                  kk(pos) = kk(pos - 1); vv(pos) = vv(pos - 1)
+                  pos -= 1
+                }
+                kk(pos) = key; vv(pos) = nid
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until k).iterator
+            .filter(j => vs(qi)(j) != Long.MaxValue)
+            .map(j => (ids(qi), vs(qi)(j), ks(qi)(j)))
+        }
+      }.toDF("q_id", "n_id", "__neg")
+    val topk = (kc: Column, ic: Column) =>
+      graft.expr.SmallestKAgg.smallestK(k)(kc, ic)
+    partials.groupBy("q_id")
+      .agg(topk(col("__neg"), col("n_id")).as("__tk"))
+      .select(col("q_id"), col("__tk.ks").as("__ks"),
+        posexplode(col("__tk.ids")).as(Seq("__pos", "n_id")))
+      .select(col("q_id"), col("n_id"),
+        (col("__pos") + 1).cast("long").as("rnk"),
+        (-element_at(col("__ks"), col("__pos") + 1) + lit(0.0))
+          .as("sim6"))
+  }
+
   /**
    * Fused brute-force cosine top-k — the scale path. Contract of
    * [[bruteForceTopK]] (q_id, n_id, rnk, sim6) but with the dot
@@ -117,9 +205,13 @@ object Similarity {
    */
   def bruteForceTopKFused(emb: DataFrame, queries: DataFrame,
                           k: Int): DataFrame = {
+    // materialise the norm projection: CollapseProject would other-
+    // wise inline the self dot product into the post-join projection
+    // and recompute it PER PAIR (|N| x |Q| times instead of |N|)
     val en = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm",
         sqrt(dotArr(col("embedding"), col("embedding"))))
+      .localCheckpoint(true)
     val qn = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qemb"))
       .withColumn("qnrm", sqrt(dotArr(col("qemb"), col("qemb"))))
@@ -129,7 +221,9 @@ object Similarity {
         round(dotArr(col("embedding"), col("qemb")) /
           (col("qnrm") * col("nrm")), 6).as("sim6"))
     // key = -sim6: ascending (-sim6, n_id) == (sim6 desc, n_id asc)
-    val topk = TopK.smallestK(k)
+    val topk = (kc: org.apache.spark.sql.Column,
+        ic: org.apache.spark.sql.Column) =>
+      graft.expr.SmallestKAgg.smallestK(k)(kc, ic)
     sims.groupBy("q_id")
       .agg(topk(-col("sim6"), col("n_id")).as("__tk"))
       .select(col("q_id"), col("__tk.ks").as("__ks"),

@@ -188,11 +188,12 @@ object SpatialJoins {
     // Bounded top-k aggregation against hot cells (the capital-city
     // skew of the north rule): a probe whose ring covers a hot cell
     // would, under a window rank, sort millions of candidates in ONE
-    // partition. TopK.smallestK keeps a k-slot insertion buffer with
+    // partition. SmallestKAgg keeps a k-slot insertion buffer with
     // MAP-SIDE partial aggregation instead, so the per-round shuffle
     // carries one <=k buffer per (probe x partition) — candidate rows
     // never leave the partition they were generated in.
-    val topk = TopK.smallestK(kNeighbors)
+    val topk = (kc: Column, ic: Column) =>
+      graft.expr.SmallestKAgg.smallestK(kNeighbors)(kc, ic)
 
     // Each round materializes its per-probe aggregate (localCheckpoint
     // truncates lineage) — without this the pending-probe plan embeds

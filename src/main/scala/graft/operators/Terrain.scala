@@ -778,6 +778,55 @@ object Terrain {
     weightedAccum(fd8Edges(grid, power), grid, rounds)
 
   /**
+   * DirectionalRelief for the east azimuth (TerrainAnalysisTools/
+   * DirectionalRelief.java:337-392): mean elevation of every cell in
+   * the sight line minus the cell's own elevation; 0 for the last
+   * cell of a row. One window over the row — O(n) per row via the
+   * running suffix sum; the sum runs in scaled-integer space (grid
+   * values are multiples of 1/10) so it is order-independent and
+   * bit-identical across engines.
+   */
+  def directionalReliefEast(grid: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("r").orderBy("c")
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+    grid.select(col("r"), col("c"),
+      round(coalesce(
+        sum(round(col("v") * 10).cast("long")).over(w).cast("double") /
+          (count(lit(1)).over(w) * lit(10.0)) - col("v"),
+        lit(0.0)), 6).as("relief"))
+  }
+
+  /**
+   * FetchAnalysis for the east azimuth (TerrainAnalysisTools/
+   * FetchAnalysis.java:233-292): distance travelled along the ray
+   * until the surface rises to z + dist * heightIncrement, else the
+   * distance to the grid edge (grid-cell units; the east ray crosses
+   * only integer columns, so no interpolation is involved and every
+   * comparison is on identical doubles in both engines). The
+   * per-cell pair join is O(n²) per row at this grid size; the
+   * monotone-stack of [[horizonAngleEast]] is the O(n) scale path
+   * for full-raster sweeps.
+   */
+  def fetchAnalysisEast(grid: DataFrame, heightIncrement: Double,
+                        nCols: Long): DataFrame = {
+    val b = grid.select(col("r").as("__r2"), col("c").as("__c2"),
+      col("v").as("__v2"))
+    grid.join(b, col("__r2") === col("r") && col("__c2") > col("c"),
+        "left")
+      .withColumn("__k", col("__c2") - col("c"))
+      .withColumn("__blk",
+        when(col("__v2") >= col("v") + col("__k") * lit(heightIncrement),
+          col("__k")))
+      .groupBy(col("r"), col("c"))
+      .agg(min(col("__blk")).as("__mk"))
+      .select(col("r"), col("c"),
+        coalesce(col("__mk"), lit(nCols - 1) - col("c"))
+          .cast("double").as("fetch"))
+  }
+
+  /**
    * MassFluxD8 (HydroTools/MassFluxD8.java:274-305): each cell starts
    * at its loading; along the D8 pointer DAG a cell passes
    * max(0, (flux - absorption) * efficiency) to its downslope

@@ -227,4 +227,13 @@ object VectorOverlay {
       .select(col("fid"), col("xs"), col("ys"), col("parts"),
         col("area"), col("minx"), col("miny"), col("maxx"), col("maxy"))
   }
+
+  /** Fuse (reference Fuse overlay mode): union two layers, then
+    * coverage-dissolve the combined set — composition of
+    * `unionByName` and [[dissolve]]. */
+  def fuse(a: DataFrame, b: DataFrame, fanout: Int = 16): DataFrame =
+    dissolve(
+      a.select(col("xs"), col("ys"), col("parts"))
+        .unionByName(b.select(col("xs"), col("ys"), col("parts"))),
+      fanout)
 }

@@ -11,15 +11,15 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
 mkdir -p BENCH target/bench
 
-# Heap scales with parallelism (2 GiB/core): a 4N-executor cluster has
+# Heap scales with parallelism (3 GiB/core): a 4N-executor cluster has
 # 4x the total memory of an N-executor one, so the single-JVM stand-in
 # must scale the heap with the simulated executor count — a fixed heap
 # would starve per-task execution memory 4x at local[32] and measure
 # memory pressure, not scaling.
 run() {
   local cpus=$1
-  SPARK_DRIVER_MEM="$((cpus * 2))g" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
-    SPARK_GRAFT_SCALE="${SPARK_GRAFT_SCALE:-1600}" \
+  SPARK_DRIVER_MEM="$((cpus * 3))g" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+    SPARK_GRAFT_SCALE="${SPARK_GRAFT_SCALE:-6400}" \
     sbt -batch "runMain graft.ScalingBench" 2>>/tmp/scaling_stderr.log |
     grep -o '{"metric".*}' | tail -1
 }
@@ -46,7 +46,7 @@ lines = [
     f'Input: `{sf}` (same deterministic input at both parallelism levels),',
     'run via `sbt runMain graft.ScalingBench` (single-JVM stand-in for spark-submit;',
     'local[8] vs local[32] = N vs 4N executor stand-in per BASELINE.md;',
-    'heap scales with parallelism (2 GiB/core) because a 4N-executor',
+    'heap scales with parallelism (3 GiB/core) because a 4N-executor',
     'cluster has 4x the total memory of an N-executor one;',
     'this host: 32 physical cores, 1 thread/core).',
     '',
