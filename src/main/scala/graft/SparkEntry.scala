@@ -483,10 +483,70 @@ object SparkEntry {
           round(col("est"), 6).as("est"))
     }),
 
+    // RBF interpolation (RadialBasisFunctionInterpolation.groovy:
+    // 556-640), multiquadric basis, R2 = 25, 3 fixed samples; Cramer
+    // closed-form weights (SQL-mirrored)
+    "geo_rbf" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      def at(rr: Int, cc: Int, i: Int) =
+        g.where(col("r") === rr && col("c") === cc)
+          .select(col("c").cast("double").as(s"sx$i"),
+            col("r").cast("double").as(s"sy$i"), col("v").as(s"sv$i"))
+      val smp = at(5, 5, 1).crossJoin(at(20, 30, 2))
+        .crossJoin(at(35, 45, 3))
+      def d2t(i: Int) =
+        (col("c").cast("double") - col(s"sx$i")) *
+          (col("c").cast("double") - col(s"sx$i")) +
+          (col("r").cast("double") - col(s"sy$i")) *
+            (col("r").cast("double") - col(s"sy$i"))
+      val pv = g.crossJoin(broadcast(smp))
+        .withColumn("d21", d2t(1))
+        .withColumn("d22", d2t(2))
+        .withColumn("d23", d2t(3))
+      operators.Rbf.rbf3Closed(pv, "multiquadric", 25.0)
+        .select(col("r"), col("c"), round(col("est"), 6).as("est"))
+    }),
+
+    // Local polynomial order-1 (LocalPolynomialInterpolation.java via
+    // PolynomialLeastSquares2DFitting, polyOrder 1): exact plane
+    // through the 3 nearest samples (k = 3 degenerates LSQ to
+    // interpolation), collinear fallback to the nearest value
+    "geo_local_poly" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val smp = g.where(col("v") >= 95)
+        .select((col("r") * 50 + col("c")).as("sid"),
+          col("c").cast("double").as("sx"),
+          col("r").cast("double").as("sy"), col("v").as("sv"))
+        .localCheckpoint(true)
+      val tgt = g.select((col("r") * 50 + col("c")).as("tid"),
+        col("c").cast("double").as("tx"), col("r").cast("double").as("ty"))
+      val nn = operators.SpatialJoins.knnJoin(tgt, smp, 3,
+        probeId = "tid", buildId = "sid",
+        px = "tx", py = "ty", bx = "sx", by = "sy")
+      val aggs = (1 to 3).flatMap { i =>
+        Seq(max(when(col("rnk") === i, col("sx"))).as(s"sx$i"),
+          max(when(col("rnk") === i, col("sy"))).as(s"sy$i"),
+          max(when(col("rnk") === i, col("sv"))).as(s"sv$i"))
+      }
+      val pv = nn.join(smp, Seq("sid"))
+        .groupBy("tid").agg(aggs.head, aggs.tail: _*)
+        .withColumn("tx", (col("tid") % 50).cast("double"))
+        .withColumn("ty", expr("tid DIV 50").cast("double"))
+      operators.LocalPoly.plane3Closed(pv)
+        .select(expr("tid DIV 50").as("r"), (col("tid") % 50).as("c"),
+          round(col("est"), 6).as("est"))
+    }),
+
     // Viewshed (target-parallel R3 ray marching, bilinear samples)
     "geo_viewshed" -> ((s, dir) =>
       operators.Terrain.viewshed(Derived.partGrid(s, dir),
         vr = 20, vc = 25, stationH = 1.0)),
+
+    // VisibilityIndex (VisibilityIndex.java:260-300,976-981): mean
+    // viewshed over a step-20 station lattice (6 stations here)
+    "geo_visibility_index" -> ((s, dir) =>
+      operators.Terrain.visibilityIndex(Derived.partGrid(s, dir),
+        step = 20, stationH = 1.0)),
 
     // Morphological opening / closing (ImageProcessingTools Opening/
     // Closing): grayscale erode(min)->dilate(max) and the reverse,
@@ -2463,6 +2523,79 @@ object SparkEntry {
          |  round(w1 * sv1 + (1.0 - w1) * sv2, 6) AS est FROM w""".stripMargin
     },
 
+    "geo_rbf" -> {
+      def phi(d: String) =
+        s"sqrt(1.0 + (($d) / 25.0) * (($d) / 25.0))"
+      s"""WITH g AS ($GRID),
+         |s1 AS (SELECT CAST(c AS DOUBLE) AS sx1, CAST(r AS DOUBLE) AS sy1,
+         |  v AS sv1 FROM g WHERE r = 5 AND c = 5),
+         |s2 AS (SELECT CAST(c AS DOUBLE) AS sx2, CAST(r AS DOUBLE) AS sy2,
+         |  v AS sv2 FROM g WHERE r = 20 AND c = 30),
+         |s3 AS (SELECT CAST(c AS DOUBLE) AS sx3, CAST(r AS DOUBLE) AS sy3,
+         |  v AS sv3 FROM g WHERE r = 35 AND c = 45),
+         |smp AS (SELECT * FROM s1 CROSS JOIN s2 CROSS JOIN s3),
+         |aa AS (SELECT *,
+         |  ${phi("(sx1 - sx2) * (sx1 - sx2) + (sy1 - sy2) * (sy1 - sy2)")} AS a12,
+         |  ${phi("(sx1 - sx3) * (sx1 - sx3) + (sy1 - sy3) * (sy1 - sy3)")} AS a13,
+         |  ${phi("(sx2 - sx3) * (sx2 - sx3) + (sy2 - sy3) * (sy2 - sy3)")} AS a23,
+         |  ${phi("0.0")} AS p0 FROM smp),
+         |dd AS (SELECT *,
+         |  p0 * (p0 * p0 - a23 * a23) - a12 * (a12 * p0 - a23 * a13)
+         |    + a13 * (a12 * a23 - p0 * a13) AS det FROM aa),
+         |ww AS (SELECT *,
+         |  (sv1 * (p0 * p0 - a23 * a23) - a12 * (sv2 * p0 - a23 * sv3)
+         |    + a13 * (sv2 * a23 - p0 * sv3)) / det AS w1,
+         |  (p0 * (sv2 * p0 - a23 * sv3) - sv1 * (a12 * p0 - a23 * a13)
+         |    + a13 * (a12 * sv3 - sv2 * a13)) / det AS w2,
+         |  (p0 * (p0 * sv3 - sv2 * a23) - a12 * (a12 * sv3 - sv2 * a13)
+         |    + sv1 * (a12 * a23 - p0 * a13)) / det AS w3 FROM dd),
+         |t AS (SELECT g.r, g.c, ww.*,
+         |  (CAST(g.c AS DOUBLE) - sx1) * (CAST(g.c AS DOUBLE) - sx1)
+         |    + (CAST(g.r AS DOUBLE) - sy1) * (CAST(g.r AS DOUBLE) - sy1) AS d21,
+         |  (CAST(g.c AS DOUBLE) - sx2) * (CAST(g.c AS DOUBLE) - sx2)
+         |    + (CAST(g.r AS DOUBLE) - sy2) * (CAST(g.r AS DOUBLE) - sy2) AS d22,
+         |  (CAST(g.c AS DOUBLE) - sx3) * (CAST(g.c AS DOUBLE) - sx3)
+         |    + (CAST(g.r AS DOUBLE) - sy3) * (CAST(g.r AS DOUBLE) - sy3) AS d23
+         |  FROM g CROSS JOIN ww)
+         |SELECT r, c, round(w1 * ${phi("d21")} + w2 * ${phi("d22")}
+         |  + w3 * ${phi("d23")}, 6) AS est FROM t""".stripMargin
+    },
+
+    "geo_local_poly" ->
+      s"""WITH g AS ($GRID),
+         |smp AS (SELECT r * 50 + c AS sid, CAST(c AS DOUBLE) AS sx,
+         |  CAST(r AS DOUBLE) AS sy, v AS sv FROM g WHERE v >= 95),
+         |tgt AS (SELECT r * 50 + c AS tid, CAST(c AS DOUBLE) AS tx,
+         |  CAST(r AS DOUBLE) AS ty FROM g),
+         |nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+         |    ORDER BY d2, sid) AS rnk FROM (
+         |  SELECT t.tid, s.sid, s.sx, s.sy, s.sv,
+         |    (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) AS d2
+         |  FROM tgt t CROSS JOIN smp s)),
+         |pv AS (SELECT tid,
+         |  max(CASE WHEN rnk = 1 THEN sx END) AS sx1,
+         |  max(CASE WHEN rnk = 1 THEN sy END) AS sy1,
+         |  max(CASE WHEN rnk = 1 THEN sv END) AS sv1,
+         |  max(CASE WHEN rnk = 2 THEN sx END) AS sx2,
+         |  max(CASE WHEN rnk = 2 THEN sy END) AS sy2,
+         |  max(CASE WHEN rnk = 2 THEN sv END) AS sv2,
+         |  max(CASE WHEN rnk = 3 THEN sx END) AS sx3,
+         |  max(CASE WHEN rnk = 3 THEN sy END) AS sy3,
+         |  max(CASE WHEN rnk = 3 THEN sv END) AS sv3
+         |  FROM nn WHERE rnk <= 3 GROUP BY tid),
+         |pt AS (SELECT pv.*, CAST(tid % 50 AS DOUBLE) AS tx,
+         |  CAST(tid // 50 AS DOUBLE) AS ty FROM pv),
+         |dd AS (SELECT *,
+         |  (sx2 - sx1) * (sy3 - sy1) - (sx3 - sx1) * (sy2 - sy1) AS det
+         |  FROM pt)
+         |SELECT tid // 50 AS r, tid % 50 AS c,
+         |  round(CASE WHEN abs(det) < 1e-9 THEN sv1
+         |    ELSE sv1 + ((sv2 - sv1) * (sy3 - sy1) - (sv3 - sv1) * (sy2 - sy1))
+         |      / det * (tx - sx1)
+         |      + ((sx2 - sx1) * (sv3 - sv1) - (sx3 - sx1) * (sv2 - sv1))
+         |      / det * (ty - sy1) END, 6) AS est
+         |FROM dd""".stripMargin,
+
     "geo_viewshed" ->
       s"""WITH g AS ($GRID),
          |vz AS (SELECT v + 1.0 AS zv FROM g WHERE r = 20 AND c = 25),
@@ -2496,6 +2629,45 @@ object SparkEntry {
          |SELECT t.r, t.c, CAST(CASE WHEN t.n <= 1 THEN 1
          |  ELSE 1 - COALESCE(b.blk, 0) END AS BIGINT) AS vis
          |FROM t LEFT JOIN blk b ON b.r = t.r AND b.c = t.c""".stripMargin,
+
+    "geo_visibility_index" ->
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT r AS sr, c AS sc, v + 1.0 AS zv FROM g
+         |  WHERE r % 20 = 0 AND c % 20 = 0),
+         |t AS (SELECT g.r, g.c, g.v, st.sr, st.sc, st.zv,
+         |  GREATEST(abs(g.r - st.sr), abs(g.c - st.sc)) AS n
+         |  FROM g CROSS JOIN st),
+         |s AS (SELECT t.*, k.k,
+         |  t.sr + (k.k * (t.r - t.sr)) / CAST(t.n AS DOUBLE) AS xr,
+         |  t.sc + (k.k * (t.c - t.sc)) / CAST(t.n AS DOUBLE) AS xc
+         |  FROM t JOIN range(1, 50) k(k) ON k.k <= t.n - 1
+         |  WHERE t.n >= 2),
+         |w AS (SELECT *, CAST(floor(xr) AS BIGINT) AS fr,
+         |  CAST(floor(xc) AS BIGINT) AS fc,
+         |  xr - floor(xr) AS wr, xc - floor(xc) AS wc FROM s),
+         |z AS (SELECT w.*, g00.v AS z00, g01.v AS z01, g10.v AS z10,
+         |  g11.v AS z11 FROM w
+         |  JOIN g g00 ON g00.r = w.fr AND g00.c = w.fc
+         |  LEFT JOIN g g01 ON g01.r = w.fr AND g01.c = w.fc + 1
+         |  LEFT JOIN g g10 ON g10.r = w.fr + 1 AND g10.c = w.fc
+         |  LEFT JOIN g g11 ON g11.r = w.fr + 1 AND g11.c = w.fc + 1),
+         |zk AS (SELECT r, c, sr, sc, n, zv, v, k,
+         |  z00 * (1 - wr) * (1 - wc)
+         |  + CASE WHEN wc > 0 THEN z01 * (1 - wr) * wc ELSE 0.0 END
+         |  + CASE WHEN wr > 0 THEN z10 * wr * (1 - wc) ELSE 0.0 END
+         |  + CASE WHEN wr > 0 AND wc > 0 THEN z11 * wr * wc ELSE 0.0 END
+         |  AS zk FROM z),
+         |blk AS (SELECT r, c, sr, sc,
+         |  max(CASE WHEN (zk - zv) / (k / CAST(n AS DOUBLE)) >= v - zv
+         |    THEN 1 ELSE 0 END) AS blk
+         |  FROM zk GROUP BY r, c, sr, sc),
+         |vis AS (SELECT t.r, t.c,
+         |  CASE WHEN t.n <= 1 THEN 1.0
+         |    ELSE 1.0 - COALESCE(b.blk, 0) END AS vis1
+         |  FROM t LEFT JOIN blk b ON b.r = t.r AND b.c = t.c
+         |    AND b.sr = t.sr AND b.sc = t.sc)
+         |SELECT r, c, round(avg(vis1), 6) AS vis_index
+         |FROM vis GROUP BY r, c""".stripMargin,
 
     "geo_dinf_pointer" ->
       s"""WITH g AS ($GRID),

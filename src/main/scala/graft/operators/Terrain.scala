@@ -978,6 +978,79 @@ object Terrain {
   }
 
   /**
+   * VisibilityIndex (TerrainAnalysisTools/VisibilityIndex.java:
+   * 260-300, 976-981): run a viewshed from every station on a
+   * `step`-spaced lattice of grid cells and emit, per cell, the
+   * fraction of stations that see it. One declarative plan rather
+   * than S sequential viewshed jobs: the station set (tiny — grid /
+   * step² rows) broadcasts into a cells × stations cross join, every
+   * (cell, station) ray samples its n-1 integer parameter steps
+   * exactly as [[viewshed]] does, and the final per-cell index is
+   * avg over the station dimension (each cell sees exactly S station
+   * rows, so avg = visible/S — the reference's outputData/
+   * numViewsheds). Work is map-side after the (fr, fc) surface
+   * lookups; stations scale the job linearly, never serially.
+   */
+  def visibilityIndex(grid: DataFrame, step: Long,
+                      stationH: Double = 1.0): DataFrame = {
+    val st = grid
+      .where(col("r") % step === 0 && col("c") % step === 0)
+      .select(col("r").as("sr"), col("c").as("sc"),
+        (col("v") + stationH).as("zv"))
+    val t = grid.crossJoin(broadcast(st))
+      .withColumn("n",
+        greatest(abs(col("r") - col("sr")), abs(col("c") - col("sc"))))
+      .localCheckpoint(true)
+    val s = t.where(col("n") >= 2)
+      .withColumn("k", explode(sequence(lit(1L), col("n") - 1)))
+      .withColumn("xr", col("sr") +
+        (col("k") * (col("r") - col("sr"))) / col("n").cast("double"))
+      .withColumn("xc", col("sc") +
+        (col("k") * (col("c") - col("sc"))) / col("n").cast("double"))
+      .withColumn("fr", floor(col("xr")).cast("long"))
+      .withColumn("fc", floor(col("xc")).cast("long"))
+      .withColumn("wr", col("xr") - floor(col("xr")))
+      .withColumn("wc", col("xc") - floor(col("xc")))
+    def gAt(name: String) =
+      grid.select(col("r").as("__jr"), col("c").as("__jc"),
+        col("v").as(name))
+    val z = s
+      .join(gAt("z00"),
+        col("fr") === col("__jr") && col("fc") === col("__jc"))
+      .drop("__jr", "__jc")
+      .join(gAt("z01"),
+        col("fr") === col("__jr") && col("fc") + 1 === col("__jc"),
+        "left")
+      .drop("__jr", "__jc")
+      .join(gAt("z10"),
+        col("fr") + 1 === col("__jr") && col("fc") === col("__jc"),
+        "left")
+      .drop("__jr", "__jc")
+      .join(gAt("z11"),
+        col("fr") + 1 === col("__jr") && col("fc") + 1 === col("__jc"),
+        "left")
+      .drop("__jr", "__jc")
+    val zk = z.withColumn("zk",
+      col("z00") * (lit(1) - col("wr")) * (lit(1) - col("wc")) +
+        when(col("wc") > 0,
+          col("z01") * (lit(1) - col("wr")) * col("wc")).otherwise(0.0) +
+        when(col("wr") > 0,
+          col("z10") * col("wr") * (lit(1) - col("wc"))).otherwise(0.0) +
+        when(col("wr") > 0 && col("wc") > 0,
+          col("z11") * col("wr") * col("wc")).otherwise(0.0))
+    val blk = zk.groupBy("r", "c", "sr", "sc")
+      .agg(max(when((col("zk") - col("zv")) /
+        (col("k") / col("n").cast("double")) >= col("v") - col("zv"), 1)
+        .otherwise(0)).as("blk"))
+    t.join(blk, Seq("r", "c", "sr", "sc"), "left")
+      .withColumn("__vis",
+        when(col("n") <= 1, lit(1.0))
+          .otherwise(lit(1.0) - coalesce(col("blk"), lit(0))))
+      .groupBy("r", "c")
+      .agg(round(avg(col("__vis")), 6).as("vis_index"))
+  }
+
+  /**
    * ExtractStreams (StreamNetworkAnalysisTools/ExtractStreams.java):
    * cells whose D8 flow accumulation meets `threshold`.
    */
