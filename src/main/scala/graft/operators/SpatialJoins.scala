@@ -29,7 +29,9 @@ import graft.expr.GeoFunctions._
  * the PIP join is broadcast (small-dim assumption, matching the
  * reference where zone layers are small relative to the page table).
  */
-object SpatialJoins {
+// Serializable: the broadcast-kNN kernel's nested defs lift to
+// methods on this object, so the task closure captures it.
+object SpatialJoins extends Serializable {
 
   /**
    * Points × polygon zones, inner join on containment.
@@ -145,6 +147,116 @@ object SpatialJoins {
     math.max(2, math.min(r, CellIndex.DefaultRes))
   }
 
+  /** Build-side row threshold under which [[knnJoin]] switches to the
+    * broadcast kd-tree plan ([[knnJoinBroadcast]]). Tests lower it to
+    * force the iterative-deepening path. */
+  private[graft] var broadcastKnnMaxBuildRows: Long = 200000L
+
+  /**
+   * Broadcast-kNN: when the build side fits in executor memory, the
+   * whole join is ONE map-side pass — a balanced kd-tree is built
+   * once from the collected build points, broadcast, and every probe
+   * partition streams through it independently (no candidate
+   * shuffle, no rounds; probe-side parallelism is unbounded). This is
+   * the plan a 1000-executor cluster wants whenever the build side is
+   * a gazetteer-scale dimension — the literal distributed form of the
+   * reference's KdTree.nearestNeighbor (KdTree.java:339-430).
+   * Output contract identical to [[knnJoin]]: exact top-k by
+   * (dist2, buildId), dist2 = dx·dx + dy·dy in the same operation
+   * order as the Column form.
+   */
+  private def knnJoinBroadcast(probe: DataFrame, build: DataFrame,
+      kNeighbors: Int, probeId: String, buildId: String,
+      px: String, py: String, bx: String, by: String): DataFrame = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val pts = build.select(col(buildId), col(bx), col(by))
+      .as[(Long, Double, Double)].collect()
+    val n = pts.length
+    val ids = new Array[Long](n)
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    // balanced kd layout: axis alternates with depth; node = median
+    val ord = pts.indices.toArray
+    def buildTree(lo: Int, hi: Int, axis: Int): Unit = {
+      if (lo >= hi) return
+      val mid = (lo + hi) >>> 1
+      val key: Int => Double =
+        if (axis == 0) i => pts(ord(i))._2 else i => pts(ord(i))._3
+      // nth_element via quickselect on ord[lo, hi)
+      var l = lo; var h = hi - 1
+      while (l < h) {
+        val pivot = key((l + h) >>> 1)
+        var i = l; var j = h
+        while (i <= j) {
+          while (key(i) < pivot) i += 1
+          while (key(j) > pivot) j -= 1
+          if (i <= j) {
+            val t = ord(i); ord(i) = ord(j); ord(j) = t
+            i += 1; j -= 1
+          }
+        }
+        if (mid <= j) h = j
+        else if (mid >= i) l = i
+        else { l = h } // mid between j and i: positioned
+      }
+      buildTree(lo, mid, 1 - axis)
+      buildTree(mid + 1, hi, 1 - axis)
+    }
+    buildTree(0, n, 0)
+    for (i <- 0 until n) {
+      ids(i) = pts(ord(i))._1
+      xs(i) = pts(ord(i))._2
+      ys(i) = pts(ord(i))._3
+    }
+    val bc = spark.sparkContext.broadcast((ids, xs, ys))
+    probe.select(col(probeId), col(px), col(py))
+      .as[(Long, Double, Double)]
+      .mapPartitions { it =>
+        val (bi, bxArr, byArr) = bc.value
+        val nn = bi.length
+        val k = math.min(kNeighbors, nn)
+        it.flatMap { case (pid, qx, qy) =>
+          val kd = Array.fill(k)(Double.PositiveInfinity)
+          val ki = Array.fill(k)(Long.MaxValue)
+          @inline def worse(d2: Double, id: Long): Boolean =
+            d2 > kd(k - 1) || (d2 == kd(k - 1) && id >= ki(k - 1))
+          def insert(d2: Double, id: Long): Unit = {
+            if (!worse(d2, id)) {
+              var pos = k - 1
+              while (pos > 0 && (d2 < kd(pos - 1) ||
+                (d2 == kd(pos - 1) && id < ki(pos - 1)))) {
+                kd(pos) = kd(pos - 1); ki(pos) = ki(pos - 1)
+                pos -= 1
+              }
+              kd(pos) = d2; ki(pos) = id
+            }
+          }
+          def search(lo: Int, hi: Int, axis: Int): Unit = {
+            if (lo >= hi) return
+            val mid = (lo + hi) >>> 1
+            val dx = qx - bxArr(mid)
+            val dy = qy - byArr(mid)
+            insert(dx * dx + dy * dy, bi(mid))
+            val delta = if (axis == 0) dx else dy
+            val (nearLo, nearHi, farLo, farHi) =
+              if (delta < 0) (lo, mid, mid + 1, hi)
+              else (mid + 1, hi, lo, mid)
+            search(nearLo, nearHi, 1 - axis)
+            // descend the far side unless strictly beyond the current
+            // k-th distance (equality can still improve the id
+            // tie-break, so it does NOT prune)
+            if (delta * delta <= kd(k - 1)) search(farLo, farHi, 1 - axis)
+          }
+          search(0, nn, 0)
+          (0 until k).iterator
+            .filter(j => ki(j) != Long.MaxValue)
+            .map(j => (pid, ki(j), (j + 1).toLong, kd(j)))
+        }
+      }
+      .toDF(probeId, buildId, "rnk", "dist2")
+  }
+
   def knnJoin(probe: DataFrame, build: DataFrame, kNeighbors: Int,
               res0: Int = -1, probeId: String = "probe_id",
               buildId: String = "build_id",
@@ -160,6 +272,12 @@ object SpatialJoins {
       .withColumn("__cellF",
         latlng_to_cell(col(by), col(bx), lit(CellIndex.DefaultRes)))
       .localCheckpoint(true)
+    // Size-adaptive plan choice (the AQE pattern): a build side that
+    // fits in memory takes the shuffle-free broadcast kd-tree plan —
+    // exact same output, one map-side job instead of deepening rounds.
+    if (b.count() <= broadcastKnnMaxBuildRows)
+      return knnJoinBroadcast(probe, b, kNeighbors, probeId, buildId,
+        px, py, bx, by)
     val res =
       if (res0 > 0) res0
       else {

@@ -709,13 +709,81 @@ object Terrain {
   def dinfAccum(grid: DataFrame, rounds: Int = 24): DataFrame =
     weightedAccum(dinfEdges(grid), grid, rounds)
 
+  /**
+   * Size switch for the iterative fixpoints: below this many rows the
+   * Jacobi rounds / pointer chases run in ONE task over primitive
+   * arrays — identical arithmetic in identical order, so the result
+   * is bit-equal to the distributed rounds, without paying ~0.5 s of
+   * job-scheduling overhead per round for a relation that fits in one
+   * executor's memory. Above it, the distributed form runs (the
+   * 100 TB path). This is the same runtime-statistics-driven strategy
+   * choice AQE makes for joins, applied to iteration. Tests lower it
+   * to force the distributed path.
+   */
+  private[graft] var localFixpointMaxRows: Long = 4000000L
+
+  /** One-task replication of [[weightedAccum]]'s Jacobi rounds:
+    * per target cell the 8 direction slots add in ascending-j order
+    * onto 1.0, exactly the distributed fold (each (target, slot)
+    * receives at most one edge, so the per-slot "sum" is one term and
+    * no ordering freedom exists anywhere). */
+  private def weightedAccumLocal(edges: DataFrame, base: DataFrame,
+                                 rounds: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val tagged = base
+      .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+        lit(0.0).as("w"), lit(-1).cast("int").as("j"))
+      .unionByName(edges.select(col("r"), col("c"), col("tr"),
+        col("tc"), col("w"), col("j").cast("int").as("j")))
+      .as[(Long, Long, Long, Long, Double, Int)]
+    tagged.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      val cells = rows.filter(_._6 == -1).map(t => (t._1, t._2))
+      val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+      cells.zipWithIndex.foreach { case (k, i) => idx(k) = i }
+      val n = cells.length
+      val inSrc = Array.fill(n, 8)(-1)
+      val inW = Array.ofDim[Double](n, 8)
+      rows.foreach {
+        case (r, c, tr, tc, w, j) if j >= 0 =>
+          val t = idx((tr, tc))
+          require(inSrc(t)(j) == -1, s"duplicate edge slot ($tr,$tc,$j)")
+          inSrc(t)(j) = idx((r, c)); inW(t)(j) = w
+        case _ =>
+      }
+      var acc = Array.fill(n)(1.0)
+      for (_ <- 1 to rounds) {
+        val nxt = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 1.0
+          var j = 0
+          while (j < 8) {
+            if (inSrc(i)(j) >= 0) s += inW(i)(j) * acc(inSrc(i)(j))
+            else s += 0.0
+            j += 1
+          }
+          nxt(i) = s
+          i += 1
+        }
+        acc = nxt
+      }
+      cells.indices.iterator.map(i => (cells(i)._1, cells(i)._2, acc(i)))
+    }.toDF("r", "c", "acc")
+  }
+
   /** Shared weighted-DAG accumulation: `rounds` direction-slot Jacobi
     * iterations over (r, c) -> (tr, tc, w, j) edges (see [[dinfAccum]]
-    * for the bit-exactness rationale). Used by Dinf and FD8. */
+    * for the bit-exactness rationale). Used by Dinf and FD8.
+    * Size-adaptive: grids under [[localFixpointMaxRows]] run the
+    * identical rounds in one task ([[weightedAccumLocal]]). */
   private[graft] def weightedAccum(edgesIn: DataFrame, grid: DataFrame,
                                    rounds: Int): DataFrame = {
     val edges = edgesIn.localCheckpoint(true)
     val base = grid.select(col("r"), col("c")).localCheckpoint(true)
+    if (base.count() <= localFixpointMaxRows)
+      return weightedAccumLocal(edges, base, rounds)
     var acc = base.withColumn("acc", lit(1.0))
     for (i <- 1 to rounds) {
       val contrib = edges
@@ -851,6 +919,8 @@ object Terrain {
       .localCheckpoint(true)
     val attrs = grid.select(col("r"), col("c"), col("load"),
       col("eff"), col("absorp")).localCheckpoint(true)
+    if (attrs.count() <= localFixpointMaxRows)
+      return massFluxLocal(edges, attrs, rounds)
     var acc = attrs.select(col("r"), col("c"), col("load").as("acc"))
     for (i <- 1 to rounds) {
       val send = greatest((col("__a") - col("absorp")) * col("eff"),
@@ -870,6 +940,63 @@ object Terrain {
       if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
     }
     acc
+  }
+
+  /** One-task replication of [[massFluxD8]]'s rounds (see
+    * [[weightedAccumLocal]] — same exactness argument; the fold seeds
+    * at the cell's own loading and each slot adds the clamped send
+    * from its unique source). */
+  private def massFluxLocal(edges: DataFrame, attrs: DataFrame,
+                            rounds: Int): DataFrame = {
+    val spark = attrs.sparkSession
+    import spark.implicits._
+    val tagged = attrs
+      .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+        col("load"), col("eff"), col("absorp"),
+        lit(-1).cast("int").as("j"))
+      .unionByName(edges.select(col("r"), col("c"), col("tr"),
+        col("tc"), lit(0.0).as("load"), lit(0.0).as("eff"),
+        lit(0.0).as("absorp"), col("j").cast("int").as("j")))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Int)]
+    tagged.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      val cells = rows.filter(_._8 == -1)
+      val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+      cells.zipWithIndex.foreach { case (t, i) => idx((t._1, t._2)) = i }
+      val n = cells.length
+      val load = cells.map(_._5)
+      val eff = cells.map(_._6)
+      val absorp = cells.map(_._7)
+      val inSrc = Array.fill(n, 8)(-1)
+      rows.foreach {
+        case (r, c, tr, tc, _, _, _, j) if j >= 0 =>
+          val t = idx((tr, tc))
+          require(inSrc(t)(j) == -1, s"duplicate edge slot ($tr,$tc,$j)")
+          inSrc(t)(j) = idx((r, c))
+        case _ =>
+      }
+      var acc = load.clone()
+      for (_ <- 1 to rounds) {
+        val nxt = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = load(i)
+          var j = 0
+          while (j < 8) {
+            val si = inSrc(i)(j)
+            if (si >= 0)
+              s += math.max((acc(si) - absorp(si)) * eff(si), 0.0)
+            else s += 0.0
+            j += 1
+          }
+          nxt(i) = s
+          i += 1
+        }
+        acc = nxt
+      }
+      cells.indices.iterator.map(i =>
+        (cells(i)._1, cells(i)._2, acc(i)))
+    }.toDF("r", "c", "acc")
   }
 
   /**
@@ -1097,29 +1224,13 @@ object Terrain {
     val pred1 = sedges.join(indeg.where(col("n") === 1), Seq("tr", "tc"))
       .select(col("tr").as("r"), col("tc").as("c"),
         col("r").as("pr"), col("c").as("pc"))
-    var nxt = stream
+    val nxt = stream
       .join(pred1, Seq("r", "c"), "left")
       .select(col("r"), col("c"),
         coalesce(col("pr"), col("r")).as("tr"),
         coalesce(col("pc"), col("c")).as("tc"))
       .localCheckpoint(true)
-    // pointer doubling reaches every head in ceil(log2(chain length))
-    // rounds; the stream-cell count bounds any chain, so running a
-    // COUNTED number of rounds (one materializing action each) beats
-    // a per-round moved-rows convergence job — the check used to cost
-    // as much as the round itself.
-    val nStream = math.max(2L, nxt.count())
-    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(nStream - 1)
-    for (_ <- 1 to rounds.toInt) {
-      val hop = nxt.select(col("r").as("hr"), col("c").as("hc"),
-        col("tr").as("ttr"), col("tc").as("ttc"))
-      nxt = nxt.join(hop,
-          col("tr") === col("hr") && col("tc") === col("hc"))
-        .select(col("r"), col("c"), col("ttr").as("tr"),
-          col("ttc").as("tc"))
-        .localCheckpoint(true)
-    }
-    nxt.select(col("r"), col("c"),
+    resolvePointers(nxt).select(col("r"), col("c"),
       (col("tr") * width + col("tc")).as("link_id"))
   }
 
@@ -1137,11 +1248,19 @@ object Terrain {
    */
   def streamPolylines(grid: DataFrame, threshold: Long,
                       width: Long): DataFrame = {
-    val spark = grid.sparkSession
-    import spark.implicits._
     val (stream, sedges, indeg) = streamGraph(grid, threshold)
     val links = linkFromGraph(stream, sedges, indeg, width)
       .localCheckpoint(true)
+    polylinesFromLinks(sedges, links)
+  }
+
+  /** [[streamPolylines]] core over a precomputed stream graph — lets
+    * [[streamMetrics]] trace lengths without re-deriving flow
+    * accumulation and link ids. */
+  private def polylinesFromLinks(sedges: DataFrame,
+                                 links: DataFrame): DataFrame = {
+    val spark = sedges.sparkSession
+    import spark.implicits._
     // intra-link downstream edges
     val intra = sedges
       .join(links.select(col("r"), col("c"), col("link_id")), Seq("r", "c"))
@@ -1326,7 +1445,7 @@ object Terrain {
     val zr = links.join(grid, Seq("r", "c"))
       .groupBy("link_id")
       .agg(min(col("v")).as("zmin"), max(col("v")).as("zmax"))
-    val lens = streamPolylines(grid, threshold, width)
+    val lens = polylinesFromLinks(sedges, links)
       .select(col("link_id"), col("n_cells"), col("len_nano"))
     mags.join(trunk, Seq("link_id"))
       .join(zr, Seq("link_id"))
@@ -1358,30 +1477,15 @@ object Terrain {
       when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
     }
     val isStream = stream.withColumn("__s", lit(true))
-    var next = ptr.join(isStream, Seq("r", "c"), "left")
+    val next = ptr.join(isStream, Seq("r", "c"), "left")
       .select(col("r"), col("c"),
         when(col("__s").isNotNull || col("ptr") === 0, col("r"))
           .otherwise(col("r") + dyExpr).as("tr"),
         when(col("__s").isNotNull || col("ptr") === 0, col("c"))
           .otherwise(col("c") + dxExpr).as("tc"))
       .localCheckpoint(true)
-    var converged = false
-    while (!converged) {
-      val hop = next.select(col("r").as("hr"), col("c").as("hc"),
-        col("tr").as("ttr"), col("tc").as("ttc"))
-      val doubled = next.join(hop,
-          col("tr") === col("hr") && col("tc") === col("hc"), "inner")
-        .select(col("r"), col("c"), col("ttr").as("tr"),
-          col("ttc").as("tc"))
-        .localCheckpoint(true)
-      val moved = doubled.join(next.select(col("r"), col("c"),
-          col("tr").as("otr"), col("tc").as("otc")), Seq("r", "c"))
-        .where(col("tr") =!= col("otr") || col("tc") =!= col("otc"))
-        .count()
-      next = doubled
-      converged = moved == 0
-    }
-    next.join(links.select(col("r").as("tr"), col("c").as("tc"),
+    resolvePointers(next)
+      .join(links.select(col("r").as("tr"), col("c").as("tc"),
         col("link_id")), Seq("tr", "tc"))
       .select(col("r"), col("c"), col("link_id").as("basin"))
   }
@@ -1405,31 +1509,13 @@ object Terrain {
     val diag = (0 until 8).foldLeft(lit(false)) { (acc, i) =>
       when(col("ptr") === (1 << i), lit(i % 2 == 0)).otherwise(acc)
     }
-    var next = ptr.select(col("r"), col("c"),
+    val next = ptr.select(col("r"), col("c"),
         when(col("ptr") > 0, col("r") + dyExpr).otherwise(col("r")).as("tr"),
         when(col("ptr") > 0, col("c") + dxExpr).otherwise(col("c")).as("tc"),
         when(col("ptr") > 0 && !diag, 1L).otherwise(0L).as("ns"),
         when(col("ptr") > 0 && diag, 1L).otherwise(0L).as("nd"))
       .localCheckpoint(true)
-    var converged = false
-    while (!converged) {
-      val hop = next.select(col("r").as("hr"), col("c").as("hc"),
-        col("tr").as("ttr"), col("tc").as("ttc"),
-        col("ns").as("hns"), col("nd").as("hnd"))
-      val doubled = next.join(hop,
-          col("tr") === col("hr") && col("tc") === col("hc"), "inner")
-        .select(col("r"), col("c"), col("ttr").as("tr"),
-          col("ttc").as("tc"), (col("ns") + col("hns")).as("ns"),
-          (col("nd") + col("hnd")).as("nd"))
-        .localCheckpoint(true)
-      val moved = doubled.join(next.select(col("r"), col("c"),
-          col("ns").as("ons"), col("nd").as("ond")), Seq("r", "c"))
-        .where(col("ns") =!= col("ons") || col("nd") =!= col("ond"))
-        .count()
-      next = doubled
-      converged = moved == 0
-    }
-    next.select(col("r"), col("c"),
+    resolvePointersSteps(next).select(col("r"), col("c"),
       round(col("ns") + col("nd") * math.sqrt(2.0), 6).as("fp_len"))
   }
 
@@ -1548,21 +1634,47 @@ object Terrain {
    * downstream trace loop.
    * Output: (r, c, sink_id) with sink_id = sink.r * width + sink.c.
    */
-  def watershed(grid: DataFrame, width: Long): DataFrame = {
-    val ptr = d8Pointer(grid)
-    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
-      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+  /**
+   * Pointer-chase fixpoint shared by watershed / subbasins / stream
+   * links / flowpath length: input (r, c, tr, tc) with absorbing
+   * cells self-pointing; output has every (tr, tc) resolved to its
+   * terminal cell. Size-adaptive ([[localFixpointMaxRows]]): small
+   * relations chase in ONE task with memoised path walking (integer-
+   * only, so bit-identical to the doubling); large ones run
+   * distributed pointer doubling with a per-round convergence count.
+   * Input must already be checkpointed (both paths re-scan it).
+   */
+  private[graft] def resolvePointers(next0: DataFrame): DataFrame = {
+    if (next0.count() <= localFixpointMaxRows) {
+      val spark = next0.sparkSession
+      import spark.implicits._
+      return next0.select(col("r"), col("c"), col("tr"), col("tc"))
+        .as[(Long, Long, Long, Long)]
+        .coalesce(1).mapPartitions { it =>
+          val rows = it.toArray
+          val nxt = new scala.collection.mutable.HashMap[
+            (Long, Long), (Long, Long)]
+          rows.foreach(t => nxt((t._1, t._2)) = (t._3, t._4))
+          val root = new scala.collection.mutable.HashMap[
+            (Long, Long), (Long, Long)]
+          def resolve(k0: (Long, Long)): (Long, Long) = {
+            var path = List.empty[(Long, Long)]
+            var k = k0
+            while (!root.contains(k) && nxt.getOrElse(k, k) != k) {
+              path ::= k
+              k = nxt(k)
+            }
+            val r = root.getOrElse(k, k)
+            path.foreach(p => root(p) = r)
+            r
+          }
+          rows.iterator.map { t =>
+            val r = resolve((t._1, t._2))
+            (t._1, t._2, r._1, r._2)
+          }
+        }.toDF("r", "c", "tr", "tc")
     }
-    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
-      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
-    }
-    // next(cell): downstream cell for flowing cells, self for sinks
-    var next = ptr.select(col("r"), col("c"),
-        when(col("ptr") > 0, col("r") + dyExpr).otherwise(col("r"))
-          .as("tr"),
-        when(col("ptr") > 0, col("c") + dxExpr).otherwise(col("c"))
-          .as("tc"))
-      .localCheckpoint(true)
+    var next = next0
     var converged = false
     while (!converged) {
       val hop = next.select(col("r").as("hr"), col("c").as("hc"),
@@ -1579,7 +1691,89 @@ object Terrain {
       next = doubled
       converged = moved == 0
     }
-    next.select(col("r"), col("c"),
+    next
+  }
+
+  /** [[resolvePointers]] variant that also composes the straight /
+    * diagonal step counts (integers — exact under any composition
+    * order). Input/output: (r, c, tr, tc, ns, nd). */
+  private[graft] def resolvePointersSteps(next0: DataFrame): DataFrame = {
+    if (next0.count() <= localFixpointMaxRows) {
+      val spark = next0.sparkSession
+      import spark.implicits._
+      return next0
+        .select(col("r"), col("c"), col("tr"), col("tc"), col("ns"),
+          col("nd"))
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .coalesce(1).mapPartitions { it =>
+          val rows = it.toArray
+          val nxt = new scala.collection.mutable.HashMap[
+            (Long, Long), (Long, Long, Long, Long)]
+          rows.foreach(t => nxt((t._1, t._2)) = (t._3, t._4, t._5, t._6))
+          // memo: cell -> (root, total ns, total nd)
+          val memo = new scala.collection.mutable.HashMap[
+            (Long, Long), (Long, Long, Long, Long)]
+          def resolve(k0: (Long, Long)): (Long, Long, Long, Long) = {
+            var path = List.empty[(Long, Long)]
+            var k = k0
+            while (!memo.contains(k) && {
+                val e = nxt(k); (e._1, e._2) != k
+              }) {
+              path ::= k
+              k = { val e = nxt(k); (e._1, e._2) }
+            }
+            var cur = memo.getOrElse(k, (k._1, k._2, 0L, 0L))
+            path.foreach { p =>
+              val e = nxt(p)
+              cur = (cur._1, cur._2, cur._3 + e._3, cur._4 + e._4)
+              memo(p) = cur
+            }
+            memo.getOrElse(k0, cur)
+          }
+          rows.iterator.map { t =>
+            val r = resolve((t._1, t._2))
+            (t._1, t._2, r._1, r._2, r._3, r._4)
+          }
+        }.toDF("r", "c", "tr", "tc", "ns", "nd")
+    }
+    var next = next0
+    var converged = false
+    while (!converged) {
+      val hop = next.select(col("r").as("hr"), col("c").as("hc"),
+        col("tr").as("ttr"), col("tc").as("ttc"),
+        col("ns").as("hns"), col("nd").as("hnd"))
+      val doubled = next.join(hop,
+          col("tr") === col("hr") && col("tc") === col("hc"), "inner")
+        .select(col("r"), col("c"), col("ttr").as("tr"),
+          col("ttc").as("tc"), (col("ns") + col("hns")).as("ns"),
+          (col("nd") + col("hnd")).as("nd"))
+        .localCheckpoint(true)
+      val moved = doubled.join(next.select(col("r"), col("c"),
+          col("ns").as("ons"), col("nd").as("ond")), Seq("r", "c"))
+        .where(col("ns") =!= col("ons") || col("nd") =!= col("ond"))
+        .count()
+      next = doubled
+      converged = moved == 0
+    }
+    next
+  }
+
+  def watershed(grid: DataFrame, width: Long): DataFrame = {
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    // next(cell): downstream cell for flowing cells, self for sinks
+    val next = ptr.select(col("r"), col("c"),
+        when(col("ptr") > 0, col("r") + dyExpr).otherwise(col("r"))
+          .as("tr"),
+        when(col("ptr") > 0, col("c") + dxExpr).otherwise(col("c"))
+          .as("tc"))
+      .localCheckpoint(true)
+    resolvePointers(next).select(col("r"), col("c"),
       (col("tr") * width + col("tc")).as("sink_id"))
   }
 }
