@@ -391,17 +391,27 @@ object Terrain {
       ((col("v") - col(s"n$i")) / dist).as(s"s$i")
     }
     val withS = nb.select((col("r") +: col("c") +: slopes): _*)
-    val m = greatest((0 until 8).map(i =>
-      coalesce(col(s"s$i"), lit(-9.9999999e7))): _*)
-    // first index attaining the max wins (strict > update rule)
-    withS.withColumn("__m", m)
+    // Array-form decode: array_max skips nulls and array_position
+    // takes the FIRST index attaining the max (the strict-> update
+    // rule), exactly like the unrolled when-chain — but each slope
+    // subtree appears ONCE. The when-chain duplicated every s_i ~10x
+    // after projection collapse; the fused whole-stage method blew
+    // janino's 64 KB limit, and every action paid a multi-second
+    // failed compile before running interpreted.
+    d8DecodeFromSlopes(withS)
+  }
+
+  /** (r, c, s0..s7) -> (r, c, ptr): first-max-index D8 encoding,
+    * shared by [[d8Pointer]] and [[rho8Pointer]]. */
+  private def d8DecodeFromSlopes(withS: DataFrame): DataFrame =
+    withS
+      .withColumn("__sl", array((0 until 8).map(i => col(s"s$i")): _*))
+      .withColumn("__m", array_max(col("__sl")))
       .select(col("r"), col("c"),
         when(col("__m") > 0,
-          (0 until 8).foldLeft(lit(0)) { (acc, i) =>
-            when(acc === 0 && col(s"s$i").isNotNull &&
-              col(s"s$i") === col("__m"), lit(1 << i)).otherwise(acc)
-          }).otherwise(lit(0)).cast("long").as("ptr"))
-  }
+          call_function("shiftleft", lit(1),
+            array_position(col("__sl"), col("__m")).cast("int") - 1))
+          .otherwise(lit(0)).cast("long").as("ptr"))
 
   /**
    * FlowAccumD8 (HydroTools/FlowAccumD8.java:291-375): number of
@@ -436,6 +446,37 @@ object Terrain {
       .as[(Long, Long, Long, Long, Boolean)]
       .map { case (r, c, tr, tc, sink) => FlowCell(r, c, tr, tc, sink) }
       .localCheckpoint(true)
+
+    // Size-adaptive: integer counts accumulate exactly in any order,
+    // so a small grid runs one-task Kahn topological accumulation
+    // instead of the tiled packet rounds (identical output).
+    if (cells.count() <= localFixpointMaxRows) {
+      return cells.coalesce(1).mapPartitions { it =>
+        val arr = it.toArray
+        val n = arr.length
+        val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+        arr.zipWithIndex.foreach { case (f, i) => idx((f.r, f.c)) = i }
+        val nxt = arr.map { f =>
+          if (f.sink) -1
+          else idx.getOrElse((f.tr, f.tc), -1)
+        }
+        val indeg = new Array[Int](n)
+        nxt.foreach(t => if (t >= 0) indeg(t) += 1)
+        val acc = Array.fill(n)(1L)
+        val stack = new scala.collection.mutable.ArrayDeque[Int]
+        for (i <- 0 until n) if (indeg(i) == 0) stack.append(i)
+        while (stack.nonEmpty) {
+          val i = stack.removeLast()
+          val t = nxt(i)
+          if (t >= 0) {
+            acc(t) += acc(i)
+            indeg(t) -= 1
+            if (indeg(t) == 0) stack.append(t)
+          }
+        }
+        arr.indices.iterator.map(i => (arr(i).r, arr(i).c, acc(i)))
+      }.toDF("r", "c", "n_upslope")
+    }
 
     val T = tileSize.toLong
     def tileOf(r: Long, c: Long): (Long, Long) =
@@ -1025,15 +1066,7 @@ object Terrain {
       s.as(s"s$i")
     }
     val withS = nb.select((col("r") +: col("c") +: slopes): _*)
-    val m = greatest((0 until 8).map(i =>
-      coalesce(col(s"s$i"), lit(-9.9999999e7))): _*)
-    withS.withColumn("__m", m)
-      .select(col("r"), col("c"),
-        when(col("__m") > 0,
-          (0 until 8).foldLeft(lit(0)) { (acc, i) =>
-            when(acc === 0 && col(s"s$i").isNotNull &&
-              col(s"s$i") === col("__m"), lit(1 << i)).otherwise(acc)
-          }).otherwise(lit(0)).cast("long").as("ptr"))
+    d8DecodeFromSlopes(withS)
   }
 
   /**

@@ -31,6 +31,12 @@ class FixpointSpec extends AnyFunSuite {
     } finally Terrain.localFixpointMaxRows = saved
   }
 
+  test("flow accumulation: local Kahn == tiled packet rounds") {
+    val g = hashGrid(20, 25)
+    both(() => Terrain.flowAccumD8(g).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap)
+  }
+
   test("watershed: local chase == distributed doubling") {
     val g = hashGrid(20, 25)
     both(() => Terrain.watershed(g, 25).collect()
