@@ -14,11 +14,42 @@ import org.apache.spark.sql.functions._
  */
 object GraphCC {
 
+  /** Edge-count threshold under which [[label]] runs one-task
+    * union-find instead of distributed label propagation (identical
+    * output — comp ids are integers with no ordering freedom). */
+  private[graft] var localMaxEdges: Long = 4000000L
+
   /** edges: (a, b) Long pairs. Returns (node, comp) with comp = the
     * component's minimum node id. Isolated nodes can be added by
     * passing self-loops (a = b). */
   def label(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("a"), col("b"))
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint(true)
+    if (e0.count() <= localMaxEdges) {
+      val spark = e0.sparkSession
+      import spark.implicits._
+      return e0.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val es = it.toArray
+        val parent = new scala.collection.mutable.HashMap[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) x = parent(x)
+          var y = x0 // path compression
+          while (parent.getOrElse(y, y) != y) {
+            val ny = parent(y); parent(y) = x; y = ny
+          }
+          x
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+          .toArray.distinct
+        nodes.iterator.map(nd => (nd, find(nd)))
+      }.toDF("node", "comp")
+    }
     val sym = e0.where(col("a") =!= col("b")).unionByName(
         e0.where(col("a") =!= col("b"))
           .select(col("b").as("a"), col("a").as("b")))

@@ -98,6 +98,24 @@ class FixpointSpec extends AnyFunSuite {
     } finally SpatialJoins.broadcastKnnMaxBuildRows = saved
   }
 
+  test("connected components: local union-find == label propagation") {
+    // chains, a cycle, a star, self-loop isolated nodes
+    val edges = ((0L until 50L).map(i => (i * 3, i * 3 + 3)) ++
+      Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L)) ++
+      (0L until 10L).map(i => (2000L, 2001L + i)) ++
+      Seq((5000L, 5000L), (6000L, 6000L))).toDF("a", "b")
+    def run(): Map[Long, Long] = GraphCC.label(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val saved = GraphCC.localMaxEdges
+    try {
+      GraphCC.localMaxEdges = Long.MaxValue
+      val local = run()
+      GraphCC.localMaxEdges = 0L
+      val dist = run()
+      assert(local == dist)
+    } finally GraphCC.localMaxEdges = saved
+  }
+
   test("mass flux: local Jacobi == distributed rounds") {
     val g = hashGrid(20, 25)
       .withColumn("load", col("v") / 10.0)
