@@ -663,6 +663,12 @@ object SparkEntry {
       operators.Terrain.subbasins(Derived.partGrid(s, dir), 5L,
         width = 50)),
 
+    // Hillslopes: bank-specific drainage labels around each stream
+    // link (right bank = link id, left bank = 100000 + link id)
+    "geo_hillslopes" -> ((s, dir) =>
+      operators.Terrain.hillslopes(Derived.partGrid(s, dir), 5L,
+        width = 50)),
+
     // DownslopeFlowpathLength: D8 path length to the terminal sink
     "geo_flowpath_length" -> ((s, dir) =>
       operators.Terrain.flowpathLength(Derived.partGrid(s, dir))),
@@ -1196,6 +1202,16 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) =>
       TextOps.simhashPairs(Derived.dupCorpus(s, dir), maxHamming = 3)),
+
+    // embedding-cosine near-dup: random-hyperplane LSH candidates
+    // (8 bands x 8 sign bits over integer-quantized dots, bit-exact
+    // across engines) + exact relational cosine verify
+    "dedup_cosine" -> ((s, dir) =>
+      operators.Similarity.cosineNearDupPairs(
+        Derived.dupEmbeddings(s, dir), threshold = 0.9)),
+
+    "text_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(Derived.table(s, dir, "documents"))),
 
     "text_quality" -> ((s, dir) =>
       TextOps.qualitySignals(Derived.table(s, dir, "documents"),
@@ -1958,6 +1974,34 @@ object SparkEntry {
          |${costAccumSqlCtes(48)}
          |SELECT r, c, round(acc, 6) AS acc, alloc FROM ca_48""".stripMargin,
 
+    "dedup_cosine" ->
+      s"""WITH e AS (${Derived.dupEmbeddingsSql}),
+         |q AS (SELECT vec_id, p1, CAST(round(ev * 1000) AS BIGINT) AS qv FROM e),
+         |hp AS (SELECT unnest(generate_series(0, 63)) AS hj),
+         |dots AS (SELECT q.vec_id, hp.hj,
+         |  sum(q.qv * (((hp.hj + 1) * 73856093 + q.p1 * 19349663) % 95 - 47)) AS d
+         |  FROM q CROSS JOIN hp GROUP BY 1, 2),
+         |bands AS (SELECT vec_id, hj // 8 AS band,
+         |  sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(hj % 8 AS INT)) ELSE 0 END) AS bkey
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+         |    AND l.vec_id < r.vec_id),
+         |norms AS (SELECT vec_id, sqrt(sum(ev * ev)) AS nrm FROM e GROUP BY 1),
+         |pd AS (SELECT c.a, c.b, sum(ea.ev * eb.ev) AS dot
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.a
+         |  JOIN e eb ON eb.vec_id = c.b AND eb.p1 = ea.p1 GROUP BY 1, 2)
+         |SELECT p.a, p.b, round(p.dot / (na.nrm * nb.nrm), 6) AS sim6
+         |FROM pd p JOIN norms na ON na.vec_id = p.a
+         |  JOIN norms nb ON nb.vec_id = p.b
+         |WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= CAST(0.9 AS DOUBLE)""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[^ ]{1,4}')) AS n_sub
+        |FROM documents""".stripMargin,
+
     "text_quality" -> {
       val stops = Derived.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -2447,6 +2491,67 @@ object SparkEntry {
          |hit AS (SELECT w.sr AS r, w.sc AS c, l.link_id
          |  FROM walk w JOIN links l ON l.r = w.r AND l.c = w.c)
          |SELECT r, c, link_id AS basin FROM hit""".stripMargin,
+
+    "geo_hillslopes" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |hs_heads AS (SELECT s.r, s.c FROM stream s
+         |  LEFT JOIN indeg d ON d.tr = s.r AND d.tc = s.c
+         |  WHERE COALESCE(d.n, 0) = 0),
+         |hs_sid AS MATERIALIZED (SELECT l.r, l.c,
+         |  CASE WHEN h.r IS NOT NULL THEN 10000 + l.r * 50 + l.c
+         |       ELSE l.link_id END AS hs_sid
+         |  FROM links l LEFT JOIN hs_heads h ON h.r = l.r AND h.c = l.c),
+         |hs_dirs(d, dy, dx, inflow) AS (SELECT * FROM (VALUES
+         |  (0, -1, 1, 16), (1, 0, 1, 32), (2, 1, 1, 64), (3, 1, 0, 128),
+         |  (4, 1, -1, 1), (5, 0, -1, 2), (6, -1, -1, 4), (7, -1, 0, 8))),
+         |hs_sp AS (SELECT s.r, s.c, i.hs_sid,
+         |  CASE p.ptr WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 2
+         |    WHEN 8 THEN 3 WHEN 16 THEN 4 WHEN 32 THEN 5 WHEN 64 THEN 6
+         |    WHEN 128 THEN 7 END AS cix
+         |  FROM stream s JOIN p ON p.r = s.r AND p.c = s.c AND p.ptr > 0
+         |  JOIN hs_sid i ON i.r = s.r AND i.c = s.c),
+         |hs_nb AS MATERIALIZED (SELECT hs_sp.r, hs_sp.c, hs_sp.hs_sid, hs_sp.cix, d.d,
+         |  (d.d - hs_sp.cix + 7) % 8 AS rp,
+         |  hs_sp.r + d.dy AS xr, hs_sp.c + d.dx AS xc,
+         |  (g2.r IS NOT NULL AND st.r IS NULL) AS nonstream,
+         |  COALESCE(p2.ptr = d.inflow, FALSE) AS inflowing
+         |  FROM hs_sp CROSS JOIN hs_dirs d
+         |  LEFT JOIN g g2 ON g2.r = hs_sp.r + d.dy AND g2.c = hs_sp.c + d.dx
+         |  LEFT JOIN stream st ON st.r = hs_sp.r + d.dy AND st.c = hs_sp.c + d.dx
+         |  LEFT JOIN p p2 ON p2.r = hs_sp.r + d.dy AND p2.c = hs_sp.c + d.dx),
+         |hs_m1 AS (SELECT r, c, min(CASE WHEN nonstream THEN rp END) AS minns
+         |  FROM hs_nb GROUP BY 1, 2),
+         |hs_m2 AS (SELECT hs_nb.r, hs_nb.c,
+         |  min(CASE WHEN NOT hs_nb.nonstream AND hs_nb.rp > hs_m1.minns
+         |    THEN hs_nb.rp END) AS stoprp
+         |  FROM hs_nb JOIN hs_m1 ON hs_m1.r = hs_nb.r AND hs_m1.c = hs_nb.c GROUP BY 1, 2),
+         |hs_writes AS (
+         |  SELECT hs_nb.xr, hs_nb.xc, hs_nb.hs_sid AS lbl, hs_nb.r * 50 + hs_nb.c AS o,
+         |    1 AS pri
+         |  FROM hs_nb JOIN hs_m2 ON hs_m2.r = hs_nb.r AND hs_m2.c = hs_nb.c
+         |  WHERE hs_nb.nonstream AND hs_nb.inflowing
+         |    AND (hs_m2.stoprp IS NULL OR hs_nb.rp < hs_m2.stoprp)
+         |  UNION ALL
+         |  SELECT hs_nb.xr, hs_nb.xc, hs_nb.hs_sid + 100000, hs_nb.r * 50 + hs_nb.c, 0
+         |  FROM hs_nb WHERE hs_nb.nonstream AND hs_nb.inflowing AND hs_nb.d <> hs_nb.cix),
+         |hs_bank AS (SELECT xr AS r, xc AS c,
+         |  COALESCE(arg_max(lbl, o) FILTER (WHERE pri = 1),
+         |           arg_min(lbl, o) FILTER (WHERE pri = 0)) AS lbl
+         |  FROM hs_writes GROUP BY 1, 2),
+         |hs_seeds AS MATERIALIZED (SELECT r, c, lbl FROM hs_bank
+         |  UNION ALL SELECT r, c, hs_sid AS lbl FROM hs_sid),
+         |hs_estop AS (SELECT e.r, e.c, e.tr, e.tc FROM e
+         |  LEFT JOIN hs_seeds s ON s.r = e.r AND s.c = e.c
+         |  WHERE s.r IS NULL),
+         |hs_walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e2.tr, e2.tc
+         |  FROM hs_walk w JOIN hs_estop e2 ON e2.r = w.r AND e2.c = w.c),
+         |hs_hit AS (SELECT w.sr AS r, w.sc AS c, s.lbl
+         |  FROM hs_walk w JOIN hs_seeds s ON s.r = w.r AND s.c = w.c)
+         |SELECT h.r, h.c,
+         |  CASE WHEN st.r IS NOT NULL THEN 0 ELSE h.lbl END AS hillslope
+         |FROM hs_hit h LEFT JOIN stream st ON st.r = h.r AND st.c = h.c""".stripMargin,
 
     "geo_flowpath_length" ->
       s"""WITH RECURSIVE g AS ($GRID),

@@ -258,6 +258,29 @@ object Derived {
       |  substr(text, 1, CAST(n_chars - 20 AS INT)) AS text
       |FROM documents""".stripMargin
 
+  /** Near-duplicate embedding corpus in 1-based exploded form
+    * (vec_id, p1, ev): every vector once verbatim, and for vec_id < 40
+    * a planted near-dup copy (id + 100000) with its first coordinate
+    * zeroed (= the p1 = 1 row absent; cosine vs the base ~ 0.99). */
+  def dupEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = graft.operators.Similarity
+      .exploded(table(spark, dir, "embeddings"))
+      .select(col("vec_id"), (col("pos") + 1).as("p1"), col("ev"))
+    e0.unionByName(
+      e0.where(col("vec_id") < 40 && col("p1") > 1)
+        .select((col("vec_id") + 100000).as("vec_id"), col("p1"),
+          col("ev")))
+  }
+
+  val dupEmbeddingsSql: String =
+    """SELECT vec_id, generate_subscripts(embedding, 1) AS p1,
+      |  CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS vec_id, p1, ev FROM (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS p1,
+      |    CAST(unnest(embedding) AS DOUBLE) AS ev FROM embeddings)
+      |WHERE vec_id < 40 AND p1 > 1""".stripMargin
+
   /** Stopword list for quality scoring (subset of the doc vocab). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
 

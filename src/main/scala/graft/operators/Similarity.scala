@@ -94,6 +94,66 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "sim6")
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+   * (SimHash over vectors, Charikar STOC'02): `nPlanes` deterministic
+   * integer hyperplanes -> sign signature grouped into
+   * `nPlanes/bandBits` bands, candidates = pairs sharing any whole
+   * band (banding, as in the MinHash pipeline), then exact relational
+   * cosine verification against `threshold`.
+   *
+   * Determinism: the signature dot uses `round(ev*1000)` integer
+   * quantization against integer hyperplane components
+   * `((j+1)*73856093 + p1*19349663) % 95 - 47`, so every sign bit is
+   * bit-exact across engines (no float association-order risk at the
+   * sign boundary); only the verify stage uses full-precision floats,
+   * and its output is rounded to 6 dp away from the threshold.
+   *
+   * Scale shape: signature cost O(N*d*nPlanes) map-side (hyperplanes
+   * are a broadcast 64-row table); the self-join is banded — at web
+   * scale raise `bandBits` (collision rate 2^-bandBits per band) and
+   * `nPlanes` together to keep recall; candidates, not all pairs, are
+   * verified. Input is the 1-based exploded form (vec_id, p1, ev) so
+   * the same arithmetic is reproducible in the DuckDB oracle.
+   */
+  def cosineNearDupPairs(expl: DataFrame, threshold: Double,
+                         nPlanes: Int = 64,
+                         bandBits: Int = 8): DataFrame = {
+    val spark = expl.sparkSession
+    val planes = spark.range(nPlanes)
+      .select(col("id").cast("int").as("hj"))
+    val q = expl.select(col("vec_id"), col("p1"),
+      round(col("ev") * 1000, 0).cast("long").as("qv"))
+    val dots = q.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("hj"),
+        (col("qv") * (((col("hj") + 1) * lit(73856093L) +
+          col("p1") * lit(19349663L)) % 95 - 47)).as("t"))
+      .groupBy("vec_id", "hj").agg(sum(col("t")).as("d"))
+    val bands = dots
+      .groupBy(col("vec_id"), (col("hj") / bandBits).cast("int").as("band"))
+      .agg(sum(when(col("d") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), hj % $bandBits)"))
+        .otherwise(0L)).as("bkey"))
+    val l = bands.select(col("band"), col("bkey"), col("vec_id").as("a"))
+    val r = bands.select(col("band"), col("bkey"), col("vec_id").as("b"))
+    val cand = l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val norms = expl.groupBy("vec_id")
+      .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
+    val ea = expl.select(col("vec_id").as("a"), col("p1"),
+      col("ev").as("eva"))
+    val eb = expl.select(col("vec_id").as("b"), col("p1"),
+      col("ev").as("evb"))
+    val pd = cand.join(ea, Seq("a")).join(eb, Seq("b", "p1"))
+      .groupBy("a", "b").agg(sum(col("eva") * col("evb")).as("dot"))
+    val na = norms.select(col("vec_id").as("a"), col("nrm").as("na"))
+    val nb = norms.select(col("vec_id").as("b"), col("nrm").as("nb"))
+    pd.join(na, Seq("a")).join(nb, Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("sim6"))
+      .where(col("sim6") >= threshold)
+  }
+
   /** Sequential (array-order) dot product of two numeric arrays,
     * products widened to double: a custom codegen'd expression
     * ([[graft.expr.ArrDot]]) that reads Tungsten arrays in place —

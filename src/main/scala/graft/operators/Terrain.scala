@@ -1524,6 +1524,123 @@ object Terrain {
   }
 
   /**
+   * Hillslopes (HydroTools/Hillslopes.java): label every cell by the
+   * bank-specific hillslope draining to its stream link — right-bank
+   * cells of link k get id(k), left-bank cells 100000 + id(k). Seeds
+   * follow the reference's rotation scans around each stream cell
+   * (Hillslopes.java:355-425: clockwise from the downslope direction
+   * until the next stream cell after a non-stream run = right bank;
+   * the remaining 7 counter-clockwise = left bank; in row-major
+   * processing order later right-writes overwrite, left-writes only
+   * fill blanks). The interior is the downstream trace to the first
+   * seeded cell (Hillslopes.java:437-485, pointer doubling here).
+   * Stream cells output 0 (loop 5); cells draining to a non-stream
+   * pit are NoData (absent). Head stream cells (no inflowing stream
+   * neighbour) seed their own hillslope pair separate from their
+   * link's (Hillslopes.java:311-333); ids are coordinate-packed
+   * rather than scan-sequential, the [[streamLinkId]] renumbering
+   * convention (head id = 10000 + r*width + c).
+   */
+  def hillslopes(grid: DataFrame, threshold: Long,
+                 width: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val sid = links
+      .join(indeg.select(col("tr").as("r"), col("tc").as("c"),
+        col("n")), Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(coalesce(col("n"), lit(0L)) === 0,
+          lit(10000L) + col("r") * width + col("c"))
+          .otherwise(col("link_id")).as("sid"))
+    // 8-neighbour scan table around every stream cell with a pointer;
+    // rp = rotation position clockwise from the downslope direction
+    val cix = (0 until 8).foldLeft(lit(-1)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(i)).otherwise(acc)
+    }
+    val sp = stream.join(ptr, Seq("r", "c")).where(col("ptr") > 0)
+      .join(sid, Seq("r", "c"))
+      .select(col("r"), col("c"), col("sid"), cix.as("cix"))
+    val dirs = (0 until 8).map(d =>
+      (d, dY(d), dX(d), 1 << ((d + 4) % 8)))
+      .toDF("d", "dy", "dx", "inflow")
+    val g = grid.select(col("r"), col("c"))
+    val nb = sp.crossJoin(broadcast(dirs))
+      .select(col("r"), col("c"), col("sid"), col("cix"), col("d"),
+        ((col("d") - col("cix") + 7) % 8).as("rp"),
+        (col("r") + col("dy")).as("xr"), (col("c") + col("dx")).as("xc"),
+        col("inflow"))
+      .join(g.select(col("r").as("xr"), col("c").as("xc"),
+        lit(true).as("__in")), Seq("xr", "xc"), "left")
+      .join(stream.select(col("r").as("xr"), col("c").as("xc"),
+        lit(true).as("__st")), Seq("xr", "xc"), "left")
+      .join(ptr.select(col("r").as("xr"), col("c").as("xc"),
+        col("ptr").as("xptr")), Seq("xr", "xc"), "left")
+      .select(col("r"), col("c"), col("sid"), col("cix"), col("d"),
+        col("rp"), col("xr"), col("xc"),
+        (col("__in").isNotNull && col("__st").isNull).as("nonstream"),
+        (col("xptr") === col("inflow")).as("inflowing"))
+      .localCheckpoint(true)
+    // the right scan stops at the first stream/off-grid neighbour
+    // AFTER a non-stream one; the left scan covers the other 7 dirs
+    val m1 = nb.groupBy("r", "c")
+      .agg(min(when(col("nonstream"), col("rp"))).as("minns"))
+    val m2 = nb.join(m1, Seq("r", "c"))
+      .groupBy("r", "c")
+      .agg(min(when(!col("nonstream") && col("rp") > col("minns"),
+        col("rp"))).as("stoprp"))
+    val base = nb.join(m2, Seq("r", "c"))
+      .where(col("nonstream") && coalesce(col("inflowing"), lit(false)))
+    val ord = col("r") * width + col("c")
+    val rights = base
+      .where(col("stoprp").isNull || col("rp") < col("stoprp"))
+      .select(col("xr"), col("xc"),
+        struct(ord.as("o"), col("sid").as("lbl")).as("w"),
+        lit(1).as("pri"))
+    val lefts = base.where(col("d") =!= col("cix"))
+      .select(col("xr"), col("xc"),
+        struct(ord.as("o"), (col("sid") + 100000L).as("lbl")).as("w"),
+        lit(0).as("pri"))
+    // overwrite semantics: any right-write -> the max-order right
+    // wins; otherwise the min-order left
+    val bank = rights.unionByName(lefts)
+      .groupBy(col("xr").as("r"), col("xc").as("c"))
+      .agg(max(when(col("pri") === 1, col("w"))).as("mr"),
+        min(when(col("pri") === 0, col("w"))).as("ml"))
+      .select(col("r"), col("c"),
+        coalesce(col("mr.lbl"), col("ml.lbl")).as("lbl"))
+    val seeds = bank
+      .unionByName(sid.select(col("r"), col("c"), col("sid").as("lbl")))
+      .localCheckpoint(true)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    val isSeed = seeds.select(col("r"), col("c"), lit(true).as("__s"))
+    val next = ptr.join(isSeed, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("r"))
+          .otherwise(col("r") + dyExpr).as("tr"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("c"))
+          .otherwise(col("c") + dxExpr).as("tc"))
+      .localCheckpoint(true)
+    val resolved = resolvePointers(next)
+      .join(seeds.select(col("r").as("tr"), col("c").as("tc"),
+        col("lbl")), Seq("tr", "tc"))
+      .select(col("r"), col("c"), col("lbl"))
+    resolved.join(stream.select(col("r"), col("c"),
+        lit(true).as("__st")), Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("__st").isNotNull, lit(0L)).otherwise(col("lbl"))
+          .as("hillslope"))
+  }
+
+  /**
    * DownslopeFlowpathLength (HydroTools/DownslopeFlowpathLength.java):
    * the D8 path length from each cell to its terminal sink. Pointer
    * doubling composes (target, straightSteps, diagSteps) pairs — the

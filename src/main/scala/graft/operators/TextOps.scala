@@ -383,4 +383,19 @@ object TextOps {
           (ascii(col("tok")) * 131 + length(col("tok"))))
           % 2147483647L).as("fp"),
         count(lit(1)).as("n_tokens"))
+
+  /**
+   * Token counting (the cost-estimation stage of a training-data
+   * pipeline): whitespace tokens plus a BPE-ish subword count — each
+   * non-space run split greedily into chunks of <= 4 chars
+   * (`[^ ]{1,4}`), i.e. sum over words of ceil(len/4) — approximating
+   * the ~4-chars-per-token rule of byte-pair vocabularies. Pure
+   * column expressions (codegen'd regexp), scale-safe.
+   */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(tokens(col("text"))).cast("long").as("n_ws"),
+      regexp_count(col("text"), lit("[^ ]{1,4}")).cast("long")
+        .as("n_sub"))
 }

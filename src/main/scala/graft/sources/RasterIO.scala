@@ -522,4 +522,233 @@ object RasterIO {
       .schema("x DOUBLE, y DOUBLE, z DOUBLE")
       .csv(path)
   }
+
+  // ---- USGS/CDED ASCII DEM (ImportExport/ImportDEM.java) ----
+
+  /**
+   * USGS DEM reader (ImportDEM.java:280-432): the file is a stream of
+   * 1024-byte space-padded ASCII blocks; block 1 (the A record)
+   * carries corner coordinates in arc-seconds at fixed offsets (west
+   * 546-570, south 570-594, north 618-642, east 652-676) and the
+   * profile count at 858-864. The rest is one whitespace token
+   * stream per block: each column profile starts with 9 addressing
+   * tokens, then `rows` elevations bottom-up (the reference hardcodes
+   * rows = 1201 for CDED tiles; a parameter here). CDED NoData
+   * (-32767) dropped. Output (r, c, v).
+   */
+  def readUsgsDem(spark: SparkSession, path: String,
+                  rows: Int = 1201): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val nBlocks = content.length / 1024
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var colIx = 0L
+      var rowIx = (rows - 1).toLong
+      var seen = 0
+      // per-block split with cross-block counters, exactly the
+      // reference's walk (ImportDEM.java:403-432)
+      (1 until nBlocks).foreach { b =>
+        val blk = new String(content, b * 1024, 1024, UTF_8)
+        blk.split(" ").foreach { tok =>
+          if (tok.trim.nonEmpty) {
+            seen += 1
+            if (seen >= 10) {
+              val z = tok.trim.toDouble
+              if (z != -32767.0) out += ((rowIx, colIx, z))
+              rowIx -= 1
+              if (rowIx == -1) {
+                seen = 0; rowIx = (rows - 1).toLong; colIx += 1
+              }
+            }
+          }
+        }
+      }
+      out.result().iterator
+    }.toDF("r", "c", "v")
+  }
+
+  /** A-record corner parse (ImportDEM.java:347-352): arc-seconds /
+    * 3600 at the fixed offsets; (north, south, east, west, cols). */
+  def readUsgsDemHeader(path: String)
+      : (Double, Double, Double, Double, Int) = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val a = new String(bytes, 0, 1024, UTF_8)
+    (a.substring(618, 642).trim.toDouble / 3600,
+      a.substring(570, 594).trim.toDouble / 3600,
+      a.substring(652, 676).trim.toDouble / 3600,
+      a.substring(546, 570).trim.toDouble / 3600,
+      a.substring(858, 864).trim.toInt)
+  }
+
+  /** Write (r, c, v) as a USGS DEM: an A record with the corner /
+    * profile-count fields at the reference offsets, then one
+    * block-aligned B record per column (9 addressing tokens + rows
+    * elevations bottom-up), 1024-byte space-padded blocks. */
+  def writeUsgsDem(df: DataFrame, rows: Int, cols: Int,
+                   north: Double, south: Double, east: Double,
+                   west: Double, path: String): Unit = {
+    val cells = df.select("r", "c", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    def field(s: String, at: Int, width: Int, buf: Array[Byte]): Unit =
+      s.getBytes(UTF_8).take(width).zipWithIndex
+        .foreach { case (b, i) => buf(at + i) = b }
+    val blocks = Seq.newBuilder[Array[Byte]]
+    val a = Array.fill(1024)(' '.toByte)
+    field((west * 3600).toString, 546, 24, a)
+    field((south * 3600).toString, 570, 24, a)
+    field((north * 3600).toString, 618, 24, a)
+    field((east * 3600).toString, 652, 24, a)
+    field(cols.toString, 858, 6, a)
+    blocks += a
+    (0 until cols).foreach { c =>
+      val toks = Seq.fill(9)("0") ++
+        (rows - 1 to 0 by -1).map(r =>
+          cells.getOrElse((r.toLong, c.toLong), -32767.0).toString)
+      // pack whole tokens into 1024-byte blocks (numbers never
+      // straddle a block boundary, matching the per-block split)
+      var cur = new StringBuilder
+      toks.foreach { t =>
+        if (cur.length + t.length + 1 > 1024) {
+          val blk = Array.fill(1024)(' '.toByte)
+          field(cur.toString, 0, 1024, blk)
+          blocks += blk
+          cur = new StringBuilder
+        }
+        cur.append(t).append(' ')
+      }
+      if (cur.nonEmpty) {
+        val blk = Array.fill(1024)(' '.toByte)
+        field(cur.toString, 0, 1024, blk)
+        blocks += blk
+      }
+    }
+    Files.write(Paths.get(path), blocks.result().flatten.toArray)
+  }
+
+  // ---- Image import (ImportExport/ImportImage.java) ----
+
+  /**
+   * Image-as-raster reader (ImportImage.java:245-470): decode with
+   * javax.imageio (PNG/JPEG/BMP/GIF readers ship in the JDK), each
+   * pixel packed exactly as the reference does —
+   * (255<<24)|(b<<16)|(g<<8)|r with r/g/b = the low/mid/high bytes of
+   * getRGB (ImportImage.java:386-390), i.e. ARGB with alpha forced
+   * opaque, stored as a double. Decode runs inside the binaryFile
+   * task, so a directory of images decodes in parallel. Output
+   * (r, c, v).
+   */
+  def readImageRaster(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      for {
+        row <- (0 until img.getHeight).iterator
+        c <- (0 until img.getWidth).iterator
+      } yield {
+        val z = img.getRGB(c, row)
+        val r0 = z & 0xFF
+        val g0 = (z >> 8) & 0xFF
+        val b0 = (z >> 16) & 0xFF
+        (row.toLong, c.toLong,
+          ((255 << 24) | (b0 << 16) | (g0 << 8) | r0).toDouble)
+      }
+    }.toDF("r", "c", "v")
+  }
+
+  /** ESRI world file (ImportImage.java:296-350): six lines A, D, B,
+    * E, C, F; (A, D, B, E, C, F). */
+  def readWorldFile(path: String)
+      : (Double, Double, Double, Double, Double, Double) = {
+    val ls = scala.io.Source.fromFile(path).getLines()
+      .map(_.trim).filter(_.nonEmpty).take(6).map(_.toDouble).toSeq
+    (ls(0), ls(1), ls(2), ls(3), ls(4), ls(5))
+  }
+
+  /** Write packed (r, c, v) pixels back to a lossless PNG — the
+    * inverse of [[readImageRaster]]'s packing. */
+  def writeImagePng(df: DataFrame, rows: Int, cols: Int,
+                    path: String): Unit = {
+    val img = new java.awt.image.BufferedImage(cols, rows,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    df.select("r", "c", "v").collect().foreach { x =>
+      img.setRGB(x.getLong(1).toInt, x.getLong(0).toInt,
+        x.getDouble(2).toInt)
+    }
+    javax.imageio.ImageIO.write(img, "png",
+      new java.io.File(path))
+  }
+
+  // ---- TAS .vtr vector (ImportExport/ImportTASVector.java) ----
+
+  /**
+   * TAS vector reader (ImportTASVector.java:226-330): little-endian;
+   * 40-byte header (float min/max at 0/4, doubles y1, y2, x1, x2 at
+   * 8/16/24/32 — north/south/east/west by max/min), then records of
+   * (int numVertices, float value, numVertices x (float dx, float
+   * dy)) with vertex coordinates offset from (west, south).
+   * numVertices == 1 -> POINT else POLYLINE. Output (fid, value,
+   * kind, xs, ys).
+   */
+  def readTasVector(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+    bin.flatMap { content =>
+      val buf = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
+      val south = math.min(buf.getDouble(8), buf.getDouble(16))
+      val west = math.min(buf.getDouble(24), buf.getDouble(32))
+      val out = Seq.newBuilder[
+        (Long, Double, String, Seq[Double], Seq[Double])]
+      var loc = 40
+      var fid = 0L
+      while (loc + 8 <= content.length) {
+        val n = buf.getInt(loc)
+        val value = buf.getFloat(loc + 4).toDouble
+        val xs = (0 until n).map(i =>
+          buf.getFloat(loc + 8 + i * 8).toDouble + west)
+        val ys = (0 until n).map(i =>
+          buf.getFloat(loc + 12 + i * 8).toDouble + south)
+        out += ((fid, value, if (n == 1) "POINT" else "POLYLINE",
+          xs, ys))
+        fid += 1
+        loc += 8 + n * 8
+      }
+      out.result().iterator
+    }.toDF("fid", "value", "kind", "xs", "ys")
+  }
+
+  /** Write (fid, value, kind, xs, ys) as TAS .vtr (inverse of
+    * [[readTasVector]]; bounds derived from the data). */
+  def writeTasVector(df: DataFrame, path: String): Unit = {
+    val rows = df.select("fid", "value", "xs", "ys").collect()
+      .sortBy(_.getLong(0))
+      .map(x => (x.getDouble(1), x.getSeq[Double](2), x.getSeq[Double](3)))
+    val allX = rows.flatMap(_._2)
+    val allY = rows.flatMap(_._3)
+    val (west, east) = (allX.min, allX.max)
+    val (south, north) = (allY.min, allY.max)
+    val vals = rows.map(_._1)
+    val size = 40 + rows.map(r => 8 + r._2.length * 8).sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putFloat(0, vals.min.toFloat)
+    buf.putFloat(4, vals.max.toFloat)
+    buf.putDouble(8, south); buf.putDouble(16, north)
+    buf.putDouble(24, west); buf.putDouble(32, east)
+    var loc = 40
+    rows.foreach { case (v, xs, ys) =>
+      buf.putInt(loc, xs.length)
+      buf.putFloat(loc + 4, v.toFloat)
+      xs.indices.foreach { i =>
+        buf.putFloat(loc + 8 + i * 8, (xs(i) - west).toFloat)
+        buf.putFloat(loc + 12 + i * 8, (ys(i) - south).toFloat)
+      }
+      loc += 8 + xs.length * 8
+    }
+    Files.write(Paths.get(path), buf.array())
+  }
 }

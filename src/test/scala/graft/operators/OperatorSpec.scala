@@ -191,6 +191,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("cosine near-dup: verified-exact precision, planted-pair recall") {
+    // 60 random unit-ish vectors (dim 32) + planted near-dups (first
+    // coordinate zeroed) in the 1-based exploded form the operator takes
+    val base = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i + 7)
+      (i.toLong, Array.fill(32)(rnd.nextGaussian()))
+    }
+    val expl = (base.flatMap { case (id, v) =>
+      v.zipWithIndex.map { case (x, p) => (id, p + 1, x) }
+    } ++ base.flatMap { case (id, v) =>
+      v.zipWithIndex.drop(1).map { case (x, p) => (id + 1000, p + 1, x) }
+    }).toDF("vec_id", "p1", "ev")
+    val got = Similarity.cosineNearDupPairs(expl, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute-force truth over the same corpus
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = base ++ base.map { case (id, v) =>
+      (id + 1000, 0.0 +: v.drop(1)) }
+    val truth = (for {
+      (a, va) <- all; (b, vb) <- all if a < b
+      if cos(va, vb) >= 0.9
+    } yield (a, b)).toSet
+    assert(got.subsetOf(truth), "candidates must be verified-exact")
+    val planted = base.map { case (i, _) => (i, i + 1000) }.toSet
+      .intersect(truth)
+    val recall = planted.count(got.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"hyperplane-LSH recall $recall too low")
+  }
+
+  test("tokenCounts: whitespace + ceil(len/4) subword rule") {
+    val docs = Seq((1L, "alpha bc defghij k"),
+      (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) === (18L, 4L, 2L + 1L + 2L + 1L))
+    assert(got(2L) === (1L, 1L, 1L))
+  }
+
   test("exactDedup groups identical texts") {
     val corpus = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"),
       (7L, "a b c")).toDF("doc_id", "text")

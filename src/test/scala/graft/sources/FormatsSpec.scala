@@ -28,6 +28,49 @@ class FormatsSpec extends AnyFunSuite {
   val want: Map[(Long, Long), Double] =
     gridCells.map(t => (t._1, t._2) -> t._3).toMap
 
+  test("USGS DEM round-trip (A-record offsets, bottom-up profiles)") {
+    val dir = Files.createTempDirectory("dem").toString
+    RasterIO.writeUsgsDem(grid, rows, cols, north = 46.0, south = 45.0,
+      east = -71.0, west = -72.0, path = s"$dir/g.dem")
+    assert(collect(RasterIO.readUsgsDem(spark, s"$dir/g.dem", rows))
+      === want)
+    val (n, s, e, w, nc) = RasterIO.readUsgsDemHeader(s"$dir/g.dem")
+    assert((n, s, e, w, nc) === ((46.0, 45.0, -71.0, -72.0, cols)))
+  }
+
+  test("Image import round-trip (packed ARGB doubles, PNG)") {
+    val dir = Files.createTempDirectory("img").toString
+    // packed values per ImportImage.java:386-390: alpha forced opaque
+    val px = (for (r <- 0 until 4; c <- 0 until 5) yield
+      (r.toLong, c.toLong,
+        ((255 << 24) | (r * 40 << 16) | (c * 30 << 8) | (r + c)).toDouble))
+      .toDF("r", "c", "v")
+    RasterIO.writeImagePng(px, 4, 5, s"$dir/g.png")
+    val got = collect(RasterIO.readImageRaster(spark, s"$dir/g.png"))
+    assert(got === px.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap)
+  }
+
+  test("TAS .vtr vector round-trip (points + polyline)") {
+    val dir = Files.createTempDirectory("vtr").toString
+    val feats = Seq(
+      (0L, 1.5, "POINT", Seq(100.0), Seq(50.0)),
+      (1L, 2.0, "POLYLINE", Seq(100.5, 101.0, 102.25),
+        Seq(50.5, 51.0, 50.25)),
+      (2L, -3.0, "POINT", Seq(105.0), Seq(55.0))
+    ).toDF("fid", "value", "kind", "xs", "ys")
+    RasterIO.writeTasVector(feats, s"$dir/g.vtr")
+    val got = RasterIO.readTasVector(spark, s"$dir/g.vtr")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getString(2),
+        x.getSeq[Double](3), x.getSeq[Double](4))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      Array((0L, 1.5, "POINT"), (1L, 2.0, "POLYLINE"),
+        (2L, -3.0, "POINT")))
+    // float offsets from (west, south): exact for these values
+    assert(got(1)._4 === Seq(100.5, 101.0, 102.25))
+    assert(got(1)._5 === Seq(50.5, 51.0, 50.25))
+  }
+
   test("ArcGrid .flt round-trip") {
     val dir = Files.createTempDirectory("flt").toString
     RasterIO.writeArcGridFloat(grid, rows, cols, 0, 0, 1, -9999,
