@@ -35,22 +35,106 @@ object Clustering {
       .select("vec_id", "cluster")
   }
 
-  /** `iters` rounds of assign + mean update from the first-k-ids
-    * init. Returns (finalAssignments, finalCentroids). */
-  def kMeans(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val e = Similarity.exploded(emb).localCheckpoint(true)
-    var c = e.where(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"), col("pos"),
-        col("ev").as("cv"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val a = assign(e, c)
-      c = a.join(e, Seq("vec_id"))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(round(avg(col("ev")), 6).as("cv"))
-        .localCheckpoint(true)
+  /** Catalyst `round(_, 6)` semantics for doubles (HALF_UP on the
+    * decimal form) — keeps the fused trainer on the same round-6
+    * determinism contract as the relational/SQL mirror. */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Nearest-centroid index over a broadcast centroid table sorted by
+    * cluster id: strict `<` on the round-6 squared distance = argmin
+    * with ties to the smallest id, the [[assign]] contract. */
+  private def assignIdx(cents: Array[(Long, Array[Double])],
+                        a: Array[Float]): Int = {
+    var best = Double.MaxValue
+    var bestIx = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)._2
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val d = a(i).toDouble - cv(i); s += d * d; i += 1
+      }
+      val r = round6(s)
+      if (r < best) { best = r; bestIx = ci }
+      ci += 1
     }
-    (assign(e, c), c)
+    bestIx
+  }
+
+  /**
+   * `iters` rounds of assign + mean update from the first-k-ids init.
+   * Returns (finalAssignments, finalCentroids (cluster, pos, cv)).
+   *
+   * Executed the 100 TB way: centroids are a broadcast k x d array,
+   * each iteration is ONE mapPartitions pass emitting k x d partial
+   * sums per partition (classic distributed k-means — no exploded-row
+   * shuffle, no per-(vec, cluster) window rank), and the only shuffle
+   * is the tiny (cluster, pos) partial-sum aggregate. Same trajectory
+   * as the relational/SQL mirror under the round-6 contract: squared
+   * distances and centroid means round to 6 dp each round, argmin
+   * ties break to the smallest cluster id.
+   */
+  def kMeans(emb: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assignments, cent) = kMeansArrays(emb, k, iters)
+    val centDf = cent.toSeq.flatMap { case (cid, cv) =>
+      cv.indices.map(i => (cid, i, cv(i)))
+    }.toDF("cluster", "pos", "cv")
+    (assignments, centDf)
+  }
+
+  /** [[kMeans]] core returning the trained centroids as the broadcast
+    * array form (cluster id, vector), sorted by id. */
+  def kMeansArrays(emb: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ev = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].localCheckpoint(true)
+    var cent: Array[(Long, Array[Double])] =
+      ev.filter(_._1 < k).collect().sortBy(_._1)
+        .map { case (id, a) => (id, a.map(_.toDouble)) }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cent)
+      val partials = ev.mapPartitions { it =>
+        val cs = bc.value
+        val kk = cs.length
+        val d = cs.head._2.length
+        val sums = Array.fill(kk)(new Array[Double](d))
+        val cnts = new Array[Long](kk)
+        it.foreach { case (_, a) =>
+          val ci = assignIdx(cs, a)
+          val s = sums(ci)
+          var i = 0
+          while (i < d) { s(i) += a(i).toDouble; i += 1 }
+          cnts(ci) += 1
+        }
+        (0 until kk).iterator.filter(cnts(_) > 0).flatMap { ci =>
+          (0 until d).iterator.map(i =>
+            (cs(ci)._1, i, sums(ci)(i), cnts(ci)))
+        }
+      }.toDF("cluster", "pos", "s", "n")
+        .groupBy("cluster", "pos")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        .collect()
+      cent = partials.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+        .map { case (cid, rows) =>
+          val d = rows.length
+          val cv = new Array[Double](d)
+          rows.foreach(r => cv(r.getInt(1)) =
+            round6(r.getDouble(2) / r.getLong(3)))
+          (cid, cv)
+        }
+    }
+    val bcF = spark.sparkContext.broadcast(cent)
+    val assignments = ev.map { case (id, a) =>
+      (id, bcF.value(assignIdx(bcF.value, a))._1)
+    }.toDF("vec_id", "cluster")
+    (assignments, cent)
   }
 
   /**
@@ -126,41 +210,64 @@ object Clustering {
    */
   def ivfTrainedTopK(emb: DataFrame, queries: DataFrame, k: Int,
                      nlist: Int, iters: Int, nprobe: Int): DataFrame = {
-    val (lists, cent) = kMeans(emb, nlist, iters)
-    val e = Similarity.exploded(emb)
-    val qe = Similarity.exploded(queries)
-      .select(col("vec_id").as("q_id"), col("pos"), col("ev").as("qv"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("d2").asc, col("cluster").asc)
-    val qprobe = qe.join(broadcast(cent), Seq("pos"))
-      .groupBy(col("q_id"), col("cluster"))
-      .agg(d2(col("qv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nprobe)
-      .select("q_id", "cluster")
-    val cand = qprobe.join(lists, Seq("cluster"))
-      .select(col("q_id"), col("vec_id").as("n_id"))
-      .where(col("q_id") =!= col("n_id"))
-    val dots = cand
-      .join(qe, Seq("q_id"))
-      .join(e.select(col("vec_id").as("n_id"), col("pos"),
-        col("ev")), Seq("n_id", "pos"))
-      .groupBy("q_id", "n_id")
-      .agg(sum(col("qv") * col("ev")).as("dot"))
-    val norms = e.groupBy("vec_id")
-      .agg(sqrt(sum(col("ev") * col("ev"))).as("nrm"))
-    val sims = dots
-      .join(norms.select(col("vec_id").as("q_id"), col("nrm").as("qn")),
-        Seq("q_id"))
-      .join(norms.select(col("vec_id").as("n_id"), col("nrm").as("nn")),
-        Seq("n_id"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (_, cent) = kMeansArrays(emb, nlist, iters)
+    // probe selection: per query the nprobe nearest lists by round-6
+    // squared distance, ties to the smaller cluster id (the
+    // relational-rank contract). The probe batch is the small side by
+    // contract, so selection runs on the collected batch and ships as
+    // a broadcast INVERTED index cluster -> probing queries — list
+    // routing, scoring and the per-probe top-k partials then all
+    // happen in ONE pass over the embedding table (the 100 TB IVF
+    // shape: a map-side GEMM block against broadcast probes, only
+    // <= k rows per (probe x partition) ever shuffle).
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val inv: Map[Long, Array[(Long, Array[Float], Double)]] = qs
+      .flatMap { case (qid, qe) =>
+        val qn = math.sqrt(Similarity.dotFF(qe, qe))
+        cent.map { case (cid, cv) =>
+          var s = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val d = qe(i).toDouble - cv(i); s += d * d; i += 1
+          }
+          ((round6(s), cid), (qid, qe, qn))
+        }.sortBy(_._1).take(nprobe)
+          .map { case ((_, cid), q) => (cid, q) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+    val bcC = spark.sparkContext.broadcast(cent)
+    val bcQ = spark.sparkContext.broadcast(inv)
+    val sims = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val route = bcQ.value
+        it.flatMap { case (nid, e) =>
+          route.get(cs(assignIdx(cs, e))._1) match {
+            case None => Iterator.empty
+            case Some(probes) =>
+              val nrm = math.sqrt(Similarity.dotFF(e, e))
+              probes.iterator.collect {
+                case (qid, qe, qn) if qid != nid =>
+                  (qid, nid,
+                    round6(Similarity.dotFF(e, qe) / (qn * nrm)))
+              }
+          }
+        }
+      }.toDF("q_id", "n_id", "sim6")
+    val topk = (kc: Column, ic: Column) =>
+      graft.expr.SmallestKAgg.smallestK(k)(kc, ic)
+    sims.groupBy("q_id")
+      .agg(topk(-col("sim6"), col("n_id")).as("__tk"))
+      .select(col("q_id"), col("__tk.ks").as("__ks"),
+        posexplode(col("__tk.ids")).as(Seq("__pos", "n_id")))
       .select(col("q_id"), col("n_id"),
-        round(col("dot") / (col("qn") * col("nn")), 6).as("sim6"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim6").desc, col("n_id").asc)
-    sims.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select("q_id", "n_id", "rnk", "sim6")
+        (col("__pos") + 1).cast("long").as("rnk"),
+        (-element_at(col("__ks"), col("__pos") + 1) + lit(0.0))
+          .as("sim6"))
   }
 
   /**

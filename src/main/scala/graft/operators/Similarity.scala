@@ -167,7 +167,7 @@ object Similarity {
   /** Array-order float dot product widened to double — the JVM twin
     * of [[graft.expr.GeoEval.dotF]] (same fold order, bit-identical
     * result). */
-  private def dotFF(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def dotFF(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var s = 0.0
     var i = 0

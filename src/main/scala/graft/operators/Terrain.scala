@@ -1524,6 +1524,40 @@ object Terrain {
   }
 
   /**
+   * ElevationAboveStream / ElevAboveCreek (HydroTools): per cell, the
+   * elevation difference to the FIRST stream cell its D8 flowpath
+   * reaches (0 on stream cells; cells draining to a non-stream pit
+   * are NoData/absent). Pointer doubling with stream cells absorbing
+   * — the subbasins machinery joined back to the stream elevation.
+   */
+  def elevAboveStream(grid: DataFrame, threshold: Long): DataFrame = {
+    val (stream, _, _) = streamGraph(grid, threshold)
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    val isStream = stream.withColumn("__s", lit(true))
+    val next = ptr.join(isStream, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("r"))
+          .otherwise(col("r") + dyExpr).as("tr"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("c"))
+          .otherwise(col("c") + dxExpr).as("tc"))
+      .localCheckpoint(true)
+    val sv = stream.join(grid.select(col("r"), col("c"), col("v")),
+        Seq("r", "c"))
+      .select(col("r").as("tr"), col("c").as("tc"), col("v").as("sv"))
+    resolvePointers(next)
+      .join(sv, Seq("tr", "tc"))
+      .join(grid.select(col("r"), col("c"), col("v")), Seq("r", "c"))
+      .select(col("r"), col("c"),
+        round(col("v") - col("sv"), 6).as("elev_above"))
+  }
+
+  /**
    * Hillslopes (HydroTools/Hillslopes.java): label every cell by the
    * bank-specific hillslope draining to its stream link — right-bank
    * cells of link k get id(k), left-bank cells 100000 + id(k). Seeds
