@@ -1185,6 +1185,72 @@ object SparkEntry {
         .select(col("id")).distinct()
     }),
 
+    // ---- Common-Crawl-style page table (input_hint shape) ----
+    // (url, warc_ts, html:binary, text, lang); per-row invariant:
+    // byte-identical extracted text per url, checked via sha256 on
+    // both engines.
+
+    "web_extract_text" -> ((s, dir) => {
+      val p = Derived.webPages(s, dir)
+      val ext = graft.expr.WebFunctions.html_extract_text(col("html"))
+      p.select(col("url"), sha2(ext, 256).as("sha"),
+        octet_length(ext).cast("long").as("n_bytes"))
+    }),
+
+    "web_page_stats" -> ((s, dir) => {
+      val p = Derived.webPages(s, dir)
+      val ext = graft.expr.WebFunctions.html_extract_text(col("html"))
+      p.select(col("lang"), col("warc_ts"),
+          octet_length(ext).cast("long").as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("nb")).as("text_bytes"),
+          max(col("warc_ts").cast("long")).as("last_epoch"))
+    }),
+
+    // latest-snapshot-per-url dedup (the Common-Crawl recrawl case):
+    // two captures per url, the later one a revision; keep the text
+    // of the max warc_ts capture via max_by — no window, one shuffle
+    "web_latest_capture" -> ((s, dir) => {
+      val d = Derived.table(s, dir, "documents")
+      val url = concat(lit("https://example.org/"), d("lang"),
+        lit("/"), d("doc_id").cast("string"))
+      val t0 = lit(1690000000L) + d("doc_id") * 97
+      val cap0 = d.select(url.as("url"),
+        timestamp_seconds(t0).as("warc_ts"),
+        graft.expr.WebFunctions.html_wrap(d("doc_id"), d("text"))
+          .as("html"))
+      val cap1 = d.select(url.as("url"),
+        timestamp_seconds(t0 + 2592000L).as("warc_ts"),
+        graft.expr.WebFunctions.html_wrap(d("doc_id"),
+          concat(d("text"), lit(" revision 2"))).as("html"))
+      val ext = graft.expr.WebFunctions.html_extract_text(col("html"))
+      cap0.unionByName(cap1)
+        .select(col("url"), col("warc_ts"), sha2(ext, 256).as("sha"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_caps"),
+          max_by(col("sha"), col("warc_ts")).as("sha"))
+    }),
+
+    // page -> geo-entity -> tile assignment (the north-rule metric
+    // path: extracted text tokens against the broadcast gazetteer,
+    // mention coordinates binned at the res-6 parent tile)
+    "web_tile_assign" -> ((s, dir) => {
+      val p = Derived.webPages(s, dir)
+      val ext = graft.expr.WebFunctions.html_extract_text(col("html"))
+      val toks = p.select(col("url"),
+        explode(TextOps.tokens(ext)).as("tok"))
+      val parent = cell_to_parent(
+        latlng_to_cell(col("py"), col("px"), lit(RES)), lit(6))
+      toks.join(broadcast(Derived.gazetteerDF(s)),
+          col("tok") === col("place"))
+        .select(col("url"), cell_lat_bin(parent).as("lat_bin6"),
+          cell_lon_bin(parent).as("lon_bin6"))
+        .groupBy("lat_bin6", "lon_bin6")
+        .agg(countDistinct(col("url")).as("n_pages"),
+          count(lit(1)).as("n_mentions"))
+    }),
+
     // ---- training-data pipeline: dedup / quality / similarity ----
 
     "dedup_exact" -> ((s, dir) =>
@@ -1930,6 +1996,41 @@ object SparkEntry {
       s"""WITH pts AS ($PTS), spts AS ($SPTS)
          |SELECT DISTINCT p.id FROM pts p JOIN spts s
          |  ON (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy) <= CAST(4.0 AS DOUBLE)""".stripMargin,
+
+    // page-table invariant: the engine extracts text from the html
+    // binary; the oracle hashes the source text column directly —
+    // equal sha256 per url == byte-identical extraction
+    "web_extract_text" ->
+      s"""WITH pages AS (${Derived.webPagesSql})
+         |SELECT url, sha256(text) AS sha,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes
+         |FROM pages""".stripMargin,
+
+    "web_page_stats" ->
+      s"""WITH pages AS (${Derived.webPagesSql})
+         |SELECT lang, count(*) AS n_pages,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+         |  CAST(max(warc_epoch) AS BIGINT) AS last_epoch
+         |FROM pages GROUP BY lang""".stripMargin,
+
+    "web_latest_capture" ->
+      s"""WITH pages AS (${Derived.webPagesSql})
+         |SELECT url, CAST(2 AS BIGINT) AS n_caps,
+         |  sha256(text || ' revision 2') AS sha
+         |FROM pages""".stripMargin,
+
+    "web_tile_assign" ->
+      s"""WITH pages AS (${Derived.webPagesSql}),
+         |toks AS (SELECT url, unnest(string_split(text, ' ')) AS tok
+         |  FROM pages),
+         |m AS (SELECT t.url, gaz.px AS x, gaz.py AS y
+         |  FROM toks t JOIN ${Derived.gazetteerValuesSql}
+         |    ON t.tok = gaz.place),
+         |bins AS (SELECT url, $latBin14Sql // 256 AS lat_bin6,
+         |  $lonBin14Sql // 256 AS lon_bin6 FROM m)
+         |SELECT lat_bin6, lon_bin6,
+         |  count(DISTINCT url) AS n_pages, count(*) AS n_mentions
+         |FROM bins GROUP BY lat_bin6, lon_bin6""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH corpus AS (${Derived.dupCorpusSql})

@@ -319,4 +319,35 @@ object Derived {
     """SELECT p_partkey % 40 AS r, p_partkey // 40 AS c,
       |  ((p_partkey * 37) % 1000) / CAST(10.0 AS DOUBLE) AS v
       |FROM part WHERE p_partkey // 40 < 50""".stripMargin
+
+  /**
+   * Common-Crawl-style page table in EXACTLY the input_hint shape
+   * (BASELINE.json): `(url:string, warc_ts:timestamp, html:binary,
+   * text:string, lang:string)`. Deterministic synthesis from
+   * `documents`: the html is the [[graft.expr.WebEval.wrapHtmlStr]]
+   * page around the text (head/script/style/comment noise + escaped
+   * body chunks), so `html_extract_text(html)` must round-trip to the
+   * `text` column byte-identically — the per-row invariant the oracle
+   * checks via sha256.
+   */
+  def webPages(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    d.select(
+      concat(lit("https://example.org/"), d("lang"), lit("/"),
+        d("doc_id").cast("string")).as("url"),
+      timestamp_seconds(lit(1690000000L) + d("doc_id") * 97).as("warc_ts"),
+      graft.expr.WebFunctions.html_wrap(d("doc_id"), d("text"))
+        .as("html"),
+      d("text"), d("lang"))
+  }
+
+  /** DuckDB mirror of the [[webPages]] url / capture-time columns
+    * (html is engine-side only; oracles check its extraction against
+    * the source `text`). */
+  val webPagesSql: String =
+    """SELECT 'https://example.org/' || lang || '/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  1690000000 + doc_id * 97 AS warc_epoch,
+      |  text, lang, doc_id
+      |FROM documents""".stripMargin
 }
