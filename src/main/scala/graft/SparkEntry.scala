@@ -1418,7 +1418,77 @@ object SparkEntry {
           e("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(round(e("value") * 100).cast("long")).as("sum_value_cents"))
-    })
+    }),
+
+    // ---- focal filter presets, round 3 (SURVEY.md §2.5 tail) ----
+
+    // FilterHighPass: z - focal mean (5x5, reflected edges)
+    "geo_conv_highpass" -> ((s, dir) =>
+      operators.Focal.filterHighPass(Derived.partGrid(s, dir), 2,
+        reflect = true, GridRows, GridCols)),
+
+    // FilterLineDetection, vertical kernel, absolute response
+    "geo_conv_line_detect" -> ((s, dir) =>
+      operators.Focal.convolveSubstituteExact(Derived.partGrid(s, dir),
+        operators.Focal.lineDetectV3x3, reflect = true,
+        GridRows, GridCols)
+        .select(col("r"), col("c"), abs(col("cv")).as("cv"))),
+
+    // FilterConservativeSmoothing: clamp centre into the min/max of
+    // the diagonal window cells (reference's x!=col && y!=row test)
+    "geo_conservative_smooth" -> ((s, dir) =>
+      operators.Focal.filterConservativeSmoothing(
+        Derived.partGrid(s, dir), 1, reflect = true,
+        GridRows, GridCols)),
+
+    // FilterKNearestMean: mean of the k=5 window values nearest the
+    // centre (3x3, NoData edges — border cells keep enough reads)
+    "geo_knearest_mean" -> ((s, dir) =>
+      operators.Focal.filterKNearestMean(Derived.partGrid(s, dir), 1,
+        k = 5, reflect = false, GridRows, GridCols)),
+
+    // FilterEdgePreservingSmoothing (bilateral), sigmaD=0.75 sigmaI=3
+    "geo_bilateral" -> ((s, dir) =>
+      operators.Focal.filterBilateral(Derived.partGrid(s, dir),
+        sigmaD = 0.75, sigmaI = 3.0, GridRows, GridCols)),
+
+    // TangentialCurv
+    "geo_tang_curv" -> ((s, dir) =>
+      operators.Terrain.tangentialCurvature(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    // RelativeAspect vs azimuth 45 deg
+    "geo_relative_aspect" -> ((s, dir) =>
+      operators.Terrain.relativeAspect(Derived.partGrid(s, dir),
+        azimuthDeg = 45.0, GridRows, GridCols)),
+
+    // FindRidges (no thinning arm)
+    "geo_find_ridges" -> ((s, dir) =>
+      operators.Terrain.findRidges(Derived.partGrid(s, dir))),
+
+    // ---- hydrology flowpath-metric tail, round 3 (§2.10 row 8) ----
+
+    // NumInflowingNeighbours (d8)
+    "geo_num_inflowing" -> ((s, dir) =>
+      operators.Terrain.numInflowing(Derived.partGrid(s, dir))),
+
+    // FindNoFlowCells
+    "geo_no_flow_cells" -> ((s, dir) =>
+      operators.Terrain.findNoFlowCells(Derived.partGrid(s, dir))),
+
+    // ElevationAboveStream / ElevAboveCreek
+    "geo_elev_above_stream" -> ((s, dir) =>
+      operators.Terrain.elevAboveStream(Derived.partGrid(s, dir),
+        threshold = 5L)),
+
+    // DownslopeDistanceToStream
+    "geo_downslope_dist_stream" -> ((s, dir) =>
+      operators.Terrain.downslopeDistanceToStream(
+        Derived.partGrid(s, dir), threshold = 5L)),
+
+    // Maximum/AverageUpslopeFlowpathLength family (one pass)
+    "geo_upslope_flowpath" -> ((s, dir) =>
+      operators.Terrain.upslopeFlowpathStats(Derived.partGrid(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3179,7 +3249,178 @@ object SparkEntry {
     "geo_clip_area" ->
       s"""WITH s AS ($SPTS)
          |SELECT s_id, round(rr * rr, 4) AS carea
-         |FROM (SELECT s_id, CAST(1.0 AS DOUBLE) + s_id % 3 AS rr FROM s)""".stripMargin
+         |FROM (SELECT s_id, CAST(1.0 AS DOUBLE) + s_id % 3 AS rr FROM s)""".stripMargin,
+
+    // ---- focal filter presets, round 3 ----
+
+    "geo_conv_highpass" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(2, reflect = true)},
+         |agg AS (SELECT con.r, con.c, first(con.cz) AS cz,
+         |  sum(CAST(round(con.nv * 10) AS BIGINT)) AS sumk, count(*) AS n
+         |  FROM con GROUP BY con.r, con.c)
+         |SELECT r, c, round(CAST(CAST(round(cz * 10) AS BIGINT) * n - sumk AS DOUBLE) / (n * 10.0), 6) AS cv
+         |FROM agg""".stripMargin,
+
+    "geo_conv_line_detect" -> {
+      val kernel = operators.Focal.lineDetectV3x3
+      val wTot = kernel.map(_._3.toLong).sum
+      val values = kernel.map { case (dy, dx, w) =>
+        s"($dy, $dx, CAST(${w.toLong} AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = true)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, w)),
+         |agg AS (SELECT con.r, con.c, first(con.cz) AS cz,
+         |  sum(k.w * CAST(round(con.nv * 10) AS BIGINT)) AS swk,
+         |  sum(k.w) AS wp
+         |  FROM con JOIN k ON k.dy = con.dy AND k.dx = con.dx
+         |  GROUP BY con.r, con.c)
+         |SELECT r, c, abs(round((swk + CAST(round(cz * 10) AS BIGINT) * ($wTot - wp)) / 10.0, 6)) AS cv
+         |FROM agg""".stripMargin
+    },
+
+    "geo_conservative_smooth" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = true)},
+         |mm AS (SELECT r, c, first(cz) AS cz,
+         |  min(CASE WHEN dy <> 0 AND dx <> 0 THEN nv END) AS mn,
+         |  max(CASE WHEN dy <> 0 AND dx <> 0 THEN nv END) AS mx
+         |  FROM con GROUP BY r, c)
+         |SELECT r, c, CASE WHEN cz > mx THEN mx
+         |  WHEN cz < mn THEN mn ELSE cz END AS cv
+         |FROM mm""".stripMargin,
+
+    "geo_knearest_mean" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = false)},
+         |rk AS (SELECT r, c, cz, nv, ROW_NUMBER() OVER (
+         |    PARTITION BY r, c
+         |    ORDER BY (nv - cz) * (nv - cz), (dy + 1) * 3 + (dx + 1)) AS rk
+         |  FROM con),
+         |agg AS (SELECT r, c, first(cz) AS cz,
+         |  sum(CAST(round(nv * 10) AS BIGINT)) AS sumk, count(*) AS n
+         |  FROM rk WHERE rk <= 5 GROUP BY r, c)
+         |SELECT r, c, round(CASE WHEN n = 5
+         |  THEN CAST(sumk AS DOUBLE) / 50.0 ELSE cz END, 6) AS cv
+         |FROM agg""".stripMargin,
+
+    "geo_bilateral" -> {
+      val (kernel, radius) = operators.Focal.bilateralKernel(0.75, 3.0)
+      val twoSigmaSqrI = 2.0 * 3.0 * 3.0
+      val values = kernel.map { case (dy, dx, w) =>
+        s"($dy, $dx, CAST(${w.toString} AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH g AS ($GRID),
+         |${focalConSql(radius, reflect = false)},
+         |k AS (SELECT * FROM (VALUES $values) AS t(dy, dx, wd)),
+         |wi AS (SELECT con.r, con.c, con.nv,
+         |  k.wd / (1.0 + u + u * u / 2.0 + u * u * u / 6.0 + u * u * u * u / 24.0) AS wi
+         |  FROM (SELECT con.*, ((con.nv - con.cz) * (con.nv - con.cz)) / ${twoSigmaSqrI.toString} AS u
+         |    FROM con) con
+         |  JOIN k ON k.dy = con.dy AND k.dx = con.dx),
+         |agg AS (SELECT r, c,
+         |  sum(CAST(round(wi * nv * 1e9) AS BIGINT)) AS sl,
+         |  sum(CAST(round(wi * 1e9) AS BIGINT)) AS sw
+         |  FROM wi GROUP BY r, c)
+         |SELECT r, c, round(CAST(sl AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS cv
+         |FROM agg""".stripMargin
+    },
+
+    "geo_tang_curv" ->
+      s"""WITH g AS ($GRID),
+         |$surfaceSql
+         |SELECT r, c, round((zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2) /
+         |  (p * ((p + 1) * sqrt(p + 1))) * $RadToDegLit * 100, 6) AS tang_curv
+         |FROM st2 WHERE p > 0""".stripMargin,
+
+    "geo_relative_aspect" ->
+      s"""WITH g AS ($GRID),
+         |$stencilReflectSql,
+         |f AS (SELECT r, c, $FxSql AS fx, $FySql AS fy FROM nb),
+         |a AS (SELECT r, c, CASE WHEN fx <> 0
+         |  THEN $AspectSql ELSE NULL END AS asp FROM f)
+         |SELECT r, c, round(CASE WHEN asp IS NULL THEN -1.0
+         |  WHEN abs(asp - 45.0) > 180.0 THEN 360.0 - abs(asp - 45.0)
+         |  ELSE abs(asp - 45.0) END, 6) AS rel_aspect
+         |FROM a""".stripMargin,
+
+    "geo_find_ridges" ->
+      s"""WITH g AS ($GRID)
+         |SELECT g.r, g.c, CAST(1 AS BIGINT) AS ridge
+         |FROM g
+         |LEFT JOIN g u ON u.r = g.r - 1 AND u.c = g.c
+         |LEFT JOIN g d ON d.r = g.r + 1 AND d.c = g.c
+         |LEFT JOIN g l ON l.r = g.r AND l.c = g.c - 1
+         |LEFT JOIN g rt ON rt.r = g.r AND rt.c = g.c + 1
+         |WHERE (u.v < g.v AND d.v < g.v) OR (l.v < g.v AND rt.v < g.v)""".stripMargin,
+
+    // ---- hydrology flowpath-metric tail, round 3 ----
+
+    "geo_num_inflowing" ->
+      s"""WITH g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |cnt AS (SELECT tr, tc, count(*) AS k FROM e GROUP BY tr, tc)
+         |SELECT p.r, p.c, CAST(COALESCE(cnt.k, 0) AS BIGINT) AS n
+         |FROM p LEFT JOIN cnt ON cnt.tr = p.r AND cnt.tc = p.c""".stripMargin,
+
+    "geo_no_flow_cells" -> {
+      val hasLower = (0 until 8)
+        .map(i => s"(n$i IS NOT NULL AND n$i < v)").mkString(" OR ")
+      s"""WITH g AS ($GRID),
+         |$d8SqlCtes
+         |SELECT r, c, CAST(1 AS BIGINT) AS noflow FROM nb
+         |WHERE NOT ($hasLower)""".stripMargin
+    },
+
+    "geo_elev_above_stream" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e.tr, e.tc
+         |  FROM walk w JOIN e ON e.r = w.r AND e.c = w.c
+         |  LEFT JOIN stream s ON s.r = w.r AND s.c = w.c
+         |  WHERE s.r IS NULL),
+         |term AS (SELECT w.sr AS r, w.sc AS c, w.r AS tr, w.c AS tc
+         |  FROM walk w JOIN stream s ON s.r = w.r AND s.c = w.c)
+         |SELECT t.r, t.c, round(gv.v - sv.v, 6) AS elev_above
+         |FROM term t JOIN g gv ON gv.r = t.r AND gv.c = t.c
+         |JOIN g sv ON sv.r = t.tr AND sv.c = t.tc""".stripMargin,
+
+    "geo_downslope_dist_stream" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |ed AS (SELECT e.r, e.c, e.tr, e.tc,
+         |  (abs(e.tr - e.r) + abs(e.tc - e.c) = 2) AS diag FROM e),
+         |walk AS (SELECT r AS sr, c AS sc, r, c,
+         |  CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS nd FROM g
+         |  UNION SELECT w.sr, w.sc, ed.tr, ed.tc,
+         |    w.ns + CASE WHEN ed.diag THEN 0 ELSE 1 END,
+         |    w.nd + CASE WHEN ed.diag THEN 1 ELSE 0 END
+         |  FROM walk w JOIN ed ON ed.r = w.r AND ed.c = w.c
+         |  LEFT JOIN stream s ON s.r = w.r AND s.c = w.c
+         |  WHERE s.r IS NULL),
+         |term AS (SELECT w.sr AS r, w.sc AS c, w.ns, w.nd FROM walk w
+         |  JOIN stream s ON s.r = w.r AND s.c = w.c)
+         |SELECT r, c, CAST(ns * 1000000000 + nd * ${operators.Terrain.DiagNano} AS BIGINT) AS dist_nano
+         |FROM term""".stripMargin,
+
+    "geo_upslope_flowpath" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |ed AS (SELECT r, c, tr, tc,
+         |  CASE WHEN abs(tr - r) + abs(tc - c) = 2
+         |    THEN ${operators.Terrain.DiagNano} ELSE 1000000000 END AS d
+         |  FROM e),
+         |walk AS (SELECT r AS sr, c AS sc, r, c, CAST(0 AS BIGINT) AS len
+         |  FROM g
+         |  UNION SELECT w.sr, w.sc, ed.tr, ed.tc, w.len + ed.d
+         |  FROM walk w JOIN ed ON ed.r = w.r AND ed.c = w.c)
+         |SELECT w.r, w.c, CAST(max(w.len) AS BIGINT) AS max_len_nano,
+         |  count(*) AS n_paths, CAST(sum(w.len) AS BIGINT) AS sum_len_nano
+         |FROM walk w GROUP BY w.r, w.c""".stripMargin
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

@@ -401,4 +401,161 @@ object Focal {
           (col("sy") - col("v") * col("wyp")) *
             (col("sy") - col("v") * col("wyp"))), 6).as("edge"))
   }
+
+  /**
+   * FilterHighPass (ImageProcessingTools/FilterHighPass.java, inner
+   * loop): out = z - mean of the resolved window reads (centre
+   * included; missing reads shrink n). Runs in scaled-integer space —
+   * (zk*n - sumk) is an exact BIGINT and the single double division
+   * is correctly rounded, hence bit-identical across engines.
+   */
+  def filterHighPass(grid: DataFrame, radius: Int, reflect: Boolean,
+                     nRows: Long, nCols: Long,
+                     scale: Int = 10): DataFrame =
+    contributions(grid, radius, reflect, nRows, nCols)
+      .withColumn("k", round(col("nv") * scale).cast("long"))
+      .groupBy("r", "c")
+      .agg(sum(col("k")).as("sumk"), count(lit(1)).as("n"))
+      .join(grid, Seq("r", "c"), "inner") // centre value + existence
+      .select(col("r"), col("c"),
+        round((round(col("v") * scale).cast("long") * col("n") -
+          col("sumk")).cast("double") /
+          (col("n") * lit(scale.toDouble)), 6).as("cv"))
+
+  /** FilterLineDetection.java:219-230 kernels, row-major over
+    * dY/dX = (-1..1)x(-1..1). */
+  val lineDetectV3x3: Kernel = Seq(
+    (-1, -1, -1.0), (-1, 0, 2.0), (-1, 1, -1.0),
+    (0, -1, -1.0), (0, 0, 2.0), (0, 1, -1.0),
+    (1, -1, -1.0), (1, 0, 2.0), (1, 1, -1.0))
+  val lineDetectH3x3: Kernel = Seq(
+    (-1, -1, -1.0), (-1, 0, -1.0), (-1, 1, -1.0),
+    (0, -1, 2.0), (0, 0, 2.0), (0, 1, 2.0),
+    (1, -1, -1.0), (1, 0, -1.0), (1, 1, -1.0))
+  val lineDetect135: Kernel = Seq(
+    (-1, -1, 2.0), (-1, 0, -1.0), (-1, 1, -1.0),
+    (0, -1, -1.0), (0, 0, 2.0), (0, 1, -1.0),
+    (1, -1, -1.0), (1, 0, -1.0), (1, 1, 2.0))
+  val lineDetect45: Kernel = Seq(
+    (-1, -1, -1.0), (-1, 0, -1.0), (-1, 1, 2.0),
+    (0, -1, -1.0), (0, 0, 2.0), (0, 1, -1.0),
+    (1, -1, 2.0), (1, 0, -1.0), (1, 1, -1.0))
+
+  /**
+   * FilterConservativeSmoothing (FilterConservativeSmoothing.java,
+   * inner loop): clamp the centre into [min, max] of the window
+   * cells that differ from the centre in BOTH row and column (the
+   * reference's literal `x != col && y != row` test — diagonal-only
+   * for a 3x3). Pure comparisons, no arithmetic: hash-safe.
+   */
+  def filterConservativeSmoothing(grid: DataFrame, radius: Int,
+      reflect: Boolean, nRows: Long, nCols: Long): DataFrame =
+    contributions(grid, radius, reflect, nRows, nCols)
+      .groupBy("r", "c")
+      .agg(
+        min(when(col("dy") =!= 0 && col("dx") =!= 0, col("nv")))
+          .as("mn"),
+        max(when(col("dy") =!= 0 && col("dx") =!= 0, col("nv")))
+          .as("mx"))
+      .join(grid, Seq("r", "c"), "inner")
+      .select(col("r"), col("c"),
+        when(col("v") > col("mx"), col("mx"))
+          .when(col("v") < col("mn"), col("mn"))
+          .otherwise(col("v")).as("cv"))
+
+  /**
+   * FilterKNearestMean (FilterKNearestMean.java, inner loop): mean
+   * of the k window values nearest in squared difference to the
+   * centre; ties resolved by window scan order (the reference's
+   * strict-< heap update keeps the earliest index). Centre included
+   * (sqdiff 0). Cells with fewer than k resolved reads pass the
+   * centre through. Mean in scaled-int space (exact division).
+   */
+  def filterKNearestMean(grid: DataFrame, radius: Int, k: Int,
+      reflect: Boolean, nRows: Long, nCols: Long,
+      scale: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val side = 2 * radius + 1
+    val w = Window.partitionBy("r", "c").orderBy(
+      ((col("nv") - col("v")) * (col("nv") - col("v"))).asc,
+      ((col("dy") + radius) * side + (col("dx") + radius)).asc)
+    contributions(grid, radius, reflect, nRows, nCols)
+      .join(grid, Seq("r", "c"), "inner") // centre value v
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy("r", "c")
+      .agg(sum(round(col("nv") * scale).cast("long")).as("sumk"),
+        count(lit(1)).as("n"), first(col("v")).as("z"))
+      .select(col("r"), col("c"),
+        round(when(col("n") === k,
+          col("sumk").cast("double") / lit((scale * k).toDouble))
+          .otherwise(col("z")), 6).as("cv"))
+  }
+
+  /**
+   * FilterEdgePreservingSmoothing (bilateral). Mirrors the
+   * reference's window construction exactly — including the
+   * midPoint = floor(n/2)+1 offset (FilterEdgePreservingSmoothing
+   * .java, filter-fill loop), which shifts the window to
+   * [-m, n-1-m] — and the filter-size search (spatial weight
+   * <= 0.001 cutoff). The intensity falloff replaces exp(-u) with
+   * the transcendental-free reciprocal Taylor
+   * 1/(1+u+u²/2+u³/6+u⁴/24) (libm exp differs from the JVM's in
+   * ulp; within 0.6% of exp(-u) on u in [0,3]); weighted sums
+   * accumulate as round(x*1e9) BIGINTs so aggregation order cannot
+   * perturb the result.
+   */
+  def filterBilateral(grid: DataFrame, sigmaD: Double, sigmaI: Double,
+                      nRows: Long, nCols: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val (kernel, radius) = bilateralKernel(sigmaD, sigmaI)
+    val twoSigmaSqrI = 2.0 * sigmaI * sigmaI
+    val kdf = kernel.toDF("dy", "dx", "wd")
+    val u = ((col("nv") - col("v")) * (col("nv") - col("v"))) /
+      lit(twoSigmaSqrI)
+    val taylor = lit(1.0) + u + u * u / lit(2.0) +
+      u * u * u / lit(6.0) + u * u * u * u / lit(24.0)
+    contributions(grid, radius, reflect = false, nRows, nCols)
+      .join(broadcast(kdf), Seq("dy", "dx"), "inner")
+      .join(grid, Seq("r", "c"), "inner") // centre value v
+      .withColumn("wi", col("wd") / taylor)
+      .groupBy("r", "c")
+      .agg(sum(round(col("wi") * col("nv") * 1e9).cast("long")).as("sl"),
+        sum(round(col("wi") * 1e9).cast("long")).as("sw"))
+      .select(col("r"), col("c"),
+        round(col("sl").cast("double") / col("sw").cast("double"), 6)
+          .as("cv"))
+  }
+
+  /** The bilateral spatial kernel (dy, dx, wD*recipI) and its max
+    * absolute offset, shared with the SQL oracle so both engines see
+    * identical weight literals. */
+  def bilateralKernel(sigmaD: Double,
+                      sigmaI: Double): (Seq[(Int, Int, Double)], Int) = {
+    val recipD = 1.0 / (math.sqrt(2 * math.Pi) * sigmaD)
+    val recipI = 1.0 / (math.sqrt(2 * math.Pi) * sigmaI)
+    val twoSigmaSqrD = 2.0 * sigmaD * sigmaD
+    var filterSize = 3
+    var i = 0
+    var found = false
+    while (i <= 250 && !found) {
+      if (recipD * math.exp(-(i * i) / twoSigmaSqrD) <= 0.001) {
+        filterSize = i * 2 + 1; found = true
+      }
+      i += 1
+    }
+    if (filterSize % 2 == 0) filterSize += 1
+    if (filterSize < 3) filterSize = 3
+    val mid = filterSize / 2 + 1
+    val k = for {
+      row <- 0 until filterSize
+      colI <- 0 until filterSize
+    } yield {
+      val x = colI - mid
+      val y = row - mid
+      (y, x, recipD * math.exp(-(x * x + y * y) / twoSigmaSqrD) * recipI)
+    }
+    (k, k.map(t => math.max(math.abs(t._1), math.abs(t._2))).max)
+  }
 }

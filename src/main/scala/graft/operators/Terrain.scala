@@ -279,6 +279,43 @@ object Terrain {
           .otherwise(lit(-1.0)), 6).as("aspect"))
 
   /**
+   * RelativeAspect (TerrainAnalysisTools/RelativeAspect.java, inner
+   * loop): |aspect - azimuth| folded into [0, 180]; flat cells
+   * (fx = 0) emit -1, mirroring the reference's early-out.
+   */
+  def relativeAspect(grid: DataFrame, azimuthDeg: Double, nRows: Long,
+                     nCols: Long): DataFrame = {
+    val asp = lit(180.0) - atan(col("fy") / col("fx")) *
+      (180.0 / math.Pi) + lit(90.0) * (col("fx") / abs(col("fx")))
+    val d = abs(asp - lit(azimuthDeg))
+    fxFy(gatherNeighbors(grid, reflect = true, nRows, nCols))
+      .select(col("r"), col("c"),
+        round(when(col("fx") =!= 0,
+          when(d > 180.0, lit(360.0) - d).otherwise(d))
+          .otherwise(lit(-1.0)), 6).as("rel_aspect"))
+  }
+
+  /**
+   * FindRidges (TerrainAnalysisTools/FindRidges.java:163-210, no
+   * line-thinning arm): a cell is a ridge when both its N and S
+   * neighbours are lower, or failing that both its W and E
+   * neighbours are; off-grid/NoData reads fail the test. Emits only
+   * ridge cells (absent-row NoData convention).
+   */
+  def findRidges(grid: DataFrame): DataFrame = {
+    val n = grid.select(col("r").as("nr"), col("c").as("nc"),
+      col("v").as("nv"))
+    def withNbr(df: DataFrame, dy: Int, dx: Int, nm: String) =
+      df.join(n.select((col("nr") - dy).as("r"), (col("nc") - dx).as("c"),
+        col("nv").as(nm)), Seq("r", "c"), "left")
+    val j = Seq((-1, 0, "zu"), (1, 0, "zd"), (0, -1, "zl"), (0, 1, "zr"))
+      .foldLeft(grid) { case (df, (dy, dx, nm)) => withNbr(df, dy, dx, nm) }
+    j.where((col("zu") < col("v") && col("zd") < col("v")) ||
+        (col("zl") < col("v") && col("zr") < col("v")))
+      .select(col("r"), col("c"), lit(1L).as("ridge"))
+  }
+
+  /**
    * Hillshade (TerrainAnalysisTools/Hillshade.java:255-276, reflected
    * edges; azimuth/altitude in degrees, azimuth stored as (az-90)):
    * the continuous shade value BEFORE the (int)(z*255) display
@@ -368,6 +405,21 @@ object Terrain {
           col("zyy") * col("zy2")) /
           (col("p") * ((col("p") + 1) * sqrt(col("p") + 1))) * RadToDeg * 100,
           6).as("prof_curv"))
+
+  /** TangentialCurv (TangentialCurv.java:262-271): plan-curvature
+    * numerator over p * q^1.5 with q = p + 1; q^1.5 spelled
+    * q*sqrt(q) for cross-engine bit-exactness (see planCurvature). */
+  def tangentialCurvature(grid: DataFrame, nRows: Long,
+                          nCols: Long): DataFrame =
+    surfaceTerms(grid, nRows, nCols)
+      .withColumn("p", col("zx2") + col("zy2"))
+      .where(col("p") > 0)
+      .select(col("r"), col("c"),
+        round((col("zxx") * col("zy2") -
+          lit(2) * col("zxy") * col("zx") * col("zy") +
+          col("zyy") * col("zx2")) /
+          (col("p") * ((col("p") + 1) * sqrt(col("p") + 1))) *
+          RadToDeg * 100, 6).as("tang_curv"))
 
   /** TotalCurv (TotalCurv.java:258-264): Zxx^2 + 2*Zxy^2 + Zyy^2. */
   def totalCurvature(grid: DataFrame, nRows: Long, nCols: Long): DataFrame =
@@ -1701,6 +1753,163 @@ object Terrain {
       .localCheckpoint(true)
     resolvePointersSteps(next).select(col("r"), col("c"),
       round(col("ns") + col("nd") * math.sqrt(2.0), 6).as("fp_len"))
+  }
+
+  /** Length of one D8 step in exact nano units (straight 1e9,
+    * diagonal round(sqrt(2)*1e9)) — integer lengths keep flowpath
+    * max/sum aggregates order-independent across engines. */
+  private[graft] val DiagNano = math.round(math.sqrt(2.0) * 1e9)
+
+  /**
+   * NumInflowingNeighbours (HydroTools/NumInflowingNeighbours.java,
+   * d8 arm): per pointer cell, how many of its 8 neighbours route
+   * into it. One edge aggregation — no iteration.
+   */
+  def numInflowing(grid: DataFrame): DataFrame = {
+    val cnt = d8Edges(grid)
+      .groupBy(col("tr").as("r"), col("tc").as("c"))
+      .agg(count(lit(1)).as("n"))
+    d8Pointer(grid).join(cnt, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /**
+   * FindNoFlowCells (HydroTools/FindNoFlowCells.java): cells with no
+   * strictly-lower resolved 8-neighbour (the reference writes 1
+   * there and NoData elsewhere — absent-row convention here).
+   */
+  def findNoFlowCells(grid: DataFrame): DataFrame = {
+    val nb = gatherNeighbors(grid)
+    val hasLower = (0 until 8).map(i =>
+      col(s"n$i").isNotNull && col(s"n$i") < col("v")).reduce(_ || _)
+    nb.where(!hasLower).select(col("r"), col("c"), lit(1L).as("noflow"))
+  }
+
+  /**
+   * DownslopeDistanceToStream (Scripts/DownslopeDistanceToStream
+   * .groovy): trace the D8 flowpath until the first stream cell
+   * (flow accumulation >= threshold) and report the traversed
+   * length; stream cells emit 0, cells draining to a non-stream pit
+   * are NoData (absent). Same pointer-doubling machinery as
+   * [[elevAboveStream]]; length as an exact nano BIGINT.
+   */
+  def downslopeDistanceToStream(grid: DataFrame,
+                                threshold: Long): DataFrame = {
+    val (stream, _, _) = streamGraph(grid, threshold)
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    val diag = (0 until 8).foldLeft(lit(false)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(i % 2 == 0)).otherwise(acc)
+    }
+    val isStream = stream.withColumn("__s", lit(true))
+    val stop = col("__s").isNotNull || col("ptr") === 0
+    val next = ptr.join(isStream, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(stop, col("r")).otherwise(col("r") + dyExpr).as("tr"),
+        when(stop, col("c")).otherwise(col("c") + dxExpr).as("tc"),
+        when(!stop && !diag, 1L).otherwise(0L).as("ns"),
+        when(!stop && diag, 1L).otherwise(0L).as("nd"))
+      .localCheckpoint(true)
+    resolvePointersSteps(next)
+      .join(stream.select(col("r").as("tr"), col("c").as("tc")),
+        Seq("tr", "tc"))
+      .select(col("r"), col("c"),
+        (col("ns") * 1000000000L + col("nd") * DiagNano).as("dist_nano"))
+  }
+
+  /**
+   * Upslope-flowpath metric family (SURVEY §2.10 row 8;
+   * MaximumUpslopeFlowpathLength.java and kin): per cell, over all
+   * D8 flowpaths arriving at it — the longest arriving path
+   * (max_len_nano; 0 with no inflow), the contributing-cell count
+   * (n_paths, self included = D8 flow accumulation), and the total
+   * arriving length (sum_len_nano). Exact nano-BIGINT lengths make
+   * every aggregate order-independent. Jacobi rounds over the
+   * reversed D8 DAG (rounds >= longest flowpath for the exact
+   * fixpoint); grids under [[localFixpointMaxRows]] run one
+   * in-memory topological pass in a single task.
+   */
+  def upslopeFlowpathStats(grid: DataFrame,
+                           rounds: Int = 64): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val dNano = when(
+      abs(col("tr") - col("r")) + abs(col("tc") - col("c")) === 2,
+      lit(DiagNano)).otherwise(lit(1000000000L))
+    val edges = d8Edges(grid)
+      .select(col("r"), col("c"), col("tr"), col("tc"),
+        dNano.as("d"))
+      .localCheckpoint(true)
+    val base = grid.select(col("r"), col("c")).localCheckpoint(true)
+    if (base.count() <= localFixpointMaxRows) {
+      // one-task exact pass: Kahn order over the D8 DAG
+      val tagged = base
+        .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+          lit(-1L).as("d"))
+        .unionByName(edges)
+        .as[(Long, Long, Long, Long, Long)]
+      return tagged.coalesce(1).mapPartitions { it =>
+        val rows = it.toArray
+        val cells = rows.filter(_._5 == -1L).map(t => (t._1, t._2))
+        val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+        cells.zipWithIndex.foreach { case (k, i) => idx(k) = i }
+        val n = cells.length
+        val out = Array.fill(n)(-1)   // successor index
+        val dist = Array.ofDim[Long](n)
+        val indeg = Array.ofDim[Int](n)
+        rows.foreach {
+          case (r, c, tr, tc, d) if d >= 0L =>
+            val s = idx((r, c)); val t = idx((tr, tc))
+            out(s) = t; dist(s) = d; indeg(t) += 1
+          case _ =>
+        }
+        val mx = Array.ofDim[Long](n)
+        val cnt = Array.fill(n)(1L)
+        val sm = Array.ofDim[Long](n)
+        val stack = scala.collection.mutable.Stack[Int]()
+        (0 until n).foreach(i => if (indeg(i) == 0) stack.push(i))
+        var seen = 0
+        while (stack.nonEmpty) {
+          val i = stack.pop(); seen += 1
+          val t = out(i)
+          if (t >= 0) {
+            val cand = mx(i) + dist(i)
+            if (cand > mx(t)) mx(t) = cand
+            cnt(t) += cnt(i)
+            sm(t) += sm(i) + cnt(i) * dist(i)
+            indeg(t) -= 1
+            if (indeg(t) == 0) stack.push(t)
+          }
+        }
+        require(seen == n, s"D8 graph has a cycle ($seen of $n)")
+        cells.indices.iterator.map(i =>
+          (cells(i)._1, cells(i)._2, mx(i), cnt(i), sm(i)))
+      }.toDF("r", "c", "max_len_nano", "n_paths", "sum_len_nano")
+    }
+    var acc = base.withColumn("mx", lit(0L))
+      .withColumn("cnt", lit(1L)).withColumn("sm", lit(0L))
+    for (i <- 1 to rounds) {
+      val contrib = edges
+        .join(acc.select(col("r"), col("c"), col("mx").as("__m"),
+          col("cnt").as("__n"), col("sm").as("__s")), Seq("r", "c"))
+        .groupBy(col("tr").as("r"), col("tc").as("c"))
+        .agg(max(col("__m") + col("d")).as("im"),
+          sum(col("__n")).as("in"),
+          sum(col("__s") + col("__n") * col("d")).as("is"))
+      acc = base.join(contrib, Seq("r", "c"), "left")
+        .select(col("r"), col("c"),
+          coalesce(col("im"), lit(0L)).as("mx"),
+          (lit(1L) + coalesce(col("in"), lit(0L))).as("cnt"),
+          coalesce(col("is"), lit(0L)).as("sm"))
+      if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
+    }
+    acc.select(col("r"), col("c"), col("mx").as("max_len_nano"),
+      col("cnt").as("n_paths"), col("sm").as("sum_len_nano"))
   }
 
   /**
