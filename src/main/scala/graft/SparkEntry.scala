@@ -1488,7 +1488,33 @@ object SparkEntry {
 
     // Maximum/AverageUpslopeFlowpathLength family (one pass)
     "geo_upslope_flowpath" -> ((s, dir) =>
-      operators.Terrain.upslopeFlowpathStats(Derived.partGrid(s, dir)))
+      operators.Terrain.upslopeFlowpathStats(Derived.partGrid(s, dir))),
+
+    // CostPathway: destination backtrace counts over the cost backlink
+    "geo_cost_pathway" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val cost = g.select(col("r"), col("c"),
+        (col("v") / 100.0 + 1.0).as("v"))
+      val sources = g.where(col("v") >= 97.0).select("r", "c")
+      val dests = g.where(col("v") <= 0.5).select("r", "c")
+      operators.Terrain.costPathway(cost, sources, dests,
+        GridRows, GridCols)
+    }),
+
+    // BurnStreams (decay arm, decay = 2, decrement = 5)
+    "geo_burn_streams" -> ((s, dir) =>
+      operators.Terrain.burnStreams(Derived.partGrid(s, dir),
+        threshold = 5L, decrement = 5.0)),
+
+    // Hack / topological stream order over the link forest
+    "geo_hack_order" -> ((s, dir) =>
+      operators.Terrain.hackOrder(Derived.partGrid(s, dir),
+        threshold = 5L, GridCols)),
+
+    // RemoveShortStreams: exterior links under 3 cell-lengths dropped
+    "geo_remove_short_streams" -> ((s, dir) =>
+      operators.Terrain.removeShortStreams(Derived.partGrid(s, dir),
+        threshold = 5L, GridCols, minLenNano = 3000000000L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3420,7 +3446,98 @@ object SparkEntry {
          |  FROM walk w JOIN ed ON ed.r = w.r AND ed.c = w.c)
          |SELECT w.r, w.c, CAST(max(w.len) AS BIGINT) AS max_len_nano,
          |  count(*) AS n_paths, CAST(sum(w.len) AS BIGINT) AS sum_len_nano
-         |FROM walk w GROUP BY w.r, w.c""".stripMargin
+         |FROM walk w GROUP BY w.r, w.c""".stripMargin,
+
+    "geo_cost_pathway" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${costAccumSqlCtes(48)},
+         |a6 AS (SELECT r, c, round(acc, 6) AS a6 FROM ca_48),
+         |wc AS (SELECT a6.r, a6.c, a6.a6, cost.v AS cv FROM a6
+         |  JOIN cost ON cost.r = a6.r AND cost.c = a6.c),
+         |cand AS (SELECT t.r, t.c, n.r AS nr, n.c AS nc,
+         |  n.a6 + (n.cv + t.cv) / 2.0 *
+         |    (CASE WHEN n.r <> t.r AND n.c <> t.c THEN sqrt(2.0) ELSE 1.0 END) AS vl,
+         |  (n.r - t.r + 1) * 3 + (n.c - t.c + 1) AS i
+         |  FROM wc t JOIN wc n ON abs(n.r - t.r) <= 1
+         |    AND abs(n.c - t.c) <= 1 AND NOT (n.r = t.r AND n.c = t.c)
+         |  LEFT JOIN csrc s ON s.r = t.r AND s.c = t.c
+         |  WHERE s.r IS NULL),
+         |bl AS (SELECT r, c, nr, nc FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY vl, i) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |dst AS (SELECT r, c FROM g WHERE v <= CAST(0.5 AS DOUBLE)),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM dst
+         |  UNION SELECT w.sr, w.sc, bl.nr, bl.nc
+         |  FROM walk w JOIN bl ON bl.r = w.r AND bl.c = w.c)
+         |SELECT r, c, count(*) AS n_paths FROM walk GROUP BY r, c""".stripMargin,
+
+    "geo_burn_streams" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |nd AS (SELECT t.r, t.c, t.v,
+         |  sqrt(min((t.r - s.r) * (t.r - s.r) + (t.c - s.c) * (t.c - s.c))) AS dist
+         |  FROM g t CROSS JOIN stream s GROUP BY t.r, t.c, t.v)
+         |SELECT r, c,
+         |  round(v - (1.0 / (1.0 + dist)) * (1.0 / (1.0 + dist)) * 5.0, 6) AS burned
+         |FROM nd""".stripMargin,
+
+    "geo_hack_order" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |cg AS (SELECT DISTINCT l1.link_id AS child, l2.link_id AS parent
+         |  FROM sedges e JOIN links l1 ON l1.r = e.r AND l1.c = e.c
+         |  JOIN links l2 ON l2.r = e.tr AND l2.c = e.tc
+         |  WHERE l1.link_id <> l2.link_id),
+         |ids AS (SELECT DISTINCT link_id FROM links),
+         |lreach(a, b) AS (SELECT child, parent FROM cg
+         |  UNION SELECT r.a, cg.parent FROM lreach r
+         |  JOIN cg ON cg.child = r.b),
+         |ext AS (SELECT link_id FROM ids
+         |  WHERE link_id NOT IN (SELECT parent FROM cg)),
+         |magup AS (SELECT r.b AS link_id, count(*) AS k FROM lreach r
+         |  JOIN ext e ON e.link_id = r.a GROUP BY r.b),
+         |mag AS (SELECT i.link_id,
+         |  CAST(CASE WHEN ec.link_id IS NOT NULL THEN 1 ELSE 0 END
+         |    + COALESCE(mu.k, 0) AS BIGINT) AS mag
+         |  FROM ids i LEFT JOIN ext ec ON ec.link_id = i.link_id
+         |  LEFT JOIN magup mu ON mu.link_id = i.link_id),
+         |best AS (SELECT parent, child AS bc FROM (SELECT cg.parent,
+         |    cg.child, ROW_NUMBER() OVER (PARTITION BY cg.parent
+         |      ORDER BY m.mag DESC, cg.child ASC) AS rn
+         |  FROM cg JOIN mag m ON m.link_id = cg.child) WHERE rn = 1),
+         |hk(link_id, h) AS (
+         |  SELECT i.link_id, CAST(1 AS BIGINT) AS h FROM ids i
+         |  WHERE i.link_id NOT IN (SELECT child FROM cg)
+         |  UNION
+         |  SELECT cg.child,
+         |    hk.h + CASE WHEN cg.child = b.bc THEN 0 ELSE 1 END
+         |  FROM hk JOIN cg ON cg.parent = hk.link_id
+         |  JOIN best b ON b.parent = cg.parent)
+         |SELECT link_id, CAST(h AS BIGINT) AS hack FROM hk""".stripMargin,
+
+    "geo_remove_short_streams" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |cg AS (SELECT DISTINCT l1.link_id AS child, l2.link_id AS parent
+         |  FROM sedges e JOIN links l1 ON l1.r = e.r AND l1.c = e.c
+         |  JOIN links l2 ON l2.r = e.tr AND l2.c = e.tc
+         |  WHERE l1.link_id <> l2.link_id),
+         |intra AS (SELECT l1.link_id, e.r, e.c, e.tr, e.tc FROM sedges e
+         |  JOIN links l1 ON l1.r = e.r AND l1.c = e.c
+         |  JOIN links l2 ON l2.r = e.tr AND l2.c = e.tc
+         |  WHERE l1.link_id = l2.link_id),
+         |ln AS (SELECT link_id,
+         |  CAST(sum(CAST(round(sqrt(CAST((r - tr) * (r - tr) + (c - tc) * (c - tc) AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS len_nano
+         |  FROM intra GROUP BY 1),
+         |lens AS (SELECT i.link_id, COALESCE(ln.len_nano, 0) AS len_nano
+         |  FROM (SELECT DISTINCT link_id FROM links) i
+         |  LEFT JOIN ln ON ln.link_id = i.link_id),
+         |kept AS (SELECT l.link_id FROM lens l
+         |  LEFT JOIN (SELECT DISTINCT parent AS link_id FROM cg) p
+         |    ON p.link_id = l.link_id
+         |  WHERE p.link_id IS NOT NULL OR l.len_nano >= 3000000000)
+         |SELECT lk.r, lk.c, lk.link_id FROM links lk
+         |JOIN kept ON kept.link_id = lk.link_id""".stripMargin
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

@@ -1543,6 +1543,109 @@ object Terrain {
   }
 
   /**
+   * Hack stream order (StreamNetworkAnalysisTools Hack/
+   * TopologicalStreamOrder.groovy semantics): outlet links take
+   * order 1; at each junction the child carrying the largest Shreve
+   * magnitude (ties -> smaller link id, the [[streamMetrics]] trunk
+   * rule) continues the parent's order, every other child starts
+   * parent+1. Top-down BFS over the (tiny) link forest in one task;
+   * the per-cell expansion stays distributed.
+   */
+  def hackOrder(grid: DataFrame, threshold: Long,
+                width: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    val cgraph = sedges
+      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
+        Seq("r", "c"))
+      .join(links.select(col("r").as("tr"), col("c").as("tc"),
+        col("link_id").as("parent")), Seq("tr", "tc"))
+      .where(col("child") =!= col("parent"))
+      .select("child", "parent").distinct()
+    val linkIds = links.select("link_id").distinct()
+    linkIds.as[Long].rdd.map(id => (id, Long.MinValue))
+      .union(cgraph.as[(Long, Long)].rdd)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val children = new scala.collection.mutable.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        val allIds = new scala.collection.mutable.ArrayBuffer[Long]
+        it.foreach { case (a, b) =>
+          if (b == Long.MinValue) allIds += a
+          else {
+            children.getOrElseUpdate(b,
+              new scala.collection.mutable.ArrayBuffer[Long]) += a
+            parent(a) = b
+          }
+        }
+        // Shreve magnitude fixpoint (as streamMetrics)
+        val mag = new scala.collection.mutable.HashMap[Long, Long]()
+        allIds.foreach(id => mag(id) = 1L)
+        var changed = true
+        while (changed) {
+          changed = false
+          allIds.foreach { id =>
+            children.get(id).foreach { cs =>
+              val next = math.max(1L, cs.map(mag).sum)
+              if (next != mag(id)) { mag(id) = next; changed = true }
+            }
+          }
+        }
+        // top-down order assignment from the outlets
+        val hack = new scala.collection.mutable.HashMap[Long, Long]()
+        val queue = scala.collection.mutable.Queue[Long]()
+        allIds.filterNot(parent.contains).foreach { id =>
+          hack(id) = 1L; queue.enqueue(id)
+        }
+        while (queue.nonEmpty) {
+          val p = queue.dequeue()
+          children.get(p).foreach { cs =>
+            val trunk = cs.maxBy(c => (mag(c), -c))
+            cs.foreach { c =>
+              hack(c) = if (c == trunk) hack(p) else hack(p) + 1L
+              queue.enqueue(c)
+            }
+          }
+        }
+        allIds.iterator.map(id => (id, hack(id)))
+      }.toDF("link_id", "hack")
+  }
+
+  /**
+   * RemoveShortStreams (StreamNetworkAnalysisTools/
+   * RemoveShortStreams.java semantics): drop EXTERIOR links (no
+   * upstream link) whose traced polyline length is under the
+   * threshold; interior links always survive. Emits the surviving
+   * stream cells with their link ids.
+   */
+  def removeShortStreams(grid: DataFrame, threshold: Long,
+                         width: Long, minLenNano: Long): DataFrame = {
+    val (stream, sedges, indeg) = streamGraph(grid, threshold)
+    val links = linkFromGraph(stream, sedges, indeg, width)
+      .localCheckpoint(true)
+    val cgraph = sedges
+      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
+        Seq("r", "c"))
+      .join(links.select(col("r").as("tr"), col("c").as("tc"),
+        col("link_id").as("parent")), Seq("tr", "tc"))
+      .where(col("child") =!= col("parent"))
+      .select("child", "parent").distinct()
+    val interior = cgraph.select(col("parent").as("link_id")).distinct()
+      .withColumn("__int", lit(true))
+    val lens = polylinesFromLinks(sedges, links)
+      .select(col("link_id"), col("len_nano"))
+    val kept = lens.join(interior, Seq("link_id"), "left")
+      .where(col("__int").isNotNull || col("len_nano") >= minLenNano)
+      .select("link_id")
+    links.join(kept, Seq("link_id"))
+      .select(col("r"), col("c"), col("link_id"))
+  }
+
+  /**
    * Subbasins (HydroTools/Subbasins.java semantics): label every cell
    * with the stream LINK id of the first stream cell its D8 flowpath
    * reaches; cells draining to a non-stream sink are NoData (absent).
@@ -2015,6 +2118,139 @@ object Terrain {
       converged = changed == 0
     }
     outputs.toDF("r", "c", "acc", "alloc")
+  }
+
+  /**
+   * CostPathway (GISTools/CostPathway.java, run()): trace each
+   * destination cell back along the cost-accumulation backlink and
+   * count, per cell, how many destination paths visit it (the
+   * reference's output increments every visited cell; untouched
+   * cells stay NoData/absent). The backlink is recovered from the
+   * ROUNDED accumulated-cost surface: pred = argmin over the 8
+   * neighbours of acc6(n) + (cost(n)+cost(c))/2*dist, ties by
+   * window index — Dijkstra's predecessor up to cost ties, and a
+   * pure function of the oracle-checked acc6 surface, so both
+   * engines derive the identical pointer. Costs >= 1 make acc6
+   * strictly decrease along the backlink (cycle-free). Path counts
+   * propagate by Jacobi rounds over the backlink DAG; grids under
+   * [[localFixpointMaxRows]] run one in-memory Kahn pass.
+   */
+  def costPathway(cost: DataFrame, sources: DataFrame, dests: DataFrame,
+                  nRows: Long, nCols: Long,
+                  rounds: Int = 256): DataFrame = {
+    val spark = cost.sparkSession
+    import spark.implicits._
+    val acc6 = costAccumulation(cost, sources, nRows, nCols)
+      .select(col("r"), col("c"), round(col("acc"), 6).as("a6"))
+      .localCheckpoint(true)
+    val withCost = acc6.join(cost, Seq("r", "c"))
+    val nbr = withCost
+      .select(col("r").as("nr"), col("c").as("nc"),
+        col("a6").as("na"), col("v").as("cn"))
+    val bl = withCost
+      .join(nbr, abs(col("nr") - col("r")) <= 1 &&
+        abs(col("nc") - col("c")) <= 1 &&
+        !(col("nr") === col("r") && col("nc") === col("c")))
+      .join(sources.select(col("r"), col("c"), lit(true).as("__src")),
+        Seq("r", "c"), "left")
+      .where(col("__src").isNull)
+      .select(col("r"), col("c"), col("nr"), col("nc"),
+        (col("na") + (col("cn") + col("v")) / 2.0 *
+          when(col("nr") =!= col("r") && col("nc") =!= col("c"),
+            lit(math.sqrt(2.0))).otherwise(lit(1.0))).as("vl"),
+        ((col("nr") - col("r") + 1) * 3 +
+          (col("nc") - col("c") + 1)).as("i"))
+      .groupBy("r", "c")
+      .agg(min_by(struct(col("nr"), col("nc")),
+        struct(col("vl"), col("i"))).as("p"))
+      .select(col("r"), col("c"), col("p.nr").as("tr"),
+        col("p.nc").as("tc"))
+      .localCheckpoint(true)
+    val base = acc6.select(col("r"), col("c"))
+      .join(dests.select(col("r"), col("c"), lit(1L).as("__d")),
+        Seq("r", "c"), "left")
+      .select(col("r"), col("c"), coalesce(col("__d"), lit(0L)).as("load"))
+      .localCheckpoint(true)
+    if (base.count() <= localFixpointMaxRows) {
+      val tagged = base
+        .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+          col("load"), lit(true).as("isCell"))
+        .unionByName(bl.select(col("r"), col("c"), col("tr"), col("tc"),
+          lit(0L).as("load"), lit(false).as("isCell")))
+        .as[(Long, Long, Long, Long, Long, Boolean)]
+      return tagged.coalesce(1).mapPartitions { it =>
+        val rows = it.toArray
+        val cells = rows.filter(_._6).map(t => (t._1, t._2, t._5))
+        val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+        cells.zipWithIndex.foreach { case (k, i) => idx((k._1, k._2)) = i }
+        val n = cells.length
+        val out = Array.fill(n)(-1)
+        val indeg = Array.ofDim[Int](n)
+        rows.foreach {
+          case (r, c, tr, tc, _, false) =>
+            val s = idx((r, c)); val t = idx((tr, tc))
+            out(s) = t; indeg(t) += 1
+          case _ =>
+        }
+        val cnt = cells.map(_._3)
+        val stack = scala.collection.mutable.Stack[Int]()
+        (0 until n).foreach(i => if (indeg(i) == 0) stack.push(i))
+        var seen = 0
+        while (stack.nonEmpty) {
+          val i = stack.pop(); seen += 1
+          val t = out(i)
+          if (t >= 0) {
+            cnt(t) += cnt(i)
+            indeg(t) -= 1
+            if (indeg(t) == 0) stack.push(t)
+          }
+        }
+        require(seen == n, s"backlink graph has a cycle ($seen of $n)")
+        cells.indices.iterator
+          .filter(cnt(_) > 0L)
+          .map(i => (cells(i)._1, cells(i)._2, cnt(i)))
+      }.toDF("r", "c", "n_paths")
+    }
+    var acc = base.withColumnRenamed("load", "cnt")
+    for (i <- 1 to rounds) {
+      val contrib = bl
+        .join(acc.select(col("r"), col("c"), col("cnt").as("__n")),
+          Seq("r", "c"))
+        .groupBy(col("tr").as("r"), col("tc").as("c"))
+        .agg(sum(col("__n")).as("in"))
+      acc = base.join(contrib, Seq("r", "c"), "left")
+        .select(col("r"), col("c"),
+          (col("load") + coalesce(col("in"), lit(0L))).as("cnt"))
+      if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
+    }
+    acc.where(col("cnt") > 0)
+      .select(col("r"), col("c"), col("cnt").as("n_paths"))
+  }
+
+  /**
+   * BurnStreams (HydroTools/BurnStreams.java:403-425, decay arm):
+   * burned = dem - (gridRes/(gridRes+dist))^decay * decrement with
+   * dist the Euclidean distance to the nearest stream cell
+   * (gridRes = 1; decay fixed at 2 so the power is spelled w*w —
+   * transcendental-free and bit-identical across engines). The
+   * distance transform is the engine's bounded-exact kNN join
+   * (k = 1) against the extracted stream cells.
+   */
+  def burnStreams(grid: DataFrame, threshold: Long,
+                  decrement: Double): DataFrame = {
+    val (stream, _, _) = streamGraph(grid, threshold)
+    val probe = grid.select((col("r") * 100000 + col("c")).as("pid"),
+      col("c").cast("double").as("px"), col("r").cast("double").as("py"))
+    val build = stream.select((col("r") * 100000 + col("c")).as("bid"),
+      col("c").cast("double").as("bx"), col("r").cast("double").as("by"))
+    val nn = SpatialJoins.knnJoin(probe, build, 1, probeId = "pid",
+        buildId = "bid", px = "px", py = "py", bx = "bx", by = "by")
+      .select(expr("pid DIV 100000").as("r"), (col("pid") % 100000).as("c"),
+        sqrt(col("dist2")).as("dist"))
+    val w = lit(1.0) / (lit(1.0) + col("dist"))
+    grid.join(nn, Seq("r", "c"))
+      .select(col("r"), col("c"),
+        round(col("v") - w * w * lit(decrement), 6).as("burned"))
   }
 
   /**
