@@ -1514,7 +1514,30 @@ object SparkEntry {
     // RemoveShortStreams: exterior links under 3 cell-lengths dropped
     "geo_remove_short_streams" -> ((s, dir) =>
       operators.Terrain.removeShortStreams(Derived.partGrid(s, dir),
-        threshold = 5L, GridCols, minLenNano = 3000000000L))
+        threshold = 5L, GridCols, minLenNano = 3000000000L)),
+
+    // LineThinning: 4 passes x 8 element sub-passes over 3-cell-wide
+    // diagonal bands (the width the tool exists to erode)
+    "geo_line_thinning" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val mask = g.select(col("r"), col("c"),
+        when(((col("r") - col("c")) % 11 + 11) % 11 < 3, 1L)
+          .otherwise(0L).as("b"))
+      operators.Morphology.lineThinning(mask, passes = 4,
+          GridRows, GridCols)
+        .where(col("b") === 1L).select("r", "c")
+    }),
+
+    // ThickenRasterLine over 8-connected anti-diagonal lines (the
+    // diagonal-step pattern the tool exists to fill)
+    "geo_thicken" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val dense = g.select(col("r"), col("c"),
+        when((col("r") + col("c")) % 9 === 0,
+          (col("r") * 50 + col("c")) / lit(10.0))
+          .otherwise(lit(0.0)).as("v"))
+      operators.Morphology.thickenLines(dense).where(col("v") > 0)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3537,7 +3560,58 @@ object SparkEntry {
          |    ON p.link_id = l.link_id
          |  WHERE p.link_id IS NOT NULL OR l.len_nano >= 3000000000)
          |SELECT lk.r, lk.c, lk.link_id FROM links lk
-         |JOIN kept ON kept.link_id = lk.link_id""".stripMargin
+         |JOIN kept ON kept.link_id = lk.link_id""".stripMargin,
+
+    "geo_line_thinning" -> {
+      val sb = new StringBuilder
+      sb ++= "m0 AS (SELECT r, c, CAST(CASE WHEN ((r - c) % 11 + 11) % 11 < 3 THEN 1 ELSE 0 END AS BIGINT) AS b FROM g)"
+      var k = 0
+      for (_ <- 1 to 4; a <- 0 until 8) {
+        val prev = s"m$k"; k += 1
+        val needed = operators.Morphology.thinElements(a)
+        val joins = needed.map { case (idx, _) =>
+          val dy = operators.Morphology.thinDY(idx)
+          val dx = operators.Morphology.thinDX(idx)
+          s"LEFT JOIN $prev n$idx ON n$idx.r = m.r + ($dy) AND n$idx.c = m.c + ($dx)"
+        }.mkString("\n  ")
+        val cond = needed.map { case (idx, v) => s"n$idx.b = $v" }
+          .mkString(" AND ")
+        sb ++=
+          s""",
+             |m$k AS MATERIALIZED (SELECT m.r, m.c,
+             |  CASE WHEN m.b = 1 AND $cond THEN 0 ELSE m.b END AS b
+             |  FROM $prev m
+             |  $joins)""".stripMargin
+      }
+      s"""WITH g AS ($GRID),
+         |${sb.toString}
+         |SELECT r, c FROM m$k WHERE b = 1""".stripMargin
+    },
+
+    "geo_thicken" -> {
+      val n1 = Seq((-1, 0), (0, 1), (1, 0), (0, -1))
+      val n2 = Seq((-1, 1), (1, 1), (1, -1), (-1, -1))
+      val n3 = Seq((0, 1), (1, 0), (0, -1), (-1, 0))
+      val joins = (0 until 4).flatMap { i =>
+        Seq(("a", n1(i)), ("b", n2(i)), ("d", n3(i))).map {
+          case (nm, (dy, dx)) =>
+            s"LEFT JOIN dense $nm$i ON $nm$i.r = d.r + ($dy) AND $nm$i.c = d.c + ($dx)"
+        }
+      }.mkString("\n  ")
+      val arms = (0 until 4).map { i =>
+        s"WHEN a$i.v > 0 AND d$i.v > 0 AND (b$i.v IS NULL OR b$i.v = 0) THEN a$i.v"
+      }.mkString("\n    ")
+      s"""WITH g AS ($GRID),
+         |dense AS MATERIALIZED (SELECT r, c,
+         |  CASE WHEN (r + c) % 9 = 0 THEN (r * 50 + c) / 10.0
+         |  ELSE CAST(0 AS DOUBLE) END AS v FROM g),
+         |th AS (SELECT d.r, d.c, CASE WHEN d.v = 0 THEN CASE
+         |    $arms
+         |    ELSE CAST(0 AS DOUBLE) END
+         |  ELSE d.v END AS v FROM dense d
+         |  $joins)
+         |SELECT r, c, v FROM th WHERE v > 0""".stripMargin
+    }
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL
