@@ -1537,6 +1537,39 @@ object SparkEntry {
           (col("r") * 50 + col("c")) / lit(10.0))
           .otherwise(lit(0.0)).as("v"))
       operators.Morphology.thickenLines(dense).where(col("v") > 0)
+    }),
+
+    // ---- geometry restructure family (§2.6 reshape row) ----
+
+    // ExtractNodes: polygon vertices -> point features
+    "geo_extract_nodes" -> ((s, dir) =>
+      operators.VectorReshape.extractNodes(
+        Derived.supplierSquares(s, dir))),
+
+    // PolygonsToLines: ring re-tag (closed vertex count + length)
+    "geo_polygons_to_lines" -> ((s, dir) =>
+      operators.VectorReshape.polygonsToLines(
+        Derived.supplierSquares(s, dir))),
+
+    // LinesToPolygons: closed ring -> polygon (shoelace area)
+    "geo_lines_to_polygons" -> ((s, dir) =>
+      operators.VectorReshape.linesToPolygons(
+        Derived.supplierSquares(s, dir))),
+
+    // Singleparts -> Multiparts -> Singleparts round trip
+    "geo_multipart_roundtrip" -> ((s, dir) =>
+      operators.VectorReshape.multipartRoundTrip(
+        Derived.supplierSquares(s, dir), groups = 7)),
+
+    // RasterizeTIN: linear facet interpolation onto the cell grid
+    "geo_tin_rasterize" -> ((s, dir) => {
+      val pts = Derived.supplierPoints(s, dir).where(col("s_id") <= 40)
+        .select(col("s_id").as("pid"), col("sx").as("px"),
+          col("sy").as("py"), col("sval").as("pz"))
+      val targets = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        (lit(-90.0005) + col("c") * 1.5).as("x"),
+        (lit(-40.0005) + col("r") * 1.5).as("y"))
+      operators.Tin.rasterizeTin(pts, targets)
     })
   )
 
@@ -3611,7 +3644,70 @@ object SparkEntry {
          |  ELSE d.v END AS v FROM dense d
          |  $joins)
          |SELECT r, c, v FROM th WHERE v > 0""".stripMargin
-    }
+    },
+
+    // ---- geometry restructure family ----
+
+    "geo_extract_nodes" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql})
+         |SELECT fid, CAST(t.vi AS BIGINT) AS vi,
+         |  CASE t.vi WHEN 0 THEN min_x WHEN 1 THEN min_x
+         |    WHEN 2 THEN max_x ELSE max_x END AS x,
+         |  CASE t.vi WHEN 0 THEN min_y WHEN 1 THEN max_y
+         |    WHEN 2 THEN max_y ELSE min_y END AS y
+         |FROM sq CROSS JOIN
+         |  (SELECT unnest(generate_series(0, 3)) AS vi) t""".stripMargin,
+
+    "geo_polygons_to_lines" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql})
+         |SELECT fid, CAST(5 AS BIGINT) AS n_vertices,
+         |  round(CAST(0.0 AS DOUBLE)
+         |  + sqrt((min_x - min_x) * (min_x - min_x) + (max_y - min_y) * (max_y - min_y))
+         |  + sqrt((max_x - min_x) * (max_x - min_x) + (max_y - max_y) * (max_y - max_y))
+         |  + sqrt((max_x - max_x) * (max_x - max_x) + (min_y - max_y) * (min_y - max_y))
+         |  + sqrt((min_x - max_x) * (min_x - max_x) + (min_y - min_y) * (min_y - min_y)), 6) AS len
+         |FROM sq""".stripMargin,
+
+    "geo_lines_to_polygons" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql})
+         |SELECT fid, round(abs(CAST(0.0 AS DOUBLE)
+         |  + (min_x * max_y - min_x * min_y)
+         |  + (min_x * max_y - max_x * max_y)
+         |  + (max_x * min_y - max_x * max_y)
+         |  + (max_x * min_y - min_x * min_y)) / 2.0, 6) AS parea
+         |FROM sq""".stripMargin,
+
+    "geo_multipart_roundtrip" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql})
+         |SELECT fid % 7 AS gid,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY fid % 7 ORDER BY fid) - 1 AS BIGINT) AS part_idx,
+         |  round((max_x - min_x) * (max_y - min_y), 6) AS parea
+         |FROM sq""".stripMargin,
+
+    "geo_tin_rasterize" ->
+      s"""WITH sp AS ($SPTS), g AS ($GRID),
+         |$tinSqlCtes,
+         |tri AS (SELECT t.* FROM t ANTI JOIN bad USING (ia, ib, ic)),
+         |tz AS (SELECT tri.*, za.sval AS za, zb.sval AS zb, zc.sval AS zc
+         |  FROM tri JOIN sp za ON za.s_id = tri.ia
+         |  JOIN sp zb ON zb.s_id = tri.ib
+         |  JOIN sp zc ON zc.s_id = tri.ic),
+         |tg AS (SELECT r, c, -90.0005 + c * 1.5 AS x, -40.0005 + r * 1.5 AS y FROM g),
+         |cand AS (SELECT tg.r, tg.c, tg.x, tg.y, tz.*,
+         |  (tz.xb - tz.xa) * (tg.y - tz.ya) - (tz.yb - tz.ya) * (tg.x - tz.xa) AS s1,
+         |  (tz.xc - tz.xb) * (tg.y - tz.yb) - (tz.yc - tz.yb) * (tg.x - tz.xb) AS s2,
+         |  (tz.xa - tz.xc) * (tg.y - tz.yc) - (tz.ya - tz.yc) * (tg.x - tz.xc) AS s3
+         |  FROM tg CROSS JOIN tz),
+         |ins AS (SELECT * FROM cand
+         |  WHERE (s1 >= 0 AND s2 >= 0 AND s3 >= 0)
+         |     OR (s1 <= 0 AND s2 <= 0 AND s3 <= 0)),
+         |pick AS (SELECT * FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY ia, ib, ic) AS rn
+         |  FROM ins) WHERE rn = 1)
+         |SELECT r, c, round(za
+         |  + ((x - xa) * (yc - ya) - (y - ya) * (xc - xa)) / o * (zb - za)
+         |  + ((xb - xa) * (y - ya) - (yb - ya) * (x - xa)) / o * (zc - za), 6) AS tin_z
+         |FROM pick""".stripMargin
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

@@ -68,6 +68,45 @@ object Tin {
       .select("ia", "ib", "ic")
   }
 
+  /**
+   * RasterizeTIN (Scripts/RasterizeTIN.groovy): linear facet
+   * interpolation — every target cell inside a Delaunay triangle
+   * gets the plane z through the triangle's three vertices
+   * (barycentric 2x2 Cramer solve, all +-* / on identical doubles).
+   * Targets on shared edges/vertices resolve to the
+   * lexicographically smallest triangle; targets outside the hull
+   * are NoData (absent). The (small) facet table broadcasts against
+   * the cell grid — one map-side pass, no shuffle on the grid.
+   * points: (pid, px, py, pz); targets: (r, c, x, y).
+   */
+  def rasterizeTin(points: DataFrame, targets: DataFrame): DataFrame = {
+    val tri = delaunayBrute(points.select("pid", "px", "py"))
+    def pz(n: String) = points.select(col("pid").as(s"i$n"),
+      col("px").as(s"x$n"), col("py").as(s"y$n"), col("pz").as(s"z$n"))
+    val tz = tri.join(pz("a"), Seq("ia")).join(pz("b"), Seq("ib"))
+      .join(pz("c"), Seq("ic"))
+      .withColumn("o", orient(col("xa"), col("ya"), col("xb"),
+        col("yb"), col("xc"), col("yc")))
+    val s1 = orient(col("xa"), col("ya"), col("xb"), col("yb"),
+      col("x"), col("y"))
+    val s2 = orient(col("xb"), col("yb"), col("xc"), col("yc"),
+      col("x"), col("y"))
+    val s3 = orient(col("xc"), col("yc"), col("xa"), col("ya"),
+      col("x"), col("y"))
+    val inside = (s1 >= 0 && s2 >= 0 && s3 >= 0) ||
+      (s1 <= 0 && s2 <= 0 && s3 <= 0)
+    val alpha = ((col("x") - col("xa")) * (col("yc") - col("ya")) -
+      (col("y") - col("ya")) * (col("xc") - col("xa"))) / col("o")
+    val beta = ((col("xb") - col("xa")) * (col("y") - col("ya")) -
+      (col("yb") - col("ya")) * (col("x") - col("xa"))) / col("o")
+    val z = col("za") + alpha * (col("zb") - col("za")) +
+      beta * (col("zc") - col("za"))
+    targets.join(broadcast(tz), inside)
+      .groupBy("r", "c")
+      .agg(min_by(round(z, 6),
+        struct(col("ia"), col("ib"), col("ic"))).as("tin_z"))
+  }
+
   /** Voronoi cell adjacency = the Delaunay edge set (dual graph):
     * distinct (pa, pb), pa < pb. */
   def voronoiNeighbors(points: DataFrame): DataFrame = {

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Geometry-restructure family (VectorTools ExtractNodes.java,
+ * PolygonsToLines.java, Scripts/MultipartsToSingleparts.groovy /
+ * SinglepartsToMultiparts, LinesToPolygons.groovy; SURVEY.md §2.6
+ * "geometry restructure" row) over the engine's vertex-array vector
+ * model (fid, xs: Array[Double], ys: Array[Double], parts:
+ * Array[Int] — the ShapeFile parts-offset encoding). All reshapes
+ * are per-feature flatMap/array transforms: no shuffle at all except
+ * the explicit groupBy in singleparts->multiparts, so they scale
+ * linearly with the feature table.
+ */
+object VectorReshape {
+
+  /** ExtractNodes: every vertex of every feature becomes a point
+    * feature (fid, vi, x, y) — vertex order preserved. */
+  def extractNodes(features: DataFrame): DataFrame =
+    features
+      .select(col("fid"), posexplode(arrays_zip(col("xs"), col("ys"))))
+      .select(col("fid"), col("pos").cast("long").as("vi"),
+        col("col.xs").as("x"), col("col.ys").as("y"))
+
+  /** Next-vertex 1-based index around the closed ring: vertex i
+    * (0-based) connects to (i+1) mod n. */
+  private val NextIdx = "CAST((i + 1) % size(xs) + 1 AS INT)"
+  private val CurIdx = "CAST(i + 1 AS INT)"
+
+  /** PolygonsToLines: each polygon ring re-tagged as a CLOSED
+    * polyline — emits per feature the closed vertex count and the
+    * ring length (sum of segment lengths in vertex order, closing
+    * segment last). */
+  def polygonsToLines(features: DataFrame): DataFrame = {
+    val segLen = expr(
+      s"""aggregate(sequence(0, size(xs) - 1), CAST(0.0 AS DOUBLE),
+         |  (acc, i) -> acc + sqrt(
+         |    (element_at(xs, $NextIdx) - element_at(xs, $CurIdx)) *
+         |    (element_at(xs, $NextIdx) - element_at(xs, $CurIdx)) +
+         |    (element_at(ys, $NextIdx) - element_at(ys, $CurIdx)) *
+         |    (element_at(ys, $NextIdx) - element_at(ys, $CurIdx))))""".stripMargin)
+    features.select(col("fid"),
+      (size(col("xs")) + 1).cast("long").as("n_vertices"),
+      round(segLen, 6).as("len"))
+  }
+
+  /** LinesToPolygons: closed polylines become polygons — emits the
+    * shoelace area |sum x_i*y_{i+1} - x_{i+1}*y_i| / 2 over the
+    * closed ring, vertex order fixed. */
+  def linesToPolygons(features: DataFrame): DataFrame = {
+    val shoelace = expr(
+      s"""aggregate(sequence(0, size(xs) - 1), CAST(0.0 AS DOUBLE),
+         |  (acc, i) -> acc +
+         |    (element_at(xs, $CurIdx) * element_at(ys, $NextIdx) -
+         |     element_at(xs, $NextIdx) * element_at(ys, $CurIdx)))""".stripMargin)
+    features.select(col("fid"), round(abs(shoelace) / 2.0, 6).as("parea"))
+  }
+
+  /**
+   * SinglepartsToMultiparts then MultipartsToSingleparts round-trip:
+   * features grouped by `gid` are concatenated into one multipart
+   * feature (vertex arrays appended in fid order, parts = start
+   * offsets), then the multipart is exploded back into its parts.
+   * Emits per part (gid, part_idx, bbox area) — a faithful exercise
+   * of the ShapeFile parts-offset encode/decode.
+   */
+  def multipartRoundTrip(features: DataFrame, groups: Int): DataFrame = {
+    val multi = features
+      .withColumn("gid", col("fid") % groups)
+      .groupBy("gid")
+      .agg(sort_array(collect_list(
+        struct(col("fid"), col("xs"), col("ys")))).as("ms"))
+      .select(col("gid"),
+        expr("flatten(transform(ms, m -> m.xs))").as("xs"),
+        expr("flatten(transform(ms, m -> m.ys))").as("ys"),
+        expr("""aggregate(ms, array(0),
+          | (acc, m) -> array_append(acc, element_at(acc, -1) + size(m.xs)))""".stripMargin)
+          .as("offs"))
+    // offs has nParts+1 entries (last = total vertex count); the
+    // exploded `col` is the part's start offset, pos its index
+    multi
+      .select(col("gid"), col("xs"), col("ys"), col("offs"),
+        posexplode(expr("slice(offs, 1, size(offs) - 1)")))
+      .select(col("gid"), col("pos").cast("long").as("part_idx"),
+        expr("slice(xs, col + 1, element_at(offs, CAST(pos + 2 AS INT)) - col)")
+          .as("pxs"),
+        expr("slice(ys, col + 1, element_at(offs, CAST(pos + 2 AS INT)) - col)")
+          .as("pys"))
+      .select(col("gid"), col("part_idx"),
+        round((array_max(col("pxs")) - array_min(col("pxs"))) *
+          (array_max(col("pys")) - array_min(col("pys"))), 6).as("parea"))
+  }
+}
