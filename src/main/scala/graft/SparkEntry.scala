@@ -1570,7 +1570,30 @@ object SparkEntry {
         (lit(-90.0005) + col("c") * 1.5).as("x"),
         (lit(-40.0005) + col("r") * 1.5).as("y"))
       operators.Tin.rasterizeTin(pts, targets)
-    })
+    }),
+
+    // ---- LiDAR gridding family (LidarTools) ----
+
+    // LiDAR_BareEarthDEM: ground-class last-return min per cell
+    "lidar_bare_earth" -> ((s, dir) =>
+      operators.Lidar.bareEarthDem(Derived.lidarCloud(s, dir), 10.0)),
+
+    // LiDAR_CanopyModel: first-return surface minus bare earth
+    "lidar_canopy" -> ((s, dir) =>
+      operators.Lidar.canopyModel(Derived.lidarCloud(s, dir), 10.0)),
+
+    // LiDAR_PointDensity: points per unit area per cell
+    "lidar_density" -> ((s, dir) =>
+      operators.Lidar.pointDensity(Derived.lidarCloud(s, dir), 10.0)),
+
+    // GetLasFileSummary: per-ASPRS-class stats
+    "lidar_summary" -> ((s, dir) =>
+      operators.Lidar.summary(Derived.lidarCloud(s, dir))),
+
+    // LiDAR_IDW_interpolation: radius-2 IDW of ground z to centers
+    "lidar_idw" -> ((s, dir) =>
+      operators.Lidar.idwSurface(Derived.lidarCloud(s, dir),
+        rows = 10, cols = 10, cellSize = 10.0, radius = 8.0))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3707,7 +3730,67 @@ object SparkEntry {
          |SELECT r, c, round(za
          |  + ((x - xa) * (yc - ya) - (y - ya) * (xc - xa)) / o * (zb - za)
          |  + ((xb - xa) * (y - ya) - (yb - ya) * (x - xa)) / o * (zc - za), 6) AS tin_z
-         |FROM pick""".stripMargin
+         |FROM pick""".stripMargin,
+
+    // ---- LiDAR gridding family ----
+
+    "lidar_bare_earth" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql})
+         |SELECT CAST(floor(y / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cr,
+         |  CAST(floor(x / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cc,
+         |  round(min(z), 6) AS ground_z, count(*) AS n_ground
+         |FROM lc WHERE classification = 2 AND return_num = n_returns
+         |GROUP BY 1, 2""".stripMargin,
+
+    "lidar_canopy" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql}),
+         |surf AS (SELECT CAST(floor(y / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cr,
+         |    CAST(floor(x / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cc,
+         |    max(z) AS s FROM lc WHERE return_num = 1 GROUP BY 1, 2),
+         |grd AS (SELECT CAST(floor(y / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cr,
+         |    CAST(floor(x / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cc,
+         |    min(z) AS g FROM lc
+         |  WHERE classification = 2 AND return_num = n_returns GROUP BY 1, 2)
+         |SELECT surf.cr, surf.cc, round(s - g, 6) AS chm
+         |FROM surf JOIN grd ON surf.cr = grd.cr AND surf.cc = grd.cc""".stripMargin,
+
+    "lidar_density" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql})
+         |SELECT CAST(floor(y / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cr,
+         |  CAST(floor(x / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cc,
+         |  count(*) AS n,
+         |  round(count(*) / CAST(100.0 AS DOUBLE), 6) AS density
+         |FROM lc GROUP BY 1, 2""".stripMargin,
+
+    "lidar_summary" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql})
+         |SELECT classification, count(*) AS n,
+         |  round(min(z), 6) AS z_min, round(max(z), 6) AS z_max,
+         |  round(sum(intensity) / count(*), 6) AS mean_intensity
+         |FROM lc GROUP BY 1""".stripMargin,
+
+    "lidar_idw" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql}),
+         |t AS (SELECT r, c,
+         |    c * CAST(10.0 AS DOUBLE) + CAST(5.0 AS DOUBLE) AS x,
+         |    r * CAST(10.0 AS DOUBLE) + CAST(5.0 AS DOUBLE) AS y
+         |  FROM (SELECT unnest(generate_series(0, 9)) AS r) rr
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS c) cc),
+         |g AS (SELECT pid, x AS px, y AS py, z AS pval FROM lc
+         |  WHERE classification = 2 AND return_num = n_returns),
+         |j AS (SELECT t.r, t.c, g.pid, g.pval,
+         |    (t.x - g.px) * (t.x - g.px) + (t.y - g.py) * (t.y - g.py) AS d2
+         |  FROM t CROSS JOIN g
+         |  WHERE (t.x - g.px) * (t.x - g.px) + (t.y - g.py) * (t.y - g.py)
+         |    <= CAST(64.0 AS DOUBLE))
+         |SELECT r, c, round(CASE
+         |  WHEN max(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) = 1
+         |  THEN min_by(pval, CASE WHEN d2 = 0 THEN pid
+         |    ELSE 9223372036854775807 END)
+         |  ELSE sum(CASE WHEN d2 <> 0 THEN pval / d2 END)
+         |    / sum(CASE WHEN d2 <> 0 THEN CAST(1.0 AS DOUBLE) / d2 END)
+         |  END, 6) AS idw
+         |FROM j GROUP BY r, c""".stripMargin
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

@@ -350,4 +350,45 @@ object Derived {
       |  1690000000 + doc_id * 97 AS warc_epoch,
       |  text, lang, doc_id
       |FROM documents""".stripMargin
+
+  /**
+   * Deterministic synthetic LiDAR point cloud in the LasIO.readLas
+   * column contract (x, y, z, intensity, return_num, n_returns,
+   * classification) plus a point id. Ground is a plane in (x, y);
+   * non-ground points add a pseudo-canopy offset. Mirrors
+   * [[lidarCloudSql]] term for term (identical arithmetic order) so
+   * LiDAR grid queries hash-match the DuckDB oracle.
+   */
+  def lidarCloud(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val base = p.select(
+      p("p_partkey").as("pid"),
+      ((p("p_partkey") * 131 % 1000) / lit(10.0)).as("x"),
+      ((p("p_partkey") * 197 % 1000) / lit(10.0)).as("y"),
+      (p("p_partkey") * 11 % 256).as("intensity"),
+      when(p("p_partkey") % 5 < 3, 2L).otherwise(1L)
+        .as("classification"),
+      (p("p_partkey") % 3 + 1).as("n_returns"),
+      (p("p_partkey") * 7 % (p("p_partkey") % 3 + 1) + 1)
+        .as("return_num"))
+    base.withColumn("z",
+      (col("x") * 3.0 + col("y") * 2.0) / 10.0 +
+        when(col("classification") === 1,
+          (col("pid") * 53 % 200) / lit(10.0)).otherwise(lit(0.0)))
+  }
+
+  val lidarCloudSql: String =
+    """SELECT *,
+      |  (x * CAST(3.0 AS DOUBLE) + y * CAST(2.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE) +
+      |    CASE WHEN classification = 1
+      |      THEN ((pid * 53) % 200) / CAST(10.0 AS DOUBLE)
+      |      ELSE CAST(0.0 AS DOUBLE) END AS z
+      |FROM (SELECT p_partkey AS pid,
+      |    ((p_partkey * 131) % 1000) / CAST(10.0 AS DOUBLE) AS x,
+      |    ((p_partkey * 197) % 1000) / CAST(10.0 AS DOUBLE) AS y,
+      |    (p_partkey * 11) % 256 AS intensity,
+      |    CASE WHEN p_partkey % 5 < 3 THEN 2 ELSE 1 END AS classification,
+      |    p_partkey % 3 + 1 AS n_returns,
+      |    (p_partkey * 7) % (p_partkey % 3 + 1) + 1 AS return_num
+      |  FROM part)""".stripMargin
 }
