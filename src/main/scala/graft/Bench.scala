@@ -23,8 +23,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val bld = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,7 +34,10 @@ object Bench {
       // shuffle files in memory-backed storage
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-local"))
-      .getOrCreate()
+    // under spark-submit the master comes from the launcher (--master);
+    // only default it when launched directly (sbt runMain)
+    if (!sys.props.contains("spark.master")) bld.master(s"local[$cpus]")
+    val spark = bld.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm up the session (JIT, codegen cache, FS metadata, shuffle /

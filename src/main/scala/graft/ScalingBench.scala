@@ -42,7 +42,6 @@ object ScalingBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "400").toInt
     val bld = SparkSession.builder()
-      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,6 +52,9 @@ object ScalingBench {
       // shuffle files in memory-backed storage
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-local"))
+    // under spark-submit the master comes from the launcher (--master);
+    // only default it when launched directly (sbt runMain)
+    if (!sys.props.contains("spark.master")) bld.master(s"local[$cpus]")
     sys.env.get("EVLOG").foreach { dir =>
       new java.io.File(dir).mkdirs()
       bld.config("spark.eventLog.enabled", "true")

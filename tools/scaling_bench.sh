@@ -1,9 +1,10 @@
 #!/usr/bin/env bash
 # Two-cluster-size scaling evidence (BASELINE.json north_rule):
-# run graft.ScalingBench on the SAME input at local[8] and local[32]
-# (N vs 4N executors stand-in; this host has 32 PHYSICAL cores,
-# 1 thread/core per lscpu — so 8-vs-32 measures real core scaling),
-# then compute efficiency = (T8 / T32) / 4 and write BENCH/BASELINE.md.
+# package the engine once, then spark-submit graft.ScalingBench on the
+# SAME input at --master local[8] and --master local[32] (N vs 4N
+# executors stand-in; this host has 32 PHYSICAL cores, 1 thread/core
+# per lscpu — so 8-vs-32 measures real core scaling), then compute
+# efficiency = (T8 / T32) / 4 and write BENCH/BASELINE.md.
 #
 # Usage: tools/scaling_bench.sh [sfDir]   (default /root/testdata/sf0.1)
 set -euo pipefail
@@ -11,16 +12,27 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
 mkdir -p BENCH target/bench
 
+sbt -batch package >/dev/null
+JAR=$(ls target/scala-2.13/*.jar | head -1)
+
 # Heap scales with parallelism (3 GiB/core): a 4N-executor cluster has
 # 4x the total memory of an N-executor one, so the single-JVM stand-in
 # must scale the heap with the simulated executor count — a fixed heap
 # would starve per-task execution memory 4x at local[32] and measure
-# memory pressure, not scaling.
+# memory pressure, not scaling. -Xms=-Xmx + AlwaysPreTouch: executors
+# start with a settled heap; a lazily-grown one makes the 4N run
+# measure kernel page zeroing, not scaling.
 run() {
   local cpus=$1
-  SPARK_DRIVER_MEM="$((cpus * 3))g" SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
-    SPARK_GRAFT_SCALE="${SPARK_GRAFT_SCALE:-6400}" \
-    sbt -batch "runMain graft.ScalingBench" 2>>/tmp/scaling_stderr.log |
+  local mem="$((cpus * 3))g"
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$cpus" \
+  SPARK_GRAFT_SCALE="${SPARK_GRAFT_SCALE:-6400}" \
+    /opt/spark/bin/spark-submit \
+      --master "local[$cpus]" \
+      --class graft.ScalingBench \
+      --driver-memory "$mem" \
+      --conf spark.driver.extraJavaOptions="-Xms$mem -XX:+AlwaysPreTouch" \
+      "$JAR" 2>>/tmp/scaling_stderr.log |
     grep -o '{"metric".*}' | tail -1
 }
 
@@ -44,10 +56,10 @@ lines = [
     '# BENCH/BASELINE.md — measured scaling evidence',
     '',
     f'Input: `{sf}` (same deterministic input at both parallelism levels),',
-    'run via `sbt runMain graft.ScalingBench` (single-JVM stand-in for spark-submit;',
-    'local[8] vs local[32] = N vs 4N executor stand-in per BASELINE.md;',
-    'heap scales with parallelism (3 GiB/core) because a 4N-executor',
-    'cluster has 4x the total memory of an N-executor one;',
+    'run via `spark-submit --class graft.ScalingBench` on the packaged jar',
+    '(--master local[8] vs local[32] = N vs 4N executor stand-in per',
+    'BASELINE.md; heap scales with parallelism (3 GiB/core) because a',
+    '4N-executor cluster has 4x the total memory of an N-executor one;',
     'this host: 32 physical cores, 1 thread/core).',
     '',
     '| parallelism | wall (s) | pages | pages/sec (PIP join) | total q/s |',
@@ -67,5 +79,5 @@ for q in sorted(j8['queries']):
     a, b = j8['queries'][q], j32['queries'].get(q, float('nan'))
     lines.append(f'| {q} | {a:.2f} | {b:.2f} | {a/b if b else 0:.2f}x |')
 open('BENCH/BASELINE.md', 'w').write('\n'.join(lines) + '\n')
-print('\n'.join(lines[:12]))
+print('\n'.join(lines[:15]))
 EOF
