@@ -52,6 +52,10 @@ object ScalingBench {
       // shuffle files in memory-backed storage
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-local"))
+      // tmpfs shuffle files compete with the heap for physical RAM;
+      // make the ContextCleaner delete them synchronously once the
+      // reaper's System.gc() surfaces the dead shuffle dependencies
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
     // under spark-submit the master comes from the launcher (--master);
     // only default it when launched directly (sbt runMain)
     if (!sys.props.contains("spark.master")) bld.master(s"local[$cpus]")
@@ -128,7 +132,7 @@ object ScalingBench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scaling] $name pass $pass: $sec%.1f s ($rows rows)")
         bestSec = math.min(bestSec, sec)
-        graft.core.CacheReaper.reapExcept(spark, inputIds)
+        graft.core.CacheReaper.reapExcept(spark, inputIds, gc = true)
       }
       (name, bestSec, rows)
     }

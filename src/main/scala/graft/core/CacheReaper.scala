@@ -25,8 +25,21 @@ object CacheReaper {
     * the next query is being timed — measured as a 4-5x slowdown of
     * the query that follows a checkpoint-heavy one. */
   def reapExcept(spark: SparkSession, keep: Set[Int],
-                 blocking: Boolean = true): Unit =
+                 blocking: Boolean = true, gc: Boolean = false): Unit = {
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep.contains(id)) rdd.unpersist(blocking = blocking)
     }
+    // Shuffle FILES outlive the unpersist: they are deleted by the
+    // ContextCleaner only after the shuffle dependency is GC'd. With
+    // shuffle dirs on tmpfs (the bench stand-in for cluster-local
+    // SSDs) the files compete with the heap for physical RAM, so a
+    // multi-query session must surface dead shuffles to the cleaner
+    // eagerly — measured: 14+ GiB of tmpfs shuffle files accumulated
+    // across one scaling leg, enough to push a 96 GiB-heap JVM into
+    // kernel reclaim and slow the leg's last queries ~5-10x.
+    // (gc also pairs with spark.cleaner.referenceTracking.blocking
+    // .shuffle=true; the brief sleep lets the cleaner thread drain
+    // its phantom-reference queue before the next query is timed)
+    if (gc) { System.gc(); Thread.sleep(1500) }
+  }
 }
