@@ -672,8 +672,16 @@ object Terrain {
   }
 
   /** Decoded D8 edges (r, c) -> (tr, tc) for flowing cells. */
-  private[graft] def d8Edges(grid: DataFrame): DataFrame = {
-    val ptr = d8Pointer(grid)
+  private[graft] def d8Edges(grid: DataFrame): DataFrame =
+    d8EdgesFromPtr(d8Pointer(grid))
+
+  /** Edge decode over an (r, c, ptr) frame. Callers that use the
+    * pointer frame AGAIN alongside the edges (e.g. [[numInflowing]])
+    * must pass a MATERIALIZED ptr: the when-chain over a plain `ptr`
+    * attribute is cheap, but over the full d8Pointer pipeline the
+    * fused stage duplicates the slope-array subtree per branch and
+    * overflows janino's 64 KB method limit. */
+  private[graft] def d8EdgesFromPtr(ptr: DataFrame): DataFrame = {
     val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
       when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
     }
@@ -1869,10 +1877,16 @@ object Terrain {
    * into it. One edge aggregation — no iteration.
    */
   def numInflowing(grid: DataFrame): DataFrame = {
-    val cnt = d8Edges(grid)
+    // one materialized pointer pass reused by both join sides — two
+    // independent d8Pointer pipelines joined together recomputed the
+    // 9-aggregate neighbour pivot twice AND blew the fused stage past
+    // janino's 64 KB limit (failed compile + interpreted fallback on
+    // every action)
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val cnt = d8EdgesFromPtr(ptr)
       .groupBy(col("tr").as("r"), col("tc").as("c"))
       .agg(count(lit(1)).as("n"))
-    d8Pointer(grid).join(cnt, Seq("r", "c"), "left")
+    ptr.join(cnt, Seq("r", "c"), "left")
       .select(col("r"), col("c"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
