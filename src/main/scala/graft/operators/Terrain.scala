@@ -1891,6 +1891,159 @@ object Terrain {
   }
 
   /**
+   * Isobasin (HydroTools/Isobasin.java:245-380): partition the D8
+   * drainage network into basins of approximately `threshold`
+   * contributing-area cells. Loop 1 walks every flowpath from its
+   * start in row-major order, dropping a numbered seed (outlet)
+   * wherever accumulated area reaches the threshold — choosing
+   * between the current cell and its largest-inflow neighbour
+   * (ICLCA) by which is closer to the threshold, deferring when the
+   * ICLCA itself still exceeds it — and SUBTRACTS the seeded area
+   * from every cell downstream. Loop 2 assigns each remaining cell
+   * the id of the first seed met walking downslope (cells draining
+   * to a pit past every seed are NoData — absent rows here).
+   *
+   * Scale note: the area decrement feeds back into later seed
+   * decisions along the same row-major walk order — a global
+   * sequential mutation with no stable distributed decomposition
+   * (COVERAGE.md). It therefore runs as ONE task over the compact
+   * (r, c, ptr, area) cell table (~32 B/cell, bounded by
+   * [[localFixpointMaxRows]]), exactly like the other small-graph
+   * fast paths; the D8 pointer and flow accumulation it consumes are
+   * the distributed operators.
+   *
+   * The reference's flowpath-start test reads the transposed
+   * neighbourhood (`getValue(col + dX[i], row + dY[i])` with a
+   * (row, col) signature, Isobasin.java:253 — an argument swap not
+   * present in NumInflowingNeighbours.java); the intended
+   * no-inflowing-neighbour test is implemented here.
+   *
+   * Output: (r, c, basin) for cells that drain through a seed;
+   * basin ids number seeds 1..n in discovery order.
+   */
+  def isobasin(grid: DataFrame, threshold: Long): DataFrame = {
+    require(threshold >= 2, "isobasin: threshold must be >= 2")
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val ca = flowAccumD8(grid)
+    val cells = ptr.join(ca, Seq("r", "c"))
+      .select(col("r"), col("c"), col("ptr"),
+        col("n_upslope").cast("long"))
+      .as[(Long, Long, Long, Long)]
+    val dYl = dY.toArray
+    val dXl = dX.toArray
+    val maxRows = localFixpointMaxRows
+    cells.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      require(rows.length <= maxRows,
+        s"isobasin: ${rows.length} cells exceeds the one-task bound " +
+          s"$maxRows (inherently sequential reference semantics)")
+      // row-major order drives both loops, like the reference scan
+      java.util.Arrays.sort(rows,
+        Ordering.by((t: (Long, Long, Long, Long)) => (t._1, t._2)))
+      val n = rows.length
+      val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+      var i0 = 0
+      while (i0 < n) { idx((rows(i0)._1, rows(i0)._2)) = i0; i0 += 1 }
+      val ptrA = rows.map(_._3)
+      val caA = rows.map(_._4) // mutable: decremented below seeds
+      val UNASSIGNED = 0L
+      val NODATA = -1L
+      val out = Array.fill(n)(UNASSIGNED)
+      @inline def at(r: Long, c: Long): Int = idx.getOrElse((r, c), -1)
+      @inline def step(j: Int): Int = { // downslope neighbour index
+        val p = ptrA(j)
+        if (p <= 0) -1
+        else {
+          val d = java.lang.Long.numberOfTrailingZeros(p)
+          at(rows(j)._1 + dYl(d), rows(j)._2 + dXl(d))
+        }
+      }
+      // inflowing neighbour of j in direction d: its pointer must be
+      // the opposite direction bit (inflowingVals, Isobasin.java:39)
+      @inline def inflow(j: Int, d: Int): Int = {
+        val k = at(rows(j)._1 + dYl(d), rows(j)._2 + dXl(d))
+        if (k >= 0 && ptrA(k) == (1L << ((d + 4) % 8))) k else -1
+      }
+      var outletId = 1L
+      // loop 1: seed placement with downstream area decrement
+      var s = 0
+      while (s < n) {
+        var d = 0
+        var hasIn = false
+        while (d < 8 && !hasIn) { hasIn = inflow(s, d) >= 0; d += 1 }
+        if (!hasIn) { // flowpath start
+          var cur = s
+          var stop = false
+          while (!stop) {
+            val nxt = step(cur)
+            if (nxt >= 0) cur = nxt else stop = true
+            if (caA(cur) >= threshold) {
+              // inflowing cell with the largest contributing area
+              var maxSCA = Long.MinValue
+              var icl = -1
+              var e = 0
+              while (e < 8) {
+                val k = inflow(cur, e)
+                if (k >= 0 && caA(k) > maxSCA) { maxSCA = caA(k); icl = k }
+                e += 1
+              }
+              if (caA(icl) > threshold) stop = true // solve that path first
+              else {
+                val d1 = math.abs(caA(icl) - threshold)
+                val d2 = math.abs(caA(cur) - threshold)
+                val seed = if (d1 < d2) icl else cur
+                out(seed) = outletId
+                val dec = caA(seed)
+                var w = seed
+                var wStop = false
+                while (!wStop) {
+                  caA(w) -= dec
+                  val wn = step(w)
+                  if (wn >= 0) w = wn else wStop = true
+                }
+                outletId += 1
+              }
+            }
+          }
+        }
+        s += 1
+      }
+      // loop 2: basin assignment — first seed met walking downslope
+      var a = 0
+      while (a < n) {
+        if (out(a) == UNASSIGNED) {
+          var cur = a
+          var oid = NODATA
+          var stop = false
+          while (!stop) {
+            val nxt = step(cur)
+            if (nxt >= 0) {
+              cur = nxt
+              if (out(cur) != UNASSIGNED) { oid = out(cur); stop = true }
+            } else stop = true
+          }
+          cur = a
+          out(cur) = oid
+          stop = false
+          while (!stop) {
+            val nxt = step(cur)
+            if (nxt >= 0) {
+              cur = nxt
+              if (out(cur) != UNASSIGNED) stop = true
+              out(cur) = oid
+            } else stop = true
+          }
+        }
+        a += 1
+      }
+      (0 until n).iterator.filter(j => out(j) > 0)
+        .map(j => (rows(j)._1, rows(j)._2, out(j)))
+    }.toDF("r", "c", "basin")
+  }
+
+  /**
    * FindNoFlowCells (HydroTools/FindNoFlowCells.java): cells with no
    * strictly-lower resolved 8-neighbour (the reference writes 1
    * there and NoData elsewhere — absent-row convention here).
