@@ -14,11 +14,10 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
-  /** Queries excluded from the benchmark loop: all-pairs shapes that
-    * exist for oracle verification only (the scale path for near-dup
-    * is dedup_minhash). Clump and flow accumulation are back in the
-    * loop since their tiled rewrites. */
-  private val excluded = Set("dedup_jaccard")
+  /** Queries excluded from the benchmark loop (none since
+    * dedup_jaccard's PPJoin prefix-filter rewrite; clump and flow
+    * accumulation returned earlier with their tiled rewrites). */
+  private val excluded = Set.empty[String]
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,6 +54,24 @@ object TextOps {
    */
   def jaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Adaptive exact plan: when the threshold bounds the symmetric
+    // difference to <= 1 token over the corpus's largest set
+    // (|A delta B| <= (1/t - 1)·maxSize), the deletion-neighborhood
+    // index inside [[minhashLshPairs]] enumerates a COMPLETE candidate
+    // set (every qualifying pair shares the XOR key of its
+    // intersection) and verification there is already the exact array
+    // intersection — so the "LSH" operator degenerates to the exact
+    // all-pairs answer, with candidate counts bounded by subset
+    // multiplicity instead of token document frequency. That is the
+    // right plan precisely where the PPJoin prefix filter below
+    // degrades: a degenerate vocabulary (boilerplate corpora) makes
+    // every prefix token hot, while high thresholds shrink the
+    // deletion neighborhood. Lower thresholds keep the prefix-filter
+    // path, whose fan-out is bounded by RARE-token df.
+    val maxSize = corpus
+      .agg(max(size(array_distinct(tokens(col("text")))))).head().getInt(0)
+    if (math.floor((1.0 / threshold - 1.0) * maxSize) <= 1)
+      return minhashLshPairs(corpus, 64, 32, threshold)
     val dt = docTokens(corpus)
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     val ranked = dt.join(dfreq, Seq("tok"))
