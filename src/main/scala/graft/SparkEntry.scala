@@ -1355,6 +1355,22 @@ object SparkEntry {
           max(col("us")).as("end_us"))
     }),
 
+    // as-of join (Temporal.asofJoin): every event annotated with the
+    // user's latest purchase at-or-before it — one shuffle on the key,
+    // no per-pair explosion at any skew
+    "events_asof" -> ((s, dir) => {
+      val ev = Derived.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val pur = Derived.table(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("pus"),
+          col("event_id").as("purchase_id"))
+      operators.Temporal.asofJoin(ev, pur, Seq("user_id"), "us", "pus",
+        "purchase_id", Seq("purchase_id", "pus"))
+    }),
+
     // per-patch shape metrics (GISTools CompactnessRatio /
     // PerimeterAreaRatio family) over the clumped components
     "geo_patch_metrics" -> ((s, dir) => {
@@ -1675,6 +1691,33 @@ object SparkEntry {
         |SELECT user_id, sess, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // textual mirror of Temporal.asofJoin's union + running-window
+    // plan (right rows sort before left rows at an equal timestamp ->
+    // inclusive as-of; right-timestamp ties resolve to the greatest
+    // purchase_id via the __tie sort key)
+    "events_asof" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS __ts, 1 AS __side,
+        |  CAST(NULL AS BIGINT) AS __tie, event_id,
+        |  CAST(NULL AS BIGINT) AS rp, CAST(NULL AS BIGINT) AS rt
+        |  FROM events),
+        |r AS (SELECT user_id, epoch_us(ts) AS __ts, 0 AS __side,
+        |  event_id AS __tie, CAST(NULL AS BIGINT) AS event_id,
+        |  event_id AS rp, epoch_us(ts) AS rt
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (SELECT event_id, user_id, __ts, __side,
+        |  last_value(rp IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY __ts, __side, __tie NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS asof_purchase_id,
+        |  last_value(rt IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY __ts, __side, __tie NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS asof_pus
+        |  FROM u)
+        |SELECT event_id, user_id, __ts AS us, asof_purchase_id, asof_pus
+        |FROM c WHERE __side = 1""".stripMargin,
 
     "geo_patch_metrics" ->
       s"""WITH RECURSIVE g AS ($GRID),

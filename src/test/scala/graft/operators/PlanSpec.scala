@@ -70,4 +70,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "must be an equi-join on the cell key")
   }
+
+  test("as-of join is one key shuffle, no join operator at all") {
+    val plan = planOf("events_asof")
+    // the union-tag + running-window plan: no join node (the L x R
+    // pair explosion cannot exist if no join exists), and exactly one
+    // exchange hashed on the key feeding the sort+window
+    assert(!plan.contains("Join"), plan.take(2000))
+    // count in the AQE final plan only (formatted mode repeats the
+    // pre-AQE initial plan below it)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange \\(".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" +
+      finalPlan.take(2000))
+  }
 }
