@@ -96,6 +96,15 @@ object Snapshots {
       df.withColumn("part",
           pmod(hash(col(bucketCol)), lit(numParts)))
         .where(col("part").isin(todo: _*))
+        // write-side clustering (the north rule's explicit
+        // repartitionByRange): one task per pending part with rows
+        // range-clustered by the bucket key inside it — exactly one
+        // file per part directory (instead of one per upstream task
+        // per part) and parquet min/max column stats that let a
+        // cell-range scan prune whole row groups
+        .repartitionByRange(math.max(todo.size, 1),
+          col("part"), col(bucketCol))
+        .sortWithinPartitions(col("part"), col(bucketCol))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part")
