@@ -578,13 +578,19 @@ object SparkEntry {
     "geo_remove_spurs" -> ((s, dir) => {
       var m = Derived.partGrid(s, dir).where(col("v") >= 70)
         .select("r", "c")
+      val offs = Seq(-1, 0, 1)
       for (_ <- 1 to 3) {
-        val nbr = m.select(col("r").as("br"), col("c").as("bc"))
-        m = m.join(nbr,
-            abs(col("r") - col("br")) <= 1 &&
-            abs(col("c") - col("bc")) <= 1 &&
-            !(col("r") === col("br") && col("c") === col("bc")))
-          .groupBy("r", "c").agg(count(lit(1)).as("__n"))
+        // scatter each mask cell onto its 8 neighbours and count
+        // arrivals per target — an equi-join on the exact cell key
+        // (hash shuffle at scale), NOT an |dr|<=1 inequality self-join
+        // (which plans as an O(n^2) CartesianProduct)
+        val nbr = m.select(explode(array(
+            (for { dr <- offs; dc <- offs if dr != 0 || dc != 0 }
+              yield struct((col("r") + dr).as("r"),
+                (col("c") + dc).as("c"))): _*)).as("t"))
+          .groupBy(col("t.r").as("r"), col("t.c").as("c"))
+          .agg(count(lit(1)).as("__n"))
+        m = m.join(nbr, Seq("r", "c"))
           .where(col("__n") >= 2).select("r", "c")
       }
       m
