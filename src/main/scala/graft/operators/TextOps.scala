@@ -52,7 +52,8 @@ object TextOps {
    * per token is bounded by the df of RARE tokens instead of being
    * quadratic in the df of hot ones.
    */
-  def jaccardPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(corpus: DataFrame, threshold: Double,
+                   forcePrefix: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Adaptive exact plan: when the threshold bounds the symmetric
     // difference to <= 1 token over the corpus's largest set
@@ -68,9 +69,11 @@ object TextOps {
     // every prefix token hot, while high thresholds shrink the
     // deletion neighborhood. Lower thresholds keep the prefix-filter
     // path, whose fan-out is bounded by RARE-token df.
+    // forcePrefix pins the PPJoin arm (tests assert both arms agree)
     val maxSize = corpus
       .agg(max(size(array_distinct(tokens(col("text")))))).head().getInt(0)
-    if (math.floor((1.0 / threshold - 1.0) * maxSize) <= 1)
+    if (!forcePrefix &&
+        math.floor((1.0 / threshold - 1.0) * maxSize) <= 1)
       return minhashLshPairs(corpus, 64, 32, threshold)
     val dt = docTokens(corpus)
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -145,6 +145,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === labels)
   }
 
+  test("jaccardPairs: deletion-neighborhood arm equals the PPJoin arm") {
+    // high threshold + small sets -> the adaptive dispatch takes the
+    // deletion-neighborhood arm; forcePrefix pins the PPJoin arm on
+    // the same corpus. Both are exact, so outputs must be identical.
+    // 20 distinct tokens per doc; dropping one -> jacc 19/20 = 0.95,
+    // exactly at the threshold, and d = floor((1/.95-1)*20) = 1
+    val docs = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i + 5)
+      val toks = (0 until 20).map(j => s"w${rnd.nextInt(900)}_$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    val corpus = (docs ++ docs.map { case (i, t) =>
+      (i + 1000, t.split(" ").dropRight(1).mkString(" "))
+    }).toDF("doc_id", "text")
+    def pairsOf(force: Boolean) =
+      TextOps.jaccardPairs(corpus, 0.95, forcePrefix = force)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val fast = pairsOf(false)
+    val slow = pairsOf(true)
+    assert(fast.nonEmpty, "planted near-dups must be found")
+    assert(fast === slow)
+  }
+
   test("minhash LSH pairs are a subset of true jaccard pairs and find the planted dups") {
     val docs = (0 until 80).map { i =>
       val rnd = new scala.util.Random(i)
