@@ -1615,7 +1615,237 @@ object SparkEntry {
     // LiDAR_IDW_interpolation: radius-2 IDW of ground z to centers
     "lidar_idw" -> ((s, dir) =>
       operators.Lidar.idwSurface(Derived.lidarCloud(s, dir),
-        rows = 10, cols = 10, cellSize = 10.0, radius = 8.0))
+        rows = 10, cols = 10, cellSize = 10.0, radius = 8.0)),
+
+    // ---- image enhancement / colour family (ImageProcessingTools) ----
+
+    // MinMaxContrastStretch (MinMaxContrastStretch.java:189-203):
+    // z = clip(trunc(v - min) * numBins/(max - min), 0, numBins-1),
+    // numBins = 1024, stretch bounds = the image's own min/max. Global
+    // min/max is one partial agg broadcast back over the scan — no
+    // second shuffle at 100 TB.
+    "geo_stretch_minmax" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val st = g.agg(min("v").as("mn"), max("v").as("mx"))
+      g.crossJoin(broadcast(st)).select(col("r"), col("c"),
+        round(least(greatest(
+          floor(col("v") - col("mn")).cast("double") *
+            (lit(1024.0) / (col("mx") - col("mn"))), lit(0.0)),
+          lit(1023.0)), 4).as("stretch"))
+    }),
+
+    // PercentageContrastStretch (PercentageContrastStretch.java:199-291):
+    // integer-binned histogram from the image min, cumulative %, clip
+    // bounds linearly interpolated at clip% / (100-clip)% (clip = 5),
+    // then the MinMax stretch against the interpolated bounds. The
+    // histogram is a bounded-cardinality groupBy (bins ~ value range),
+    // so the distributed shape is two scans + one tiny window.
+    "geo_stretch_percent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Derived.partGrid(s, dir)
+      val st = g.agg(min("v").as("mn"), max("v").as("mx"),
+        count(lit(1)).cast("double").as("tot"))
+      val nb = floor(col("mx") - col("mn") + 1).cast("long")
+      val bins = st.select(col("mn"), col("mx"), col("tot"),
+        explode(sequence(lit(0L), nb - 1)).as("bin"))
+      val cnt = g.crossJoin(broadcast(st))
+        .select(least(greatest(floor(col("v") - col("mn")), lit(0L)),
+          nb - 1).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.orderBy("bin")
+      val hist = bins.join(cnt, Seq("bin"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0.0)))
+        .withColumn("pct", sum("cnt").over(w) / col("tot") * 100.0)
+        .withColumn("pprev", lag("pct", 1).over(w))
+      def tail(p: Double, as: String) =
+        hist.where(col("bin") >= 1 && col("pct") >= p)
+          .orderBy("bin").limit(1)
+          .select((col("bin") - 1 + col("mn") +
+            (lit(p) - col("pprev")) / (col("pct") - col("pprev"))).as(as))
+      g.crossJoin(broadcast(tail(5.0, "minv")))
+        .crossJoin(broadcast(tail(95.0, "maxv")))
+        .select(col("r"), col("c"),
+          round(least(greatest(
+            floor(col("v") - col("minv")).cast("double") *
+              (lit(1024.0) / (col("maxv") - col("minv"))), lit(0.0)),
+            lit(1023.0)), 4).as("stretch"))
+    }),
+
+    // StandardDeviationContrastStretch (tool semantics per its dialog;
+    // the reference .java body is a verbatim Reclass copy — see
+    // StandardDeviationContrastStretch.java:236 — so the formula here
+    // is the tool's documented clip at mean +- 2 sd then linear map):
+    "geo_stretch_stddev" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val st = g.agg(sum("v").as("sv"), sum(col("v") * col("v")).as("svv"),
+        count(lit(1)).cast("double").as("tot"))
+        .select((col("sv") / col("tot")).as("mean"),
+          sqrt(col("svv") / col("tot") -
+            (col("sv") / col("tot")) * (col("sv") / col("tot"))).as("sd"))
+        .select((col("mean") - lit(2.0) * col("sd")).as("minv"),
+          (col("mean") + lit(2.0) * col("sd")).as("maxv"))
+      g.crossJoin(broadcast(st)).select(col("r"), col("c"),
+        round(least(greatest(
+          floor(col("v") - col("minv")).cast("double") *
+            (lit(1024.0) / (col("maxv") - col("minv"))), lit(0.0)),
+          lit(1023.0)), 4).as("stretch"))
+    }),
+
+    // BalanceContrastEnhancement (BalanceContrastEnhancement.java:
+    // 216-345): per-channel parabolic BCET with L=0, E=100, H=255;
+    // e is the INTEGER mean (long division, line 297), s the double
+    // mean square; output channels truncated then clipped to [0,255]
+    // and packed (255<<24)|(b<<16)|(g<<8)|r as in line 364.
+    "geo_stretch_balance" -> ((s, dir) => {
+      val g = Derived.rgbChannels(s, dir)
+      val st = g.agg(
+        min("rch").as("rl"), max("rch").as("rh"),
+        expr("CAST(sum(rch) AS BIGINT) DIV count(1)").as("re"),
+        (sum(col("rch") * col("rch")).cast("double") /
+          count(lit(1)).cast("double")).as("rs"),
+        min("gch").as("gl"), max("gch").as("gh"),
+        expr("CAST(sum(gch) AS BIGINT) DIV count(1)").as("ge"),
+        (sum(col("gch") * col("gch")).cast("double") /
+          count(lit(1)).cast("double")).as("gs"),
+        min("bch").as("bl"), max("bch").as("bh"),
+        expr("CAST(sum(bch) AS BIGINT) DIV count(1)").as("be"),
+        (sum(col("bch") * col("bch")).cast("double") /
+          count(lit(1)).cast("double")).as("bs"))
+      def chan(v: String, l: String, h: String, e: String, sq: String,
+          out: String) = {
+        val b = (col(h) * col(h) * 100 - col(sq) * 255 +
+          col(l) * col(l) * 155) /
+          (lit(2) * (col(h) * 100 - col(e) * 255 + col(l) * 155))
+        val a = lit(255) / ((col(h) - col(l)) * (col(h) + col(l) - lit(2) * b))
+        val c0 = lit(0) - a * ((col(l) - b) * (col(l) - b))
+        least(greatest(
+          (a * ((col(v) - b) * (col(v) - b)) + c0).cast("long"),
+          lit(0L)), lit(255L)).as(out)
+      }
+      g.crossJoin(broadcast(st)).select(col("r"), col("c"),
+          chan("rch", "rl", "rh", "re", "rs", "bcet_r"),
+          chan("gch", "gl", "gh", "ge", "gs", "bcet_g"),
+          chan("bch", "bl", "bh", "be", "bs", "bcet_b"))
+        .withColumn("rgb", lit(4278190080L) + col("bcet_b") * 65536 +
+          col("bcet_g") * 256 + col("bcet_r"))
+    }),
+
+    // RGBtoIHS (RGBtoIHS.java:364-340): channels normalised by the
+    // overall min/range across all three bands (actual data min/max
+    // stand in for the reference's display min/max), clipped to [0,1];
+    // i = r+g+b; hue by min-channel branch; saturation by hue sector.
+    "geo_rgb_ihs" -> ((s, dir) => {
+      val g = Derived.rgbChannels(s, dir)
+      val st = g.agg(least(min("rch"), min("gch"), min("bch")).as("mnall"),
+        greatest(max("rch"), max("gch"), max("bch")).as("mxall"))
+      def norm(ch: String) = least(greatest(
+        (col(ch) - col("mnall")) / (col("mxall") - col("mnall")),
+        lit(0.0)), lit(1.0))
+      val base = g.crossJoin(broadcast(st)).select(col("r"), col("c"),
+        norm("rch").as("rn"), norm("gch").as("gn"), norm("bch").as("bn"))
+      val iSum = col("rn") + col("gn") + col("bn")
+      val m = least(col("rn"), col("gn"), col("bn"))
+      val h = when(iSum === 3.0, lit(0.0))
+        .when(m === col("bn"),
+          (col("gn") - col("bn")) / (iSum - lit(3) * col("bn")))
+        .when(m === col("rn"),
+          (col("bn") - col("rn")) / (iSum - lit(3) * col("rn")) + 1)
+        .otherwise((col("rn") - col("gn")) / (iSum - lit(3) * col("gn")) + 2)
+      val withH = base.select(col("r"), col("c"), col("rn"), col("gn"),
+        col("bn"), iSum.as("ih"), h.as("hh"))
+      withH.select(col("r"), col("c"), round(col("ih"), 6).as("i"),
+        round(col("hh"), 6).as("h"),
+        round(when(col("hh") <= 1.0,
+            (col("ih") - lit(3) * col("bn")) / col("ih"))
+          .when(col("hh") <= 2.0,
+            (col("ih") - lit(3) * col("rn")) / col("ih"))
+          .otherwise((col("ih") - lit(3) * col("gn")) / col("ih")), 6)
+          .as("sat"))
+    }),
+
+    // ChangeVectorAnalysis (ChangeVectorAnalysis.java:254-277): date-2
+    // stack = the band-rotated date-1 stack; magnitude = sqrt of the
+    // summed squared band deltas, direction = sum of 2^i over bands
+    // with non-negative delta.
+    "geo_change_vector" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      val z0 = col("v2") - col("v1")
+      val z1 = col("v3") - col("v2")
+      val z2 = col("v1") - col("v3")
+      st.select(col("r"), col("c"),
+        round(sqrt(z0 * z0 + z1 * z1 + z2 * z2), 6).as("magnitude"),
+        (when(z0 >= 0, 1).otherwise(0) + when(z1 >= 0, 2).otherwise(0) +
+          when(z2 >= 0, 4).otherwise(0)).as("direction"))
+    }),
+
+    // ImageDestriping (ImageDestriping.groovy:116-151, horizontal arm,
+    // diffThreshold = 10.0): a cell is striped when, for every column
+    // offset a in [c-2, c+1], the cell at (r, a) differs from BOTH its
+    // vertical neighbours by >= threshold with a consistent sign; the
+    // striped cell is replaced by the vertical-neighbour mean. Input =
+    // the part grid damped to [0,10) plus a +30 stripe on every 7th
+    // row, so the filter demonstrably removes the planted stripes. One
+    // scatter join + one row-partitioned window — no iterative pass.
+    "geo_destripe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        (col("v") / 10.0 + when(col("r") % 7 === 3, 30.0).otherwise(0.0))
+          .as("v"))
+      val up = g.select((col("r") + 1).as("r"), col("c"), col("v").as("uv"))
+      val dn = g.select((col("r") - 1).as("r"), col("c"), col("v").as("dv"))
+      val j = g.join(up, Seq("r", "c"), "left").join(dn, Seq("r", "c"), "left")
+      val d1 = col("v") - col("uv")
+      val d2 = col("v") - col("dv")
+      val cond = col("uv").isNotNull && col("dv").isNotNull &&
+        abs(d1) >= 10.0 && abs(d2) >= 10.0 &&
+        ((d1 < 0 && d2 < 0) || (d1 >= 0 && d2 >= 0))
+      val w = Window.partitionBy("r").orderBy("c")
+      val flagged = j.withColumn("cond", cond)
+        .withColumn("flag",
+          coalesce(lag("cond", 2).over(w), lit(false)) &&
+          coalesce(lag("cond", 1).over(w), lit(false)) && col("cond") &&
+          coalesce(lead("cond", 1).over(w), lit(false)))
+      flagged.select(col("r"), col("c"),
+        round(when(col("flag"), (col("uv") + col("dv")) / 2.0)
+          .otherwise(col("v")), 6).as("destriped"))
+    }),
+
+    // CorrectVignetting (CorrectVignetting.groovy:286-294): divide by
+    // the cos^n falloff of the view angle from the principal point;
+    // focal length 304.8 mm, edge-to-edge distance 228.6 mm, n = 4.
+    "geo_vignette" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val dist = sqrt((col("r") - 20.0) * (col("r") - 20.0) +
+        (col("c") - 25.0) * (col("c") - 25.0))
+      val theta = atan(dist * (lit(228.6) / 50) / 304.8)
+      g.select(col("r"), col("c"),
+        round(col("v") / pow(cos(theta), 4.0), 6).as("corrected"))
+    }),
+
+    // PercentEqualTo / PercentGreaterThan / PercentLessThan
+    // (PercentEqualTo.groovy:141-155 and siblings): share of the
+    // raster stack equal to / above / below the comparison raster.
+    "geo_stack_percent" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      val g = Derived.partGrid(s, dir)
+      val j = st.join(g, Seq("r", "c"))
+      def pct(cmp: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column, out: String) =
+        round(lit(100.0) * (when(cmp(col("v1"), col("v")), 1).otherwise(0) +
+          when(cmp(col("v2"), col("v")), 1).otherwise(0) +
+          when(cmp(col("v3"), col("v")), 1).otherwise(0)) / 3, 4).as(out)
+      j.select(col("r"), col("c"), pct(_ === _, "pct_eq"),
+        pct(_ > _, "pct_gt"), pct(_ < _, "pct_lt"))
+    }),
+
+    // MaxOverlay / MinOverlay (MaxOverlay.java:202-233): cell-wise
+    // extremes across the raster stack.
+    "geo_overlay_minmax" -> ((s, dir) => {
+      val st = Derived.partStack(s, dir)
+      st.select(col("r"), col("c"),
+        greatest(col("v1"), col("v2"), col("v3")).as("vmax"),
+        least(col("v1"), col("v2"), col("v3")).as("vmin"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3839,7 +4069,185 @@ object SparkEntry {
          |  ELSE sum(CASE WHEN d2 <> 0 THEN pval / d2 END)
          |    / sum(CASE WHEN d2 <> 0 THEN CAST(1.0 AS DOUBLE) / d2 END)
          |  END, 6) AS idw
-         |FROM j GROUP BY r, c""".stripMargin
+         |FROM j GROUP BY r, c""".stripMargin,
+
+    "geo_stretch_minmax" ->
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
+         |SELECT r, c,
+         |  round(LEAST(GREATEST(
+         |    CAST(floor(v - mn) AS BIGINT) * (CAST(1024.0 AS DOUBLE) / (mx - mn)),
+         |    CAST(0.0 AS DOUBLE)), CAST(1023.0 AS DOUBLE)), 4) AS stretch
+         |FROM g CROSS JOIN st""".stripMargin,
+
+    "geo_stretch_percent" ->
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT min(v) AS mn, max(v) AS mx,
+         |  CAST(count(*) AS DOUBLE) AS tot FROM g),
+         |bins AS (SELECT mn, mx, tot,
+         |  unnest(generate_series(0, CAST(floor(mx - mn + 1) AS BIGINT) - 1)) AS bin
+         |  FROM st),
+         |cnt AS (SELECT LEAST(GREATEST(CAST(floor(v - mn) AS BIGINT), 0),
+         |    CAST(floor(mx - mn + 1) AS BIGINT) - 1) AS bin,
+         |  CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM g CROSS JOIN st GROUP BY 1),
+         |hist AS (SELECT bins.bin, mn, mx, tot,
+         |  COALESCE(cnt.cnt, CAST(0.0 AS DOUBLE)) AS cnt
+         |  FROM bins LEFT JOIN cnt ON bins.bin = cnt.bin),
+         |hist2 AS (SELECT bin, mn, mx,
+         |  sum(cnt) OVER (ORDER BY bin) / tot * 100.0 AS pct FROM hist),
+         |hist3 AS (SELECT bin, mn, mx, pct,
+         |  lag(pct, 1) OVER (ORDER BY bin) AS pprev FROM hist2),
+         |lo AS (SELECT bin - 1 + mn + (5.0 - pprev) / (pct - pprev) AS minv
+         |  FROM hist3 WHERE bin >= 1 AND pct >= 5.0 ORDER BY bin LIMIT 1),
+         |hi AS (SELECT bin - 1 + mn + (95.0 - pprev) / (pct - pprev) AS maxv
+         |  FROM hist3 WHERE bin >= 1 AND pct >= 95.0 ORDER BY bin LIMIT 1)
+         |SELECT r, c,
+         |  round(LEAST(GREATEST(
+         |    CAST(floor(v - minv) AS BIGINT) * (CAST(1024.0 AS DOUBLE) / (maxv - minv)),
+         |    CAST(0.0 AS DOUBLE)), CAST(1023.0 AS DOUBLE)), 4) AS stretch
+         |FROM g CROSS JOIN lo CROSS JOIN hi""".stripMargin,
+
+    "geo_stretch_stddev" ->
+      s"""WITH g AS ($GRID),
+         |st0 AS (SELECT sum(v) AS sv, sum(v * v) AS svv,
+         |  CAST(count(*) AS DOUBLE) AS tot FROM g),
+         |st1 AS (SELECT sv / tot AS mean,
+         |  sqrt(svv / tot - (sv / tot) * (sv / tot)) AS sd FROM st0),
+         |st AS (SELECT mean - 2.0 * sd AS minv, mean + 2.0 * sd AS maxv
+         |  FROM st1)
+         |SELECT r, c,
+         |  round(LEAST(GREATEST(
+         |    CAST(floor(v - minv) AS BIGINT) * (CAST(1024.0 AS DOUBLE) / (maxv - minv)),
+         |    CAST(0.0 AS DOUBLE)), CAST(1023.0 AS DOUBLE)), 4) AS stretch
+         |FROM g CROSS JOIN st""".stripMargin,
+
+    "geo_stretch_balance" ->
+      s"""WITH g AS (${Derived.rgbChannelsSql}),
+         |st AS (SELECT
+         |  min(rch) AS rl, max(rch) AS rh,
+         |  CAST(sum(rch) AS BIGINT) // count(*) AS re,
+         |  CAST(sum(rch * rch) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rs,
+         |  min(gch) AS gl, max(gch) AS gh,
+         |  CAST(sum(gch) AS BIGINT) // count(*) AS ge,
+         |  CAST(sum(gch * gch) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gs,
+         |  min(bch) AS bl, max(bch) AS bh,
+         |  CAST(sum(bch) AS BIGINT) // count(*) AS be,
+         |  CAST(sum(bch * bch) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bs
+         |  FROM g),
+         |k AS (SELECT g.*, st.*,
+         |  (rh * rh * 100 - rs * 255 + rl * rl * 155) /
+         |    (2 * (rh * 100 - re * 255 + rl * 155)) AS rb,
+         |  (gh * gh * 100 - gs * 255 + gl * gl * 155) /
+         |    (2 * (gh * 100 - ge * 255 + gl * 155)) AS gb,
+         |  (bh * bh * 100 - bs * 255 + bl * bl * 155) /
+         |    (2 * (bh * 100 - be * 255 + bl * 155)) AS bb
+         |  FROM g CROSS JOIN st),
+         |k2 AS (SELECT *,
+         |  255 / ((rh - rl) * (rh + rl - 2 * rb)) AS ra,
+         |  255 / ((gh - gl) * (gh + gl - 2 * gb)) AS ga,
+         |  255 / ((bh - bl) * (bh + bl - 2 * bb)) AS ba
+         |  FROM k),
+         |k3 AS (SELECT r, c,
+         |  LEAST(GREATEST(CAST(trunc(ra * ((rch - rb) * (rch - rb)) +
+         |    (0 - ra * ((rl - rb) * (rl - rb)))) AS BIGINT), 0), 255) AS bcet_r,
+         |  LEAST(GREATEST(CAST(trunc(ga * ((gch - gb) * (gch - gb)) +
+         |    (0 - ga * ((gl - gb) * (gl - gb)))) AS BIGINT), 0), 255) AS bcet_g,
+         |  LEAST(GREATEST(CAST(trunc(ba * ((bch - bb) * (bch - bb)) +
+         |    (0 - ba * ((bl - bb) * (bl - bb)))) AS BIGINT), 0), 255) AS bcet_b
+         |  FROM k2)
+         |SELECT r, c, bcet_r, bcet_g, bcet_b,
+         |  4278190080 + bcet_b * 65536 + bcet_g * 256 + bcet_r AS rgb
+         |FROM k3""".stripMargin,
+
+    "geo_rgb_ihs" ->
+      s"""WITH g AS (${Derived.rgbChannelsSql}),
+         |st AS (SELECT LEAST(min(rch), min(gch), min(bch)) AS mnall,
+         |  GREATEST(max(rch), max(gch), max(bch)) AS mxall FROM g),
+         |n AS (SELECT r, c,
+         |  LEAST(GREATEST((rch - mnall) / CAST(mxall - mnall AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS rn,
+         |  LEAST(GREATEST((gch - mnall) / CAST(mxall - mnall AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS gn,
+         |  LEAST(GREATEST((bch - mnall) / CAST(mxall - mnall AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS bn
+         |  FROM g CROSS JOIN st),
+         |wh AS (SELECT r, c, rn, gn, bn, rn + gn + bn AS ih,
+         |  CASE WHEN rn + gn + bn = 3.0 THEN CAST(0.0 AS DOUBLE)
+         |    WHEN LEAST(rn, gn, bn) = bn
+         |      THEN (gn - bn) / ((rn + gn + bn) - 3 * bn)
+         |    WHEN LEAST(rn, gn, bn) = rn
+         |      THEN (bn - rn) / ((rn + gn + bn) - 3 * rn) + 1
+         |    ELSE (rn - gn) / ((rn + gn + bn) - 3 * gn) + 2 END AS hh
+         |  FROM n)
+         |SELECT r, c, round(ih, 6) AS i, round(hh, 6) AS h,
+         |  round(CASE WHEN hh <= 1.0 THEN (ih - 3 * bn) / ih
+         |    WHEN hh <= 2.0 THEN (ih - 3 * rn) / ih
+         |    ELSE (ih - 3 * gn) / ih END, 6) AS sat
+         |FROM wh""".stripMargin,
+
+    "geo_change_vector" ->
+      s"""WITH st AS (${Derived.partStackSql})
+         |SELECT r, c,
+         |  round(sqrt((v2 - v1) * (v2 - v1) + (v3 - v2) * (v3 - v2)
+         |    + (v1 - v3) * (v1 - v3)), 6) AS magnitude,
+         |  (CASE WHEN v2 - v1 >= 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN v3 - v2 >= 0 THEN 2 ELSE 0 END
+         |    + CASE WHEN v1 - v3 >= 0 THEN 4 ELSE 0 END) AS direction
+         |FROM st""".stripMargin,
+
+    "geo_destripe" ->
+      s"""WITH g0 AS ($GRID),
+         |g AS (SELECT r, c, v / CAST(10.0 AS DOUBLE) +
+         |  CASE WHEN r % 7 = 3 THEN CAST(30.0 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS v FROM g0),
+         |j AS (SELECT g.r, g.c, g.v, u.v AS uv, d.v AS dv
+         |  FROM g
+         |  LEFT JOIN g u ON u.r = g.r - 1 AND u.c = g.c
+         |  LEFT JOIN g d ON d.r = g.r + 1 AND d.c = g.c),
+         |cd AS (SELECT r, c, v, uv, dv,
+         |  (uv IS NOT NULL AND dv IS NOT NULL
+         |    AND abs(v - uv) >= 10.0 AND abs(v - dv) >= 10.0
+         |    AND ((v - uv < 0 AND v - dv < 0)
+         |      OR (v - uv >= 0 AND v - dv >= 0))) AS cond
+         |  FROM j),
+         |fl AS (SELECT r, c, v, uv, dv,
+         |  COALESCE(lag(cond, 2) OVER (PARTITION BY r ORDER BY c), FALSE)
+         |  AND COALESCE(lag(cond, 1) OVER (PARTITION BY r ORDER BY c), FALSE)
+         |  AND cond
+         |  AND COALESCE(lead(cond, 1) OVER (PARTITION BY r ORDER BY c), FALSE)
+         |  AS flag FROM cd)
+         |SELECT r, c,
+         |  round(CASE WHEN flag THEN (uv + dv) / 2.0 ELSE v END, 6)
+         |  AS destriped
+         |FROM fl""".stripMargin,
+
+    "geo_vignette" ->
+      s"""WITH g AS ($GRID)
+         |SELECT r, c,
+         |  round(v / pow(cos(atan(
+         |    sqrt((r - 20.0) * (r - 20.0) + (c - 25.0) * (c - 25.0))
+         |      * (CAST(228.6 AS DOUBLE) / 50) / CAST(304.8 AS DOUBLE))), 4.0), 6)
+         |  AS corrected
+         |FROM g""".stripMargin,
+
+    "geo_stack_percent" ->
+      s"""WITH st AS (${Derived.partStackSql}),
+         |g AS ($GRID)
+         |SELECT st.r, st.c,
+         |  round(100.0 * (CASE WHEN v1 = v THEN 1 ELSE 0 END
+         |    + CASE WHEN v2 = v THEN 1 ELSE 0 END
+         |    + CASE WHEN v3 = v THEN 1 ELSE 0 END) / 3, 4) AS pct_eq,
+         |  round(100.0 * (CASE WHEN v1 > v THEN 1 ELSE 0 END
+         |    + CASE WHEN v2 > v THEN 1 ELSE 0 END
+         |    + CASE WHEN v3 > v THEN 1 ELSE 0 END) / 3, 4) AS pct_gt,
+         |  round(100.0 * (CASE WHEN v1 < v THEN 1 ELSE 0 END
+         |    + CASE WHEN v2 < v THEN 1 ELSE 0 END
+         |    + CASE WHEN v3 < v THEN 1 ELSE 0 END) / 3, 4) AS pct_lt
+         |FROM st JOIN g ON st.r = g.r AND st.c = g.c""".stripMargin,
+
+    "geo_overlay_minmax" ->
+      s"""WITH st AS (${Derived.partStackSql})
+         |SELECT r, c, GREATEST(v1, v2, v3) AS vmax,
+         |  LEAST(v1, v2, v3) AS vmin
+         |FROM st""".stripMargin
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

@@ -320,6 +320,29 @@ object Derived {
       |  ((p_partkey * 37) % 1000) / CAST(10.0 AS DOUBLE) AS v
       |FROM part WHERE p_partkey // 40 < 50""".stripMargin
 
+  /** Integer RGB channel raster on the partGrid lattice (colour /
+    * contrast tools: BalanceContrastEnhancement, RGBtoIHS,
+    * CreateColourComposite). Moduli are chosen so the three channels
+    * can never be simultaneously zero (gch >= 7, bch >= 11), keeping
+    * the reference's IHS hue division away from 0/0. */
+  def rgbChannels(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    p.select(
+      (p("p_partkey") % 40).as("r"),
+      expr("p_partkey DIV 40").as("c"),
+      (p("p_partkey") * 37 % 251).as("rch"),
+      (p("p_partkey") * 53 % 241 + 7).as("gch"),
+      (p("p_partkey") * 97 % 239 + 11).as("bch"))
+      .where(col("c") < 50)
+  }
+
+  val rgbChannelsSql: String =
+    """SELECT p_partkey % 40 AS r, p_partkey // 40 AS c,
+      |  (p_partkey * 37) % 251 AS rch,
+      |  (p_partkey * 53) % 241 + 7 AS gch,
+      |  (p_partkey * 97) % 239 + 11 AS bch
+      |FROM part WHERE p_partkey // 40 < 50""".stripMargin
+
   /**
    * Common-Crawl-style page table in EXACTLY the input_hint shape
    * (BASELINE.json): `(url:string, warc_ts:timestamp, html:binary,
