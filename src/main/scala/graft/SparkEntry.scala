@@ -1845,7 +1845,158 @@ object SparkEntry {
       st.select(col("r"), col("c"),
         greatest(col("v1"), col("v2"), col("v3")).as("vmax"),
         least(col("v1"), col("v2"), col("v3")).as("vmin"))
-    })
+    }),
+
+    // ---- terrain neighbourhood statistics (§2.10 tail) ----
+
+    // NumDownslopeNeighbours / NumUpslopeNeighbours
+    // (NumDownslopeNeighbours.java:231-245): count of 8-neighbours
+    // strictly below / above the cell; off-grid reads don't count.
+    "geo_neighbour_updown" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      operators.Focal.contributions(g, 1, reflect = false,
+          GridRows, GridCols)
+        .where(!(col("dy") === 0 && col("dx") === 0))
+        .join(g.select(col("r"), col("c"), col("v").as("cz")),
+          Seq("r", "c"))
+        .groupBy("r", "c")
+        .agg(
+          sum(when(col("nv") < col("cz"), 1L).otherwise(0L)).as("n_down"),
+          sum(when(col("nv") > col("cz"), 1L).otherwise(0L)).as("n_up"))
+        .select(col("r"), col("c"), col("n_down"), col("n_up"))
+    }),
+
+    // MaxDownslopeElevationChange / MinDownslopeElevationChange
+    // (MaxDownslopeElevationChange.java:239-268 and sibling): the
+    // elevation drop along the steepest / gentlest non-negative
+    // descent; 0 when no descending neighbour. Two-stage agg (extreme
+    // slope, then the drop at that slope) keeps the pick tie-free.
+    "geo_downslope_dz" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val con = operators.Focal.contributions(g,
+          1, reflect = false, GridRows, GridCols)
+        .where(!(col("dy") === 0 && col("dx") === 0))
+        .join(g.select(col("r"), col("c"), col("v").as("cz")),
+          Seq("r", "c"))
+        .withColumn("dist",
+          when(col("dy") * col("dy") + col("dx") * col("dx") === 2,
+            math.sqrt(2.0)).otherwise(lit(1.0)))
+        .withColumn("slope", (col("cz") - col("nv")) / col("dist"))
+        .localCheckpoint(true)
+      val st1 = con.groupBy("r", "c").agg(max("slope").as("mxs"),
+        min(when(col("slope") >= 0, col("slope"))).as("mns"),
+        sum(when(col("slope") >= 0, 1L).otherwise(0L)).as("nn"))
+      con.join(st1, Seq("r", "c"))
+        .groupBy(col("r"), col("c"))
+        .agg(max("mxs").as("mxs"), max("nn").as("nn"),
+          max(when(col("slope") === col("mxs"), col("cz") - col("nv")))
+            .as("dzx"),
+          max(when(col("slope") === col("mns"), col("cz") - col("nv")))
+            .as("dzn"))
+        .select(col("r"), col("c"),
+          round(when(col("mxs") > 0, col("dzx")).otherwise(lit(0.0)), 6)
+            .as("max_dz"),
+          round(when(col("nn") > 0, col("dzn")).otherwise(lit(0.0)), 6)
+            .as("min_dz"))
+    }),
+
+    // ElevRelativeToMinMax (ElevRelativeToMinMax.java:241):
+    // (z - min) / range * 100 against the DEM's own extremes.
+    "geo_elev_rel_minmax" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val st = g.agg(min("v").as("mn"), max("v").as("mx"))
+      g.crossJoin(broadcast(st)).select(col("r"), col("c"),
+        round((col("v") - col("mn")) / (col("mx") - col("mn")) * 100, 6)
+          .as("rel_elev"))
+    }),
+
+    // ElevRelativeToWatershedMinMax (sibling of the above, grouped by
+    // the D8 watershed label): single-cell/flat watersheds emit 0
+    // (guarding the reference's 0/0 NaN there — sole deviation).
+    "geo_elev_rel_watershed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Derived.partGrid(s, dir)
+      val ws = operators.Terrain.watershed(g, width = 50)
+      val w = Window.partitionBy("sink_id")
+      ws.join(g, Seq("r", "c"))
+        .withColumn("mn", min("v").over(w))
+        .withColumn("mx", max("v").over(w))
+        .select(col("r"), col("c"),
+          round(when(col("mx") > col("mn"),
+            (col("v") - col("mn")) / (col("mx") - col("mn")) * 100)
+            .otherwise(lit(0.0)), 6).as("rel_elev"))
+    }),
+
+    // ExtractValleys, all three arms, no-line-thinning configuration:
+    // Johnston & Rosenfeld lower-than-vertical-or-horizontal pair
+    // (ExtractValleysJohnstonAndRosenfeld.java:196-213), Peucker &
+    // Douglas 2x2 first-max demotion (ExtractValleysPeuckerAndDouglas
+    // .java:198-211), and lower-quartile within a 5x5 window
+    // (ExtractValleysLowerQuartile.java:239-262).
+    "geo_extract_valleys" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val con1 = operators.Focal.contributions(g, 1, reflect = false,
+        GridRows, GridCols).localCheckpoint(true)
+      def pick(dy: Int, dx: Int, nm: String) =
+        max(when(col("dy") === dy && col("dx") === dx, col("nv"))).as(nm)
+      val nb = con1.groupBy("r", "c").agg(
+        max(when(col("dy") === 0 && col("dx") === 0, col("nv"))).as("z"),
+        pick(-1, 0, "zn"), pick(1, 0, "zs"), pick(0, -1, "zw"),
+        pick(0, 1, "ze"), pick(-1, -1, "znw"))
+      val jr = nb.select(col("r"), col("c"),
+        when(col("zn").isNotNull && col("zs").isNotNull &&
+            col("zn") > col("z") && col("zs") > col("z"), 1L)
+          .when(col("zw").isNotNull && col("ze").isNotNull &&
+            col("zw") > col("z") && col("ze") > col("z"), 1L)
+          .otherwise(0L).as("v_jr"))
+      // Peucker & Douglas: per 2x2 block anchored at each cell, demote
+      // the first-maximum of [centre, NW, N, W] in scan order.
+      val m2 = when(col("znw").isNotNull && col("znw") > col("z"),
+        col("znw")).otherwise(col("z"))
+      val w2 = when(col("znw").isNotNull && col("znw") > col("z"), 1)
+        .otherwise(0)
+      val anch = nb.select(col("r"), col("c"), col("z"), col("zn"),
+          col("zw"), col("znw"), m2.as("m2"), w2.as("w2"))
+        .withColumn("m3", when(col("zn").isNotNull && col("zn") > col("m2"),
+          col("zn")).otherwise(col("m2")))
+        .withColumn("w3", when(col("zn").isNotNull && col("zn") > col("m2"),
+          2).otherwise(col("w2")))
+        .withColumn("w4", when(col("zw").isNotNull && col("zw") > col("m3"),
+          3).otherwise(col("w3")))
+        .select(
+          (col("r") + when(col("w4") === 1 || col("w4") === 2, -1)
+            .otherwise(0)).as("zr"),
+          (col("c") + when(col("w4") === 1 || col("w4") === 3, -1)
+            .otherwise(0)).as("zc"))
+        .distinct()
+      val pd = g.join(anch,
+          g("r") === anch("zr") && g("c") === anch("zc"), "left_anti")
+        .select(col("r"), col("c"), lit(1L).as("v_pd"))
+      val pdAll = g.select(col("r"), col("c"))
+        .join(pd, Seq("r", "c"), "left")
+        .select(col("r"), col("c"), coalesce(col("v_pd"), lit(0L))
+          .as("v_pd"))
+      // Lower quartile within the 5x5 square window (centre included):
+      // valley when z <= the (n/4 + 1)-th smallest present value.
+      val lq = operators.Focal.contributions(g, 2, reflect = false,
+          GridRows, GridCols)
+        .groupBy("r", "c")
+        .agg(max(when(col("dy") === 0 && col("dx") === 0, col("nv")))
+            .as("z"),
+          sort_array(collect_list(col("nv"))).as("arr"),
+          count(lit(1)).as("n"))
+        .select(col("r"), col("c"),
+          when(col("z") <=
+            expr("element_at(arr, CAST(n DIV 4 + 1 AS INT))"), 1L)
+            .otherwise(0L).as("v_lq"))
+      jr.join(pdAll, Seq("r", "c")).join(lq, Seq("r", "c"))
+        .select(col("r"), col("c"), col("v_jr"), col("v_pd"), col("v_lq"))
+    }),
+
+    // RadiationOnSlope (Scripts/RadiationOnSlope.groovy:160-217)
+    "geo_radiation" -> ((s, dir) =>
+      operators.Terrain.radiationOnSlope(Derived.partGrid(s, dir),
+        GridRows, GridCols))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4247,7 +4398,170 @@ object SparkEntry {
       s"""WITH st AS (${Derived.partStackSql})
          |SELECT r, c, GREATEST(v1, v2, v3) AS vmax,
          |  LEAST(v1, v2, v3) AS vmin
-         |FROM st""".stripMargin
+         |FROM st""".stripMargin,
+
+    "geo_neighbour_updown" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = false)}
+         |SELECT r, c,
+         |  CAST(sum(CASE WHEN nv < cz THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |  CAST(sum(CASE WHEN nv > cz THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+         |FROM con WHERE NOT (dy = 0 AND dx = 0) GROUP BY r, c""".stripMargin,
+
+    "geo_downslope_dz" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = false)},
+         |con2 AS (SELECT r, c, cz, nv,
+         |  (cz - nv) / (CASE WHEN dy * dy + dx * dx = 2 THEN sqrt(2.0)
+         |    ELSE CAST(1.0 AS DOUBLE) END) AS slope
+         |  FROM con WHERE NOT (dy = 0 AND dx = 0)),
+         |st1 AS (SELECT r, c, max(slope) AS mxs,
+         |  min(CASE WHEN slope >= 0 THEN slope END) AS mns,
+         |  CAST(sum(CASE WHEN slope >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM con2 GROUP BY r, c),
+         |st2 AS (SELECT con2.r, con2.c, max(mxs) AS mxs, max(nn) AS nn,
+         |  max(CASE WHEN slope = mxs THEN cz - nv END) AS dzx,
+         |  max(CASE WHEN slope = mns THEN cz - nv END) AS dzn
+         |  FROM con2 JOIN st1 ON st1.r = con2.r AND st1.c = con2.c
+         |  GROUP BY con2.r, con2.c)
+         |SELECT r, c,
+         |  round(CASE WHEN mxs > 0 THEN dzx ELSE CAST(0.0 AS DOUBLE) END, 6)
+         |    AS max_dz,
+         |  round(CASE WHEN nn > 0 THEN dzn ELSE CAST(0.0 AS DOUBLE) END, 6)
+         |    AS min_dz
+         |FROM st2""".stripMargin,
+
+    "geo_elev_rel_minmax" ->
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
+         |SELECT r, c, round((v - mn) / (mx - mn) * 100, 6) AS rel_elev
+         |FROM g CROSS JOIN st""".stripMargin,
+
+    "geo_elev_rel_watershed" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |e AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc
+         |  FROM p WHERE ptr > 0),
+         |sinks AS (SELECT r, c FROM p WHERE ptr = 0),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e.tr, e.tc
+         |  FROM walk w JOIN e ON w.r = e.r AND w.c = e.c),
+         |hit AS (SELECT w.sr AS r, w.sc AS c, w.r * 50 + w.c AS sink_id
+         |  FROM walk w JOIN sinks s ON s.r = w.r AND s.c = w.c),
+         |jw AS (SELECT h.r, h.c, h.sink_id, g.v
+         |  FROM hit h JOIN g ON g.r = h.r AND g.c = h.c),
+         |mm AS (SELECT r, c, v,
+         |  min(v) OVER (PARTITION BY sink_id) AS mn,
+         |  max(v) OVER (PARTITION BY sink_id) AS mx FROM jw)
+         |SELECT r, c,
+         |  round(CASE WHEN mx > mn THEN (v - mn) / (mx - mn) * 100
+         |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS rel_elev
+         |FROM mm""".stripMargin,
+
+    "geo_extract_valleys" ->
+      s"""WITH g AS ($GRID),
+         |${focalConSql(1, reflect = false)},
+         |nb AS (SELECT r, c,
+         |  max(CASE WHEN dy = 0 AND dx = 0 THEN nv END) AS z,
+         |  max(CASE WHEN dy = -1 AND dx = 0 THEN nv END) AS zn,
+         |  max(CASE WHEN dy = 1 AND dx = 0 THEN nv END) AS zs,
+         |  max(CASE WHEN dy = 0 AND dx = -1 THEN nv END) AS zw,
+         |  max(CASE WHEN dy = 0 AND dx = 1 THEN nv END) AS ze,
+         |  max(CASE WHEN dy = -1 AND dx = -1 THEN nv END) AS znw
+         |  FROM con GROUP BY r, c),
+         |jr AS (SELECT r, c, CAST(CASE
+         |  WHEN zn IS NOT NULL AND zs IS NOT NULL AND zn > z AND zs > z THEN 1
+         |  WHEN zw IS NOT NULL AND ze IS NOT NULL AND zw > z AND ze > z THEN 1
+         |  ELSE 0 END AS BIGINT) AS v_jr FROM nb),
+         |a1 AS (SELECT r, c, z, zn, zw, znw,
+         |  CASE WHEN znw IS NOT NULL AND znw > z THEN znw ELSE z END AS m2,
+         |  CASE WHEN znw IS NOT NULL AND znw > z THEN 1 ELSE 0 END AS w2
+         |  FROM nb),
+         |a2 AS (SELECT *,
+         |  CASE WHEN zn IS NOT NULL AND zn > m2 THEN zn ELSE m2 END AS m3,
+         |  CASE WHEN zn IS NOT NULL AND zn > m2 THEN 2 ELSE w2 END AS w3
+         |  FROM a1),
+         |a3 AS (SELECT *,
+         |  CASE WHEN zw IS NOT NULL AND zw > m3 THEN 3 ELSE w3 END AS w4
+         |  FROM a2),
+         |zset AS (SELECT DISTINCT
+         |  r + CASE WHEN w4 IN (1, 2) THEN -1 ELSE 0 END AS zr,
+         |  c + CASE WHEN w4 IN (1, 3) THEN -1 ELSE 0 END AS zc FROM a3),
+         |pd AS (SELECT g.r, g.c,
+         |  CAST(CASE WHEN zset.zr IS NULL THEN 1 ELSE 0 END AS BIGINT) AS v_pd
+         |  FROM g LEFT JOIN zset ON zset.zr = g.r AND zset.zc = g.c),
+         |offs2 AS (SELECT a.x AS dy, b.x AS dx
+         |  FROM range(-2, 3) a(x) CROSS JOIN range(-2, 3) b(x)),
+         |cq AS (SELECT t.r, t.c, t.v AS cz, s.v AS nv
+         |  FROM g t CROSS JOIN offs2 o
+         |  JOIN g s ON s.r = t.r + o.dy AND s.c = t.c + o.dx),
+         |lq AS (SELECT r, c, CAST(CASE WHEN max(cz) <=
+         |    (list_sort(list(nv)))[CAST(count(*) // 4 + 1 AS BIGINT)]
+         |  THEN 1 ELSE 0 END AS BIGINT) AS v_lq
+         |  FROM cq GROUP BY r, c)
+         |SELECT jr.r, jr.c, jr.v_jr, pd.v_pd, lq.v_lq
+         |FROM jr
+         |JOIN pd ON pd.r = jr.r AND pd.c = jr.c
+         |JOIN lq ON lq.r = jr.r AND lq.c = jr.c""".stripMargin,
+
+    "geo_radiation" -> {
+      val dew = 10.0; val airMass = 2.0; val yDust = 0.1; val albedo = 0.2
+      val wp = 1.12 * math.exp(0.0614 * dew)
+      val tAtm = math.exp((-0.124 - 0.0207 * wp) +
+        (-0.0682 - 0.0248 * wp) * airMass) - yDust
+      val da = 2.0 * math.Pi * (180.0 - 1.0) / 365.0
+      val eo = 1.000110 + (0.034221 * math.cos(da)) +
+        (0.001280 * math.sin(da)) + (0.000719 * math.cos(2 * da)) +
+        (0.000077 * math.sin(2 * da))
+      val decl = 0.006918 - 0.399912 * math.cos(da) +
+        0.070257 * math.sin(da) - 0.006758 * math.cos(2 * da) +
+        (0.000907 * math.cos(3 * da) + 0.00148 * math.sin(3 * da))
+      val ts = math.exp((-0.0363 - 0.0084 * wp) +
+        (-0.0572 - 0.0173 * wp) * airMass)
+      val ys = 1.0 - ts + yDust
+      val lat = math.toRadians(45.0)
+      val omega = 0.2618
+      val thr = -math.acos(-math.tan(decl) * math.tan(lat)) / omega
+      val ths = math.acos(-math.tan(decl) * math.tan(lat)) / omega
+      val degToRad = math.Pi / 180.0
+      val cosLat = math.cos(lat); val sinLat = math.sin(lat)
+      val tanDecl = math.tan(decl); val cosDecl = math.cos(decl)
+      val sinDecl = math.sin(decl)
+      val iscEo = 4.921 * eo
+      val halfYs = 0.5 * ys
+      val kbsC = 0.5 * ys * albedo
+      s"""WITH g AS ($GRID),
+         |$stencilReflectSql,
+         |f AS (SELECT r, c, $FxSql AS fx, $FySql AS fy FROM nb),
+         |ba AS (SELECT r, c,
+         |  round(atan(sqrt(fx * fx + fy * fy)) * $RadToDegLit, 6)
+         |    * $degToRad AS beta,
+         |  round($AspectSql, 6) * $degToRad AS alpha FROM f),
+         |q1 AS (SELECT r, c,
+         |  atan(sin(beta) * sin(alpha) /
+         |    (cos(beta) * $cosLat - sin(beta) * $sinLat * cos(alpha)))
+         |    AS eqslope,
+         |  asin(LEAST(GREATEST(
+         |    sin(beta) * cos(alpha) * $cosLat + cos(beta) * $sinLat,
+         |    -1.0), 1.0)) AS eqlat
+         |  FROM ba),
+         |q2 AS (SELECT r, c, eqslope, eqlat,
+         |  acos(LEAST(GREATEST((0.0 - tan(eqlat)) * $tanDecl, -1.0), 1.0))
+         |    AS acv FROM q1),
+         |q3 AS (SELECT r, c, eqslope, eqlat,
+         |  GREATEST((0.0 - acv - eqslope) / $omega, $thr) AS tsr,
+         |  LEAST((acv - eqslope) / $omega, $ths) AS tss FROM q2),
+         |q4 AS (SELECT r, c,
+         |  $iscEo * (cos(eqlat) * $cosDecl *
+         |    ((sin($omega * tss + eqslope) - sin($omega * tsr + eqslope))
+         |      / $omega)
+         |    + sin(eqlat) * $sinDecl * (tss - tsr)) AS ket FROM q3),
+         |q5 AS (SELECT r, c, ($tAtm * ket) + ($halfYs * ket) AS kg FROM q4)
+         |SELECT r, c, round(11.575 * (kg + $kbsC * kg), 6) AS kcs
+         |FROM q5""".stripMargin
+    }
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

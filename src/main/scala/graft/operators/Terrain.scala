@@ -296,6 +296,80 @@ object Terrain {
   }
 
   /**
+   * RadiationOnSlope (Scripts/RadiationOnSlope.groovy:160-217): total
+   * incident shortwave on a sloping surface — equivalent slope/
+   * latitude, slope-adjusted sunrise/sunset, extraterrestrial Ket,
+   * then diffuse/direct/backscatter composition into Kcs. The
+   * atmospheric scalars (Wp, transmissivities, day angle, declination)
+   * are precomputed constants (dew point 10 C, optical air mass 2,
+   * dust 0.1, albedo 0.2, Julian day 180, latitude 45 N) embedded as
+   * double literals so the DuckDB oracle parses the identical IEEE
+   * values. The three inverse-trig domain edges are clamped to
+   * [-1, 1] on both sides (the reference lets Java produce NaN there;
+   * clamping keeps the slope-noon geometry finite and is the only
+   * deviation). Slope/aspect inputs are the tool outputs rounded to 6
+   * decimals, mirroring the reference's re-read of the float rasters
+   * the Slope/Aspect tools write.
+   */
+  def radiationOnSlope(grid: DataFrame, nRows: Long,
+                       nCols: Long): DataFrame = {
+    val dew = 10.0; val airMass = 2.0; val yDust = 0.1; val albedo = 0.2
+    val wp = 1.12 * math.exp(0.0614 * dew)
+    val tAtm = math.exp((-0.124 - 0.0207 * wp) +
+      (-0.0682 - 0.0248 * wp) * airMass) - yDust
+    val da = 2.0 * math.Pi * (180.0 - 1.0) / 365.0
+    val eo = 1.000110 + (0.034221 * math.cos(da)) +
+      (0.001280 * math.sin(da)) + (0.000719 * math.cos(2 * da)) +
+      (0.000077 * math.sin(2 * da))
+    val decl = 0.006918 - 0.399912 * math.cos(da) +
+      0.070257 * math.sin(da) - 0.006758 * math.cos(2 * da) +
+      (0.000907 * math.cos(3 * da) + 0.00148 * math.sin(3 * da))
+    val ts = math.exp((-0.0363 - 0.0084 * wp) +
+      (-0.0572 - 0.0173 * wp) * airMass)
+    val ys = 1.0 - ts + yDust
+    val lat = math.toRadians(45.0)
+    val omega = 0.2618; val isc = 4.921
+    val thr = -math.acos(-math.tan(decl) * math.tan(lat)) / omega
+    val ths = math.acos(-math.tan(decl) * math.tan(lat)) / omega
+    val degToRad = math.Pi / 180.0
+    def clamp(x: Column) = least(greatest(x, lit(-1.0)), lit(1.0))
+    val slopeDeg = round(
+      atan(sqrt(col("fx") * col("fx") + col("fy") * col("fy"))) *
+        lit(180.0 / math.Pi), 6)
+    val aspectDeg = round(when(col("fx") =!= 0,
+      lit(180.0) - atan(col("fy") / col("fx")) * (180.0 / math.Pi) +
+        lit(90.0) * (col("fx") / abs(col("fx")))).otherwise(lit(-1.0)), 6)
+    fxFy(gatherNeighbors(grid, reflect = true, nRows, nCols))
+      .select(col("r"), col("c"), (slopeDeg * degToRad).as("beta"),
+        (aspectDeg * degToRad).as("alpha"))
+      .select(col("r"), col("c"),
+        atan(sin(col("beta")) * sin(col("alpha")) /
+          (cos(col("beta")) * math.cos(lat) -
+            sin(col("beta")) * math.sin(lat) * cos(col("alpha"))))
+          .as("eqslope"),
+        asin(clamp(sin(col("beta")) * cos(col("alpha")) * math.cos(lat) +
+          cos(col("beta")) * math.sin(lat))).as("eqlat"))
+      .select(col("r"), col("c"), col("eqslope"), col("eqlat"),
+        acos(clamp((lit(0.0) - tan(col("eqlat"))) * math.tan(decl)))
+          .as("acv"))
+      .select(col("r"), col("c"), col("eqslope"), col("eqlat"),
+        greatest((lit(0.0) - col("acv") - col("eqslope")) / omega,
+          lit(thr)).as("tsr"),
+        least((col("acv") - col("eqslope")) / omega, lit(ths)).as("tss"))
+      .select(col("r"), col("c"),
+        (lit(isc * eo) * (cos(col("eqlat")) * math.cos(decl) *
+          ((sin(lit(omega) * col("tss") + col("eqslope")) -
+            sin(lit(omega) * col("tsr") + col("eqslope"))) / omega) +
+          sin(col("eqlat")) * math.sin(decl) * (col("tss") - col("tsr"))))
+          .as("ket"))
+      .select(col("r"), col("c"),
+        ((lit(tAtm) * col("ket")) + (lit(0.5 * ys) * col("ket"))).as("kg"))
+      .select(col("r"), col("c"),
+        round(lit(11.575) * (col("kg") + lit(0.5 * ys * albedo) * col("kg")),
+          6).as("kcs"))
+  }
+
+  /**
    * FindRidges (TerrainAnalysisTools/FindRidges.java:163-210, no
    * line-thinning arm): a cell is a ridge when both its N and S
    * neighbours are lower, or failing that both its W and E
