@@ -1996,7 +1996,206 @@ object SparkEntry {
     // RadiationOnSlope (Scripts/RadiationOnSlope.groovy:160-217)
     "geo_radiation" -> ((s, dir) =>
       operators.Terrain.radiationOnSlope(Derived.partGrid(s, dir),
-        GridRows, GridCols))
+        GridRows, GridCols)),
+
+    // ---- vector shape tools (VectorTools) ----
+
+    // MinimumBoundingBox + LongAxis + ShortAxis (MinimumBounding
+    // Rectangle.java:156-215, AREA criterion; LongAxis.groovy /
+    // MinimumBoundingBox.java consume these fields): per feature,
+    // rotate the vertices to each hull-edge orientation, keep the
+    // minimum-area axis-aligned box. Input = per-supplier triangles
+    // (their own convex hull), varied per feature. Ties between
+    // equal-area orientations break by (area, xaxis, yaxis, psi)
+    // lexicographic — deterministic on both engines, where the
+    // reference depends on JTS hull scan order.
+    "geo_min_bounding_box" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tri = Derived.supplierPoints(s, dir)
+        .select(col("s_id").as("fid"), (col("sx") / 2).as("x0"),
+          (col("sy") / 2).as("y0"))
+        .select(col("fid"), col("x0"), col("y0"),
+          (col("x0") + (lit(5) + col("fid") % 7)).as("bx"),
+          (col("y0") + 2).as("by"),
+          (col("x0") + 3).as("cx"),
+          (col("y0") + (lit(8) + col("fid") % 5)).as("cy"))
+      val verts = tri.select(col("fid"), explode(array(
+        struct(col("x0").as("vx"), col("y0").as("vy")),
+        struct(col("bx").as("vx"), col("by").as("vy")),
+        struct(col("cx").as("vx"), col("cy").as("vy")))).as("v"))
+        .select(col("fid"), col("v.vx").as("vx"), col("v.vy").as("vy"))
+      val mid = verts.groupBy("fid").agg(
+        (min("vx") + (max("vx") - min("vx")) / 2.0).as("midx"),
+        (min("vy") + (max("vy") - min("vy")) / 2.0).as("midy"))
+      // Edge orientations as raw (dx, dy): the ROTATED extents are
+      // computed as dot-product projections / |edge| — polynomial ops
+      // + IEEE sqrt only, so the pick ordering is bit-identical across
+      // engines (sin/cos/atan2 ULPs would flip the near-tied areas the
+      // symmetric triangles produce); psi is kept for the rounded
+      // orientation/centre outputs only.
+      val edges = tri.select(col("fid"), explode(array(
+        struct(lit(0).as("eidx"), (col("bx") - col("x0")).as("edx"),
+          (col("by") - col("y0")).as("edy")),
+        struct(lit(1).as("eidx"), (col("cx") - col("bx")).as("edx"),
+          (col("cy") - col("by")).as("edy")),
+        struct(lit(2).as("eidx"), (col("x0") - col("cx")).as("edx"),
+          (col("y0") - col("cy")).as("edy")))).as("e"))
+        .select(col("fid"), col("e.eidx").as("eidx"),
+          col("e.edx").as("edx"), col("e.edy").as("edy"))
+        .withColumn("elen", sqrt(col("edx") * col("edx") +
+          col("edy") * col("edy")))
+        .withColumn("psi", lit(-1.0) * atan2(col("edy"), col("edx")))
+      val rot = edges.join(verts, Seq("fid")).join(mid, Seq("fid"))
+        .select(col("fid"), col("eidx"), col("psi"),
+          (((col("vx") - col("midx")) * col("edx") +
+            (col("vy") - col("midy")) * col("edy")) / col("elen")).as("xr"),
+          (((col("vx") - col("midx")) * (lit(0.0) - col("edy")) +
+            (col("vy") - col("midy")) * col("edx")) / col("elen")).as("yr"))
+      val ext = rot.groupBy("fid", "eidx")
+        .agg(max("psi").as("psi"), min("xr").as("w"), max("xr").as("e"),
+          min("yr").as("n"), max("yr").as("sx"))
+        .select(col("fid"), col("eidx"), col("psi"), col("w"), col("n"),
+          abs(col("e") - col("w")).as("xaxis"),
+          abs(col("sx") - col("n")).as("yaxis"))
+        .withColumn("value", col("xaxis") * col("yaxis"))
+      val w = Window.partitionBy("fid")
+        .orderBy("value", "xaxis", "yaxis", "eidx")
+      val best = ext.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+      val slope = when(col("xaxis") > col("yaxis"), lit(-1.0) * col("psi"))
+        .otherwise(lit(-1.0) * (lit(math.Pi / 2) + col("psi")))
+      val bx0 = col("w") + col("xaxis") / 2
+      val by0 = col("n") + col("yaxis") / 2
+      best.join(mid, Seq("fid"))
+        .select(col("fid"),
+          round(greatest(col("xaxis"), col("yaxis")), 6).as("long_axis"),
+          round(least(col("xaxis"), col("yaxis")), 6).as("short_axis"),
+          round(lit(1) - least(col("xaxis"), col("yaxis")) /
+            greatest(col("xaxis"), col("yaxis")), 6).as("elongation"),
+          round(lit(90) + atan(tan(lit(-1.0) * slope)) *
+            (180.0 / math.Pi), 6).as("orient"),
+          round(col("value"), 6).as("mbb_area"),
+          round(col("midx") + (bx0 * cos(lit(-1.0) * col("psi")) -
+            by0 * sin(lit(-1.0) * col("psi"))), 6).as("centre_x"),
+          round(col("midy") + (bx0 * sin(lit(-1.0) * col("psi")) +
+            by0 * cos(lit(-1.0) * col("psi"))), 6).as("centre_y"))
+    }),
+
+    // LayerFootprint (VectorTools/LayerFootprint.java): the bounding
+    // rectangle of the whole layer (supplier squares here).
+    "geo_layer_footprint" -> ((s, dir) => {
+      val sq = Derived.supplierSquares(s, dir)
+      sq.agg(min("min_x").as("fx0"), min("min_y").as("fy0"),
+          max("max_x").as("fx1"), max("max_y").as("fy1"))
+        .select(col("fx0"), col("fy0"), col("fx1"), col("fy1"),
+          round((col("fx1") - col("fx0")) * (col("fy1") - col("fy0")), 6)
+            .as("area"))
+    }),
+
+    // ExtendVectorLines (Scripts/ExtendVectorLines.groovy:148-180):
+    // push each polyline end outward by d along its end-segment
+    // bearing (atan2 form), d = 2.
+    "geo_extend_lines" -> ((s, dir) => {
+      val ln = Derived.supplierLines(s, dir)
+        .select(col("line_id"),
+          element_at(col("xs"), 1).as("x1"),
+          element_at(col("ys"), 1).as("y1"),
+          element_at(col("xs"), 2).as("x2"),
+          element_at(col("ys"), 2).as("y2"),
+          element_at(col("xs"), 3).as("x3"),
+          element_at(col("ys"), 3).as("y3"))
+      val sSlope = atan2(col("y1") - col("y2"), col("x1") - col("x2"))
+      val eSlope = atan2(col("y3") - col("y2"), col("x3") - col("x2"))
+      ln.select(col("line_id"),
+        round(col("x1") + lit(2.0) * cos(sSlope), 6).as("xst"),
+        round(col("y1") + lit(2.0) * sin(sSlope), 6).as("yst"),
+        round(col("x3") + lit(2.0) * cos(eSlope), 6).as("xend"),
+        round(col("y3") + lit(2.0) * sin(eSlope), 6).as("yend"))
+    }),
+
+    // SimplifyLineOrPolygon (VectorTools/SimplifyLineOrPolygon.java,
+    // Douglas-Peucker): for the 3-vertex polylines the DP rule is
+    // exactly "keep the middle vertex iff its perpendicular distance
+    // from the end chord exceeds the tolerance" (6.0 here; the varied
+    // triangle vertices make both outcomes occur).
+    "geo_simplify" -> ((s, dir) => {
+      val tri = Derived.supplierPoints(s, dir)
+        .select(col("s_id").as("line_id"), (col("sx") / 2).as("ax"),
+          (col("sy") / 2).as("ay"))
+        .select(col("line_id"), col("ax"), col("ay"),
+          (col("ax") + (lit(5) + col("line_id") % 7)).as("bx"),
+          (col("ay") + 2).as("by"),
+          (col("ax") + 3).as("cx"),
+          (col("ay") + (lit(8) + col("line_id") % 5)).as("cy"))
+      val cross = (col("cx") - col("ax")) * (col("by") - col("ay")) -
+        (col("bx") - col("ax")) * (col("cy") - col("ay"))
+      val dist = abs(cross) / sqrt(
+        (col("cx") - col("ax")) * (col("cx") - col("ax")) +
+          (col("cy") - col("ay")) * (col("cy") - col("ay")))
+      tri.select(col("line_id"),
+        when(dist > 6.0, 3L).otherwise(2L).as("n_points"),
+        round(dist, 6).as("offset_dist"))
+    }),
+
+    // RemovePolygonHoles (VectorTools/RemovePolygonHoles.java): keep
+    // only part 0 (the shell) of each polygon; output the shell
+    // vertex count and shoelace area.
+    "geo_remove_holes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val z = Derived.zones(s)
+      val shellEnd = when(size(col("parts")) > 1,
+        element_at(col("parts"), 2)).otherwise(size(col("xs")))
+      val v = z.select(col("zone_id"), shellEnd.as("ne"),
+          posexplode(col("xs")).as(Seq("i", "vx")), col("ys"))
+        .where(col("i") < col("ne"))
+        .select(col("zone_id"), col("ne"), col("i"), col("vx"),
+          element_at(col("ys"), (col("i") + 1).cast("int")).as("vy"))
+      val w = Window.partitionBy("zone_id").orderBy("i")
+      val vv = v
+        .withColumn("nx", coalesce(lead("vx", 1).over(w),
+          first("vx").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))))
+        .withColumn("ny", coalesce(lead("vy", 1).over(w),
+          first("vy").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))))
+      vv.groupBy("zone_id")
+        .agg(max(col("ne")).cast("long").as("n_shell_vertices"),
+          round(abs(sum(col("vx") * col("ny") - col("nx") * col("vy")))
+            / 2, 6).as("shell_area"))
+    }),
+
+    // ---- upstream channel metrics (§2.10 tail) ----
+
+    // TotalLengthOfUpstreamChannels + FurtherestUpstreamChannelHead
+    // Distance (Scripts/*.groovy): exact nano-int lengths over the
+    // stream-to-stream D8 edges.
+    "geo_upstream_channels" -> ((s, dir) =>
+      operators.Terrain.upstreamChannelStats(Derived.partGrid(s, dir),
+        5L)),
+
+    // LiDAR_Max_interpolation / LiDAR_Min_interpolation /
+    // LiDAR_NN_interpolation (LidarTools): per grid cell the max/min
+    // return z, and the z of the nearest point to the cell centre
+    // (ties by lowest point id), radius-bounded like lidar_idw.
+    "lidar_grid_extremes" -> ((s, dir) => {
+      val lc = Derived.lidarCloud(s, dir)
+      val cell = lc.select(col("pid"), col("x"), col("y"), col("z"),
+        floor(col("y") / 10.0).as("cr"), floor(col("x") / 10.0).as("cc"))
+      val mm = cell.groupBy("cr", "cc")
+        .agg(round(max("z"), 6).as("z_max"), round(min("z"), 6)
+          .as("z_min"))
+      val t = cell.select(col("pid"), col("z"), col("cr"), col("cc"),
+        ((col("x") - (col("cc") * 10.0 + 5.0)) *
+          (col("x") - (col("cc") * 10.0 + 5.0)) +
+          (col("y") - (col("cr") * 10.0 + 5.0)) *
+            (col("y") - (col("cr") * 10.0 + 5.0))).as("d2"))
+      val near = t.groupBy("cr", "cc").agg(min("d2").as("mind2"))
+      val nn = t.join(near, Seq("cr", "cc"))
+        .where(col("d2") === col("mind2"))
+        .groupBy("cr", "cc")
+        .agg(round(min_by(col("z"), col("pid")), 6).as("z_nn"))
+      mm.join(nn, Seq("cr", "cc"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4561,7 +4760,182 @@ object SparkEntry {
          |q5 AS (SELECT r, c, ($tAtm * ket) + ($halfYs * ket) AS kg FROM q4)
          |SELECT r, c, round(11.575 * (kg + $kbsC * kg), 6) AS kcs
          |FROM q5""".stripMargin
-    }
+    },
+
+    "geo_min_bounding_box" -> {
+      val halfPi = math.Pi / 2
+      s"""WITH sp AS ($SPTS),
+         |tri AS (SELECT s_id AS fid, sx / 2 AS x0, sy / 2 AS y0,
+         |  sx / 2 + (5 + s_id % 7) AS bx, sy / 2 + 2 AS "by",
+         |  sx / 2 + 3 AS cx, sy / 2 + (8 + s_id % 5) AS cy FROM sp),
+         |verts AS (SELECT fid, x0 AS vx, y0 AS vy FROM tri
+         |  UNION ALL SELECT fid, bx, "by" FROM tri
+         |  UNION ALL SELECT fid, cx, cy FROM tri),
+         |mid AS (SELECT fid, min(vx) + (max(vx) - min(vx)) / 2.0 AS midx,
+         |  min(vy) + (max(vy) - min(vy)) / 2.0 AS midy
+         |  FROM verts GROUP BY fid),
+         |edges0 AS (SELECT fid, 0 AS eidx, bx - x0 AS edx,
+         |    "by" - y0 AS edy FROM tri
+         |  UNION ALL SELECT fid, 1, cx - bx, cy - "by" FROM tri
+         |  UNION ALL SELECT fid, 2, x0 - cx, y0 - cy FROM tri),
+         |edges AS (SELECT fid, eidx, edx, edy,
+         |  sqrt(edx * edx + edy * edy) AS elen,
+         |  -atan2(edy, edx) AS psi FROM edges0),
+         |rot AS (SELECT e.fid, e.eidx, e.psi,
+         |  ((v.vx - m.midx) * e.edx + (v.vy - m.midy) * e.edy) / e.elen
+         |    AS xr,
+         |  ((v.vx - m.midx) * (0.0 - e.edy) + (v.vy - m.midy) * e.edx)
+         |    / e.elen AS yr
+         |  FROM edges e
+         |  JOIN verts v ON v.fid = e.fid
+         |  JOIN mid m ON m.fid = e.fid),
+         |ext0 AS (SELECT fid, eidx, max(psi) AS psi, min(xr) AS w,
+         |  max(xr) AS e, min(yr) AS n, max(yr) AS sxx
+         |  FROM rot GROUP BY fid, eidx),
+         |ext AS (SELECT fid, eidx, psi, w, n, abs(e - w) AS xaxis,
+         |  abs(sxx - n) AS yaxis, abs(e - w) * abs(sxx - n) AS value
+         |  FROM ext0),
+         |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fid
+         |  ORDER BY value, xaxis, yaxis, eidx) AS rk FROM ext),
+         |best AS (SELECT p.*, m.midx, m.midy FROM pick p
+         |  JOIN mid m ON m.fid = p.fid WHERE rk = 1)
+         |SELECT fid,
+         |  round(GREATEST(xaxis, yaxis), 6) AS long_axis,
+         |  round(LEAST(xaxis, yaxis), 6) AS short_axis,
+         |  round(1 - LEAST(xaxis, yaxis) / GREATEST(xaxis, yaxis), 6)
+         |    AS elongation,
+         |  round(90 + atan(tan(-(CASE WHEN xaxis > yaxis THEN -psi
+         |    ELSE -($halfPi + psi) END))) * $RadToDegLit, 6) AS orient,
+         |  round(value, 6) AS mbb_area,
+         |  round(midx + ((w + xaxis / 2) * cos(-psi)
+         |    - (n + yaxis / 2) * sin(-psi)), 6) AS centre_x,
+         |  round(midy + ((w + xaxis / 2) * sin(-psi)
+         |    + (n + yaxis / 2) * cos(-psi)), 6) AS centre_y
+         |FROM best""".stripMargin
+    },
+
+    "geo_layer_footprint" ->
+      s"""WITH sq AS (${Derived.supplierSquaresSql})
+         |SELECT min(min_x) AS fx0, min(min_y) AS fy0,
+         |  max(max_x) AS fx1, max(max_y) AS fy1,
+         |  round((max(max_x) - min(min_x)) * (max(max_y) - min(min_y)), 6)
+         |    AS area
+         |FROM sq""".stripMargin,
+
+    "geo_extend_lines" ->
+      s"""WITH sp AS ($SPTS),
+         |ln AS (SELECT s_id AS line_id, sx / 2 AS x1, sy / 2 AS y1,
+         |  sx / 2 + 5 AS x2, sy / 2 + 2 AS y2,
+         |  sx / 2 + 3 AS x3, sy / 2 + 8 AS y3 FROM sp)
+         |SELECT line_id,
+         |  round(x1 + 2.0 * cos(atan2(y1 - y2, x1 - x2)), 6) AS xst,
+         |  round(y1 + 2.0 * sin(atan2(y1 - y2, x1 - x2)), 6) AS yst,
+         |  round(x3 + 2.0 * cos(atan2(y3 - y2, x3 - x2)), 6) AS xend,
+         |  round(y3 + 2.0 * sin(atan2(y3 - y2, x3 - x2)), 6) AS yend
+         |FROM ln""".stripMargin,
+
+    "geo_simplify" ->
+      s"""WITH sp AS ($SPTS),
+         |tri AS (SELECT s_id AS line_id, sx / 2 AS ax, sy / 2 AS ay,
+         |  sx / 2 + (5 + s_id % 7) AS bx, sy / 2 + 2 AS "by",
+         |  sx / 2 + 3 AS cx, sy / 2 + (8 + s_id % 5) AS cy FROM sp),
+         |d AS (SELECT line_id,
+         |  abs((cx - ax) * ("by" - ay) - (bx - ax) * (cy - ay))
+         |    / sqrt((cx - ax) * (cx - ax) + (cy - ay) * (cy - ay)) AS dist
+         |  FROM tri)
+         |SELECT line_id,
+         |  CAST(CASE WHEN dist > 6.0 THEN 3 ELSE 2 END AS BIGINT)
+         |    AS n_points,
+         |  round(dist, 6) AS offset_dist
+         |FROM d""".stripMargin,
+
+    "geo_remove_holes" ->
+      s"""WITH zv(zone_id, i, vx, vy) AS (SELECT * FROM (VALUES
+         |  (1, 0, CAST(12.005 AS DOUBLE), CAST(45.005 AS DOUBLE)),
+         |  (1, 1, CAST(13.005 AS DOUBLE), CAST(45.005 AS DOUBLE)),
+         |  (1, 2, CAST(13.005 AS DOUBLE), CAST(46.505 AS DOUBLE)),
+         |  (1, 3, CAST(12.005 AS DOUBLE), CAST(46.505 AS DOUBLE)),
+         |  (2, 0, CAST(-120.005 AS DOUBLE), CAST(-30.005 AS DOUBLE)),
+         |  (2, 1, CAST(-60.005 AS DOUBLE), CAST(-30.005 AS DOUBLE)),
+         |  (2, 2, CAST(-60.005 AS DOUBLE), CAST(30.005 AS DOUBLE)),
+         |  (2, 3, CAST(-120.005 AS DOUBLE), CAST(30.005 AS DOUBLE)),
+         |  (3, 0, CAST(40.005 AS DOUBLE), CAST(-60.005 AS DOUBLE)),
+         |  (3, 1, CAST(80.005 AS DOUBLE), CAST(-60.005 AS DOUBLE)),
+         |  (3, 2, CAST(80.005 AS DOUBLE), CAST(-20.005 AS DOUBLE)),
+         |  (3, 3, CAST(40.005 AS DOUBLE), CAST(-20.005 AS DOUBLE)),
+         |  (4, 0, CAST(0.005 AS DOUBLE), CAST(0.005 AS DOUBLE)),
+         |  (4, 1, CAST(20.005 AS DOUBLE), CAST(1.005 AS DOUBLE)),
+         |  (4, 2, CAST(10.005 AS DOUBLE), CAST(15.005 AS DOUBLE)),
+         |  (5, 0, CAST(100.005 AS DOUBLE), CAST(0.005 AS DOUBLE)),
+         |  (5, 1, CAST(140.005 AS DOUBLE), CAST(0.005 AS DOUBLE)),
+         |  (5, 2, CAST(140.005 AS DOUBLE), CAST(20.005 AS DOUBLE)),
+         |  (5, 3, CAST(120.005 AS DOUBLE), CAST(20.005 AS DOUBLE)),
+         |  (5, 4, CAST(120.005 AS DOUBLE), CAST(40.005 AS DOUBLE)),
+         |  (5, 5, CAST(100.005 AS DOUBLE), CAST(40.005 AS DOUBLE))
+         |  ) v(zone_id, i, vx, vy)),
+         |vv AS (SELECT zone_id, i, vx, vy,
+         |  COALESCE(lead(vx, 1) OVER (PARTITION BY zone_id ORDER BY i),
+         |    first_value(vx) OVER (PARTITION BY zone_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |    AS nx,
+         |  COALESCE(lead(vy, 1) OVER (PARTITION BY zone_id ORDER BY i),
+         |    first_value(vy) OVER (PARTITION BY zone_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |    AS ny
+         |  FROM zv)
+         |SELECT zone_id, CAST(count(*) AS BIGINT) AS n_shell_vertices,
+         |  round(abs(sum(vx * ny - nx * vy)) / 2, 6) AS shell_area
+         |FROM vv GROUP BY zone_id""".stripMargin,
+
+    "geo_upstream_channels" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5)},
+         |se AS (SELECT r, c, tr, tc,
+         |  CASE WHEN abs(tr - r) + abs(tc - c) = 2
+         |    THEN CAST(${operators.Terrain.DiagNano} AS BIGINT)
+         |    ELSE CAST(1000000000 AS BIGINT) END AS d
+         |  FROM sedges),
+         |upr AS (SELECT r AS sr, c AS sc, d AS du, tr AS r, tc AS c FROM se
+         |  UNION SELECT x.sr, x.sc, x.du, e.tr, e.tc
+         |  FROM upr x JOIN se e ON e.r = x.r AND e.c = x.c),
+         |tot AS (SELECT r, c, CAST(sum(du) AS BIGINT) AS t
+         |  FROM upr GROUP BY r, c),
+         |heads AS (SELECT s.r, s.c FROM stream s
+         |  LEFT JOIN indeg d ON d.tr = s.r AND d.tc = s.c
+         |  WHERE COALESCE(d.n, 0) = 0),
+         |wl AS (SELECT r AS sr, c AS sc, tr AS r, tc AS c, d AS len FROM se
+         |  UNION SELECT x.sr, x.sc, e.tr, e.tc, x.len + e.d
+         |  FROM wl x JOIN se e ON e.r = x.r AND e.c = x.c),
+         |hd AS (SELECT wl.r, wl.c, max(len) AS h FROM wl
+         |  JOIN heads ON heads.r = wl.sr AND heads.c = wl.sc
+         |  GROUP BY wl.r, wl.c)
+         |SELECT s.r, s.c,
+         |  CAST(COALESCE(t.t, 0) AS BIGINT) AS total_upstream_nano,
+         |  CAST(COALESCE(hd.h, 0) AS BIGINT) AS head_dist_nano
+         |FROM stream s
+         |LEFT JOIN tot t ON t.r = s.r AND t.c = s.c
+         |LEFT JOIN hd ON hd.r = s.r AND hd.c = s.c""".stripMargin,
+
+    "lidar_grid_extremes" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql}),
+         |cell AS (SELECT pid, x, y, z,
+         |  CAST(floor(y / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cr,
+         |  CAST(floor(x / CAST(10.0 AS DOUBLE)) AS BIGINT) AS cc FROM lc),
+         |mm AS (SELECT cr, cc, round(max(z), 6) AS z_max,
+         |  round(min(z), 6) AS z_min FROM cell GROUP BY 1, 2),
+         |t AS (SELECT pid, z, cr, cc,
+         |  (x - (cc * CAST(10.0 AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+         |    * (x - (cc * CAST(10.0 AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+         |  + (y - (cr * CAST(10.0 AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+         |    * (y - (cr * CAST(10.0 AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+         |    AS d2
+         |  FROM cell),
+         |near AS (SELECT cr, cc, min(d2) AS mind2 FROM t GROUP BY 1, 2),
+         |nn AS (SELECT t.cr, t.cc, round(min_by(z, pid), 6) AS z_nn
+         |  FROM t JOIN near ON near.cr = t.cr AND near.cc = t.cc
+         |  WHERE d2 = mind2 GROUP BY t.cr, t.cc)
+         |SELECT mm.cr, mm.cc, z_max, z_min, z_nn
+         |FROM mm JOIN nn ON nn.cr = mm.cr AND nn.cc = mm.cc""".stripMargin
   )
 
   /** Edge-reflection of index expression `e` into [0, n) — the SQL

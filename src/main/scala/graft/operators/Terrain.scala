@@ -1371,6 +1371,91 @@ object Terrain {
   }
 
   /**
+   * TotalLengthOfUpstreamChannels (Scripts/TotalLengthOfUpstream
+   * Channels.groovy:125-195) + FurtherestUpstreamChannelHeadDistance
+   * (Scripts/FurtherestUpstreamChannelHeadDistance.groovy, same
+   * head-queue walk with max instead of sum): per stream cell, the
+   * summed length of every upstream channel segment, and the longest
+   * along-stream distance from any channel head. Lengths are exact
+   * nano-integers ([[DiagNano]]) so sum/max are order-independent
+   * across engines. Jacobi rounds over the stream-to-stream D8 edges
+   * (one-task Kahn fast path below [[localFixpointMaxRows]], like
+   * [[upslopeFlowpathStats]]); rounds bound the propagated chain
+   * length in the distributed arm.
+   */
+  def upstreamChannelStats(grid: DataFrame, threshold: Long,
+                           rounds: Int = 64): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val (stream, sedges0, _) = streamGraph(grid, threshold)
+    val dNano = when(
+      abs(col("tr") - col("r")) + abs(col("tc") - col("c")) === 2,
+      lit(DiagNano)).otherwise(lit(1000000000L))
+    val edges = sedges0
+      .select(col("r"), col("c"), col("tr"), col("tc"), dNano.as("d"))
+      .localCheckpoint(true)
+    val base = stream.localCheckpoint(true)
+    if (base.count() <= localFixpointMaxRows) {
+      val tagged = base
+        .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+          lit(-1L).as("d"))
+        .unionByName(edges)
+        .as[(Long, Long, Long, Long, Long)]
+      return tagged.coalesce(1).mapPartitions { it =>
+        val rows = it.toArray
+        val cells = rows.filter(_._5 == -1L).map(t => (t._1, t._2))
+        val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+        cells.zipWithIndex.foreach { case (k, i) => idx(k) = i }
+        val n = cells.length
+        val out = Array.fill(n)(-1)
+        val dist = Array.ofDim[Long](n)
+        val indeg = Array.ofDim[Int](n)
+        rows.foreach {
+          case (r, c, tr, tc, d) if d >= 0L =>
+            val s = idx((r, c)); val t = idx((tr, tc))
+            out(s) = t; dist(s) = d; indeg(t) += 1
+          case _ =>
+        }
+        val tot = Array.ofDim[Long](n)
+        val hd = Array.ofDim[Long](n)
+        val stack = scala.collection.mutable.Stack[Int]()
+        (0 until n).foreach(i => if (indeg(i) == 0) stack.push(i))
+        var seen = 0
+        while (stack.nonEmpty) {
+          val i = stack.pop(); seen += 1
+          val t = out(i)
+          if (t >= 0) {
+            tot(t) += tot(i) + dist(i)
+            val cand = hd(i) + dist(i)
+            if (cand > hd(t)) hd(t) = cand
+            indeg(t) -= 1
+            if (indeg(t) == 0) stack.push(t)
+          }
+        }
+        require(seen == n, s"stream graph has a cycle ($seen of $n)")
+        cells.indices.iterator.map(i =>
+          (cells(i)._1, cells(i)._2, tot(i), hd(i)))
+      }.toDF("r", "c", "total_upstream_nano", "head_dist_nano")
+    }
+    var acc = base.withColumn("tot", lit(0L)).withColumn("hd", lit(0L))
+    for (i <- 1 to rounds) {
+      val contrib = edges
+        .join(acc.select(col("r"), col("c"), col("tot").as("__t"),
+          col("hd").as("__h")), Seq("r", "c"))
+        .groupBy(col("tr").as("r"), col("tc").as("c"))
+        .agg(sum(col("__t") + col("d")).as("it"),
+          max(col("__h") + col("d")).as("ih"))
+      acc = base.join(contrib, Seq("r", "c"), "left")
+        .select(col("r"), col("c"),
+          coalesce(col("it"), lit(0L)).as("tot"),
+          coalesce(col("ih"), lit(0L)).as("hd"))
+      if (i % 2 == 0 && i < rounds) acc = acc.localCheckpoint(true)
+    }
+    acc.select(col("r"), col("c"), col("tot").as("total_upstream_nano"),
+      col("hd").as("head_dist_nano"))
+  }
+
+  /**
    * StreamLinkID (StreamNetworkAnalysisTools/StreamLinkID.java
    * semantics): maximal stream segments between junctions; a cell
    * with stream in-degree != 1 heads a new link (junction cells open
