@@ -2173,6 +2173,198 @@ object SparkEntry {
       operators.Terrain.upstreamChannelStats(Derived.partGrid(s, dir),
         5L)),
 
+    // PanSharpening, Brovey arm, co-registered lattice
+    // (PanSharpening.java:313-340): adj = (r+g+b)/3, channel_out =
+    // clip(trunc(ch * p / adj * 255)) with p the min-max-normalised
+    // pan band; packed like the reference's composite.
+    "geo_pan_sharpen" -> ((s, dir) => {
+      val rgb = Derived.rgbChannels(s, dir)
+      val g = Derived.partGrid(s, dir)
+      val st = g.agg(min("v").as("pmn"), max("v").as("pmx"))
+      val j = rgb.join(g, Seq("r", "c")).crossJoin(broadcast(st))
+        .withColumn("p", (col("v") - col("pmn")) / (col("pmx") - col("pmn")))
+        .withColumn("adj", (col("rch") + col("gch") + col("bch")) / 3)
+      def ch(v: String, out: String) = least(greatest(
+        (col(v) * col("p") / col("adj") * 255).cast("long"), lit(0L)),
+        lit(255L)).as(out)
+      j.select(col("r"), col("c"), ch("rch", "ps_r"), ch("gch", "ps_g"),
+          ch("bch", "ps_b"))
+        .withColumn("rgb", lit(4278190080L) + col("ps_b") * 65536 +
+          col("ps_g") * 256 + col("ps_r"))
+    }),
+
+    // DirectDecorrelationStretch (DirectDecorrelationStretch.java:
+    // 240-330, k = 0.5): subtract k*min3 per channel, clip, then
+    // rescale each channel by its own post-stretch maximum.
+    "geo_dds" -> ((s, dir) => {
+      val rgb = Derived.rgbChannels(s, dir)
+      val m = least(col("rch"), col("gch"), col("bch"))
+      def p1(v: String, out: String) = least(greatest(
+        (col(v) - lit(0.5) * m).cast("long"), lit(0L)), lit(255L)).as(out)
+      val s1 = rgb.select(col("r"), col("c"), p1("rch", "r1"),
+        p1("gch", "g1"), p1("bch", "b1"))
+      val mx = s1.agg(max("r1").as("rmx"), max("g1").as("gmx"),
+        max("b1").as("bmx"))
+      def p2(v: String, mxc: String, out: String) = least(greatest(
+        (col(v) / col(mxc).cast("double") * 255).cast("long"), lit(0L)),
+        lit(255L)).as(out)
+      s1.crossJoin(broadcast(mx)).select(col("r"), col("c"),
+        p2("r1", "rmx", "dds_r"), p2("g1", "gmx", "dds_g"),
+        p2("b1", "bmx", "dds_b"))
+    }),
+
+    // FilterLocalContrastEnhancement (FilterLocalContrastEnhancement
+    // .java:300-330): radius-2 circular window; yij = alpha*globalMean
+    // + (1-alpha)*localMean + (z-localMean)*(targetSd/(localSd+1)),
+    // alpha = 0.5, targetSd = 20; windows with sd = 0 emit NoData
+    // (absent rows).
+    "geo_local_contrast" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val gm = g.agg((sum("v") / count(lit(1)).cast("double")).as("gm"))
+      val con = operators.Focal.contributions(g, 2, reflect = false,
+          GridRows, GridCols)
+        .where(col("dy") * col("dy") + col("dx") * col("dx") <= 4)
+      val stats = con.groupBy("r", "c").agg(
+        max(when(col("dy") === 0 && col("dx") === 0, col("nv"))).as("z"),
+        count(lit(1)).cast("double").as("n"),
+        sum("nv").as("sm"), sum(col("nv") * col("nv")).as("sq"))
+      stats.crossJoin(broadcast(gm))
+        .withColumn("avg", col("sm") / col("n"))
+        .withColumn("vr", col("sq") / col("n") - col("avg") * col("avg"))
+        .where(col("n") > 2 && col("vr") > 0)
+        .select(col("r"), col("c"),
+          round((lit(0.5) * col("gm")) + (lit(0.5) * col("avg")) +
+            (col("z") - col("avg")) * (lit(20.0) / (sqrt(col("vr")) + 1)),
+            6).as("enhanced"))
+    }),
+
+    // IHStoRGB (IHStoRGB.java:264-282) chained after the RGBtoIHS
+    // forward pass: reconstruct the normalised channels from (i, h, s)
+    // and emit * 255, the round trip the reference tool pair performs.
+    "geo_ihs_rgb" -> ((s, dir) => {
+      val g = Derived.rgbChannels(s, dir)
+      val st = g.agg(least(min("rch"), min("gch"), min("bch")).as("mnall"),
+        greatest(max("rch"), max("gch"), max("bch")).as("mxall"))
+      def norm(chn: String) = least(greatest(
+        (col(chn) - col("mnall")) / (col("mxall") - col("mnall")),
+        lit(0.0)), lit(1.0))
+      val base = g.crossJoin(broadcast(st)).select(col("r"), col("c"),
+        norm("rch").as("rn"), norm("gch").as("gn"), norm("bch").as("bn"))
+      val iSum = col("rn") + col("gn") + col("bn")
+      val m = least(col("rn"), col("gn"), col("bn"))
+      val hC = when(iSum === 3.0, lit(0.0))
+        .when(m === col("bn"),
+          (col("gn") - col("bn")) / (iSum - lit(3) * col("bn")))
+        .when(m === col("rn"),
+          (col("bn") - col("rn")) / (iSum - lit(3) * col("rn")) + 1)
+        .otherwise((col("rn") - col("gn")) / (iSum - lit(3) * col("gn")) + 2)
+      val wh = base.select(col("r"), col("c"), col("rn"), col("gn"),
+        col("bn"), iSum.as("ih"), hC.as("hh"))
+      val sC = when(col("hh") <= 1.0,
+          (col("ih") - lit(3) * col("bn")) / col("ih"))
+        .when(col("hh") <= 2.0,
+          (col("ih") - lit(3) * col("rn")) / col("ih"))
+        .otherwise((col("ih") - lit(3) * col("gn")) / col("ih"))
+      val ihs = wh.select(col("r"), col("c"), col("ih"), col("hh"),
+        sC.as("ss"))
+      val i0 = col("ih"); val h0 = col("hh"); val s0 = col("ss")
+      val rInv = when(h0 <= 1.0,
+          i0 * (lit(1) + lit(2) * s0 - lit(3) * s0 * h0) / 3)
+        .when(h0 <= 2.0, i0 * (lit(1) - s0) / 3)
+        .otherwise(i0 * (lit(1) - s0 + lit(3) * s0 * (h0 - 2)) / 3)
+      val gInv = when(h0 <= 1.0, i0 * (lit(1) - s0 + lit(3) * s0 * h0) / 3)
+        .when(h0 <= 2.0,
+          i0 * (lit(1) + lit(2) * s0 - lit(3) * s0 * (h0 - 1)) / 3)
+        .otherwise(i0 * (lit(1) - s0) / 3)
+      val bInv = when(h0 <= 1.0, i0 * (lit(1) - s0) / 3)
+        .when(h0 <= 2.0,
+          i0 * (lit(1) - s0 + lit(3) * s0 * (h0 - 1)) / 3)
+        .otherwise(i0 * (lit(1) + lit(2) * s0 - lit(3) * s0 * (h0 - 2)) / 3)
+      ihs.select(col("r"), col("c"),
+        round(rInv * 255, 6).as("rrec"),
+        round(gInv * 255, 6).as("grec"),
+        round(bInv * 255, 6).as("brec"))
+    }),
+
+    // FillMissingDataHoles (FillMissingDataHoles.java:320-375):
+    // NoData holes filled by inverse-squared-distance weighting of the
+    // hole-edge cells. Holes are planted deterministically off the
+    // border, isolated, so the reference's 6-nearest kd-tree set is
+    // replaced by the hole's full 8-neighbour edge ring (tie-free).
+    "geo_fill_holes" -> ((s, dir) => {
+      val hole = (col("r") * 50 + col("c")) % 83 === 17 &&
+        col("r") >= 1 && col("r") <= 38 && col("c") >= 1 && col("c") <= 48
+      val g0 = Derived.partGrid(s, dir).withColumn("is_hole", hole)
+      val present = g0.where(!col("is_hole"))
+      val holes = g0.where(col("is_hole")).select(col("r"), col("c"))
+      val con = operators.Focal.contributions(
+          present.select(col("r"), col("c"), col("v")), 1,
+          reflect = false, GridRows, GridCols)
+        .where(!(col("dy") === 0 && col("dx") === 0))
+      val fill = holes.join(con, Seq("r", "c"))
+        .withColumn("d2", (col("dy") * col("dy") + col("dx") * col("dx"))
+          .cast("double"))
+        .groupBy("r", "c")
+        .agg(sum(lit(1.0) / col("d2")).as("sw"),
+          sum((lit(1.0) / col("d2")) * col("nv")).as("wv"))
+        .select(col("r"), col("c"), (col("wv") / col("sw")).as("filled"))
+      present.select(col("r"), col("c"), col("v").as("filled"))
+        .unionByName(fill)
+        .select(col("r"), col("c"), round(col("filled"), 6).as("filled"))
+    }),
+
+    // MinimumConvexHull (VectorTools/MinimumConvexHull.java): hull of
+    // six derived points per feature (one always interior) via the
+    // all-points-left-of-edge test — integer-difference cross products
+    // so hull membership is exact; area by shoelace over the CCW hull
+    // edges, perimeter by edge-length sum.
+    "geo_convex_hull" -> ((s, dir) => {
+      val base = Derived.supplierPoints(s, dir)
+        .select(col("s_id").as("fid"), (col("sx") / 2).as("x0"),
+          (col("sy") / 2).as("y0"))
+      val pts = base.select(col("fid"), explode(array(
+        struct(lit(0).as("i"), col("x0").as("px"), col("y0").as("py")),
+        struct(lit(1).as("i"),
+          (col("x0") + (lit(17) + col("fid") % 3)).as("px"),
+          (col("y0") + (lit(3) + col("fid") % 3)).as("py")),
+        struct(lit(2).as("i"), (col("x0") + 23).as("px"),
+          (col("y0") + (lit(11) + lit(2) * (col("fid") % 2))).as("py")),
+        struct(lit(3).as("i"),
+          (col("x0") + (lit(9) + col("fid") % 3)).as("px"),
+          (col("y0") + 27).as("py")),
+        struct(lit(4).as("i"), (col("x0") + 2).as("px"),
+          (col("y0") + (lit(17) + col("fid") % 3)).as("py")),
+        struct(lit(5).as("i"), (col("x0") + 11).as("px"),
+          (col("y0") + (lit(9) + col("fid") % 2)).as("py")))).as("p"))
+        .select(col("fid"), col("p.i").as("i"), col("p.px").as("px"),
+          col("p.py").as("py"))
+        .localCheckpoint(true)
+      val pi = pts.select(col("fid"), col("i").as("ia"),
+        col("px").as("ax"), col("py").as("ay"))
+      val pj = pts.select(col("fid"), col("i").as("ib"),
+        col("px").as("bx"), col("py").as("by"))
+      val pk = pts.select(col("fid"), col("i").as("ik"),
+        col("px").as("kx"), col("py").as("ky"))
+      val edges = pi.join(pj, Seq("fid")).where(col("ia") =!= col("ib"))
+      val tested = edges.join(pk, Seq("fid"))
+        .where(col("ik") =!= col("ia") && col("ik") =!= col("ib"))
+        .withColumn("cr",
+          (col("bx") - col("ax")) * (col("ky") - col("ay")) -
+            (col("by") - col("ay")) * (col("kx") - col("ax")))
+        .groupBy(col("fid"), col("ia"), col("ib"), col("ax"), col("ay"),
+          col("bx"), col("by"))
+        .agg(min(when(col("cr") >= 0, 1).otherwise(0)).as("allleft"))
+        .where(col("allleft") === 1)
+      tested.groupBy("fid")
+        .agg(count(lit(1)).as("n_hull"),
+          round(sum(col("ax") * col("by") - col("bx") * col("ay")) / 2, 6)
+            .as("hull_area"),
+          round(sum(sqrt(
+            (col("bx") - col("ax")) * (col("bx") - col("ax")) +
+              (col("by") - col("ay")) * (col("by") - col("ay")))), 6)
+            .as("hull_perim"))
+    }),
+
     // LiDAR_Max_interpolation / LiDAR_Min_interpolation /
     // LiDAR_NN_interpolation (LidarTools): per grid cell the max/min
     // return z, and the z of the nearest point to the cell centre
@@ -4915,6 +5107,152 @@ object SparkEntry {
          |FROM stream s
          |LEFT JOIN tot t ON t.r = s.r AND t.c = s.c
          |LEFT JOIN hd ON hd.r = s.r AND hd.c = s.c""".stripMargin,
+
+    "geo_pan_sharpen" ->
+      s"""WITH rgb AS (${Derived.rgbChannelsSql}),
+         |g AS ($GRID),
+         |st AS (SELECT min(v) AS pmn, max(v) AS pmx FROM g),
+         |j AS (SELECT rgb.r, rgb.c, rch, gch, bch,
+         |  (v - pmn) / (pmx - pmn) AS p,
+         |  (rch + gch + bch) / 3 AS adj
+         |  FROM rgb JOIN g ON g.r = rgb.r AND g.c = rgb.c CROSS JOIN st),
+         |k AS (SELECT r, c,
+         |  LEAST(GREATEST(CAST(trunc(rch * p / adj * 255) AS BIGINT), 0),
+         |    255) AS ps_r,
+         |  LEAST(GREATEST(CAST(trunc(gch * p / adj * 255) AS BIGINT), 0),
+         |    255) AS ps_g,
+         |  LEAST(GREATEST(CAST(trunc(bch * p / adj * 255) AS BIGINT), 0),
+         |    255) AS ps_b
+         |  FROM j)
+         |SELECT r, c, ps_r, ps_g, ps_b,
+         |  4278190080 + ps_b * 65536 + ps_g * 256 + ps_r AS rgb
+         |FROM k""".stripMargin,
+
+    "geo_dds" ->
+      s"""WITH rgb AS (${Derived.rgbChannelsSql}),
+         |s1 AS (SELECT r, c,
+         |  LEAST(GREATEST(CAST(trunc(rch - 0.5 * LEAST(rch, gch, bch))
+         |    AS BIGINT), 0), 255) AS r1,
+         |  LEAST(GREATEST(CAST(trunc(gch - 0.5 * LEAST(rch, gch, bch))
+         |    AS BIGINT), 0), 255) AS g1,
+         |  LEAST(GREATEST(CAST(trunc(bch - 0.5 * LEAST(rch, gch, bch))
+         |    AS BIGINT), 0), 255) AS b1
+         |  FROM rgb),
+         |mx AS (SELECT max(r1) AS rmx, max(g1) AS gmx, max(b1) AS bmx
+         |  FROM s1)
+         |SELECT r, c,
+         |  LEAST(GREATEST(CAST(trunc(r1 / CAST(rmx AS DOUBLE) * 255)
+         |    AS BIGINT), 0), 255) AS dds_r,
+         |  LEAST(GREATEST(CAST(trunc(g1 / CAST(gmx AS DOUBLE) * 255)
+         |    AS BIGINT), 0), 255) AS dds_g,
+         |  LEAST(GREATEST(CAST(trunc(b1 / CAST(bmx AS DOUBLE) * 255)
+         |    AS BIGINT), 0), 255) AS dds_b
+         |FROM s1 CROSS JOIN mx""".stripMargin,
+
+    "geo_local_contrast" ->
+      s"""WITH g AS ($GRID),
+         |gm AS (SELECT sum(v) / CAST(count(*) AS DOUBLE) AS gm FROM g),
+         |${focalConSql(2, reflect = false)},
+         |stats AS (SELECT r, c,
+         |  max(CASE WHEN dy = 0 AND dx = 0 THEN nv END) AS z,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  sum(nv) AS sm, sum(nv * nv) AS sq
+         |  FROM con WHERE dy * dy + dx * dx <= 4 GROUP BY r, c),
+         |k AS (SELECT r, c, z, n, sm / n AS avg,
+         |  sq / n - (sm / n) * (sm / n) AS vr, gm
+         |  FROM stats CROSS JOIN gm)
+         |SELECT r, c,
+         |  round((0.5 * gm) + (0.5 * avg)
+         |    + (z - avg) * (20.0 / (sqrt(vr) + 1)), 6) AS enhanced
+         |FROM k WHERE n > 2 AND vr > 0""".stripMargin,
+
+    "geo_ihs_rgb" ->
+      s"""WITH g AS (${Derived.rgbChannelsSql}),
+         |st AS (SELECT LEAST(min(rch), min(gch), min(bch)) AS mnall,
+         |  GREATEST(max(rch), max(gch), max(bch)) AS mxall FROM g),
+         |n AS (SELECT r, c,
+         |  LEAST(GREATEST((rch - mnall) / CAST(mxall - mnall AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS rn,
+         |  LEAST(GREATEST((gch - mnall) / CAST(mxall - mnall AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS gn,
+         |  LEAST(GREATEST((bch - mnall) / CAST(mxall - mnall AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS bn
+         |  FROM g CROSS JOIN st),
+         |wh AS (SELECT r, c, rn, gn, bn, rn + gn + bn AS ih,
+         |  CASE WHEN rn + gn + bn = 3.0 THEN CAST(0.0 AS DOUBLE)
+         |    WHEN LEAST(rn, gn, bn) = bn
+         |      THEN (gn - bn) / ((rn + gn + bn) - 3 * bn)
+         |    WHEN LEAST(rn, gn, bn) = rn
+         |      THEN (bn - rn) / ((rn + gn + bn) - 3 * rn) + 1
+         |    ELSE (rn - gn) / ((rn + gn + bn) - 3 * gn) + 2 END AS hh
+         |  FROM n),
+         |ihs AS (SELECT r, c, ih, hh,
+         |  CASE WHEN hh <= 1.0 THEN (ih - 3 * bn) / ih
+         |    WHEN hh <= 2.0 THEN (ih - 3 * rn) / ih
+         |    ELSE (ih - 3 * gn) / ih END AS ss
+         |  FROM wh)
+         |SELECT r, c,
+         |  round(CASE WHEN hh <= 1.0
+         |      THEN ih * (1 + 2 * ss - 3 * ss * hh) / 3
+         |    WHEN hh <= 2.0 THEN ih * (1 - ss) / 3
+         |    ELSE ih * (1 - ss + 3 * ss * (hh - 2)) / 3 END * 255, 6)
+         |    AS rrec,
+         |  round(CASE WHEN hh <= 1.0
+         |      THEN ih * (1 - ss + 3 * ss * hh) / 3
+         |    WHEN hh <= 2.0
+         |      THEN ih * (1 + 2 * ss - 3 * ss * (hh - 1)) / 3
+         |    ELSE ih * (1 - ss) / 3 END * 255, 6) AS grec,
+         |  round(CASE WHEN hh <= 1.0 THEN ih * (1 - ss) / 3
+         |    WHEN hh <= 2.0
+         |      THEN ih * (1 - ss + 3 * ss * (hh - 1)) / 3
+         |    ELSE ih * (1 + 2 * ss - 3 * ss * (hh - 2)) / 3 END * 255, 6)
+         |    AS brec
+         |FROM ihs""".stripMargin,
+
+    "geo_fill_holes" ->
+      s"""WITH g AS ($GRID),
+         |g0 AS (SELECT r, c, v,
+         |  ((r * 50 + c) % 83 = 17 AND r >= 1 AND r <= 38
+         |    AND c >= 1 AND c <= 48) AS is_hole FROM g),
+         |present AS (SELECT r, c, v FROM g0 WHERE NOT is_hole),
+         |holes AS (SELECT r, c FROM g0 WHERE is_hole),
+         |offs AS (SELECT a.x AS dy, b.x AS dx
+         |  FROM range(-1, 2) a(x) CROSS JOIN range(-1, 2) b(x)),
+         |conh AS (SELECT h.r, h.c, o.dy, o.dx, p.v AS nv
+         |  FROM holes h CROSS JOIN offs o
+         |  JOIN present p ON p.r = h.r + o.dy AND p.c = h.c + o.dx
+         |  WHERE NOT (o.dy = 0 AND o.dx = 0)),
+         |fill0 AS (SELECT r, c,
+         |  sum(1.0 / CAST(dy * dy + dx * dx AS DOUBLE)) AS sw,
+         |  sum((1.0 / CAST(dy * dy + dx * dx AS DOUBLE)) * nv) AS wv
+         |  FROM conh GROUP BY r, c),
+         |uni AS (SELECT r, c, v AS filled FROM present
+         |  UNION ALL SELECT r, c, wv / sw AS filled FROM fill0)
+         |SELECT r, c, round(filled, 6) AS filled FROM uni""".stripMargin,
+
+    "geo_convex_hull" ->
+      s"""WITH sp AS ($SPTS),
+         |base AS (SELECT s_id AS fid, sx / 2 AS x0, sy / 2 AS y0 FROM sp),
+         |pts AS (SELECT fid, 0 AS i, x0 AS px, y0 AS py FROM base
+         |  UNION ALL SELECT fid, 1, x0 + (17 + fid % 3),
+         |    y0 + (3 + fid % 3) FROM base
+         |  UNION ALL SELECT fid, 2, x0 + 23,
+         |    y0 + (11 + 2 * (fid % 2)) FROM base
+         |  UNION ALL SELECT fid, 3, x0 + (9 + fid % 3), y0 + 27 FROM base
+         |  UNION ALL SELECT fid, 4, x0 + 2, y0 + (17 + fid % 3) FROM base
+         |  UNION ALL SELECT fid, 5, x0 + 11, y0 + (9 + fid % 2) FROM base),
+         |ed AS (SELECT a.fid, a.i AS ia, a.px AS ax, a.py AS ay,
+         |  b.i AS ib, b.px AS bx, b.py AS byy
+         |  FROM pts a JOIN pts b ON b.fid = a.fid AND b.i <> a.i),
+         |tst AS (SELECT e.fid, e.ia, e.ib, e.ax, e.ay, e.bx, e.byy,
+         |  min(CASE WHEN (e.bx - e.ax) * (k.py - e.ay)
+         |      - (e.byy - e.ay) * (k.px - e.ax) >= 0
+         |    THEN 1 ELSE 0 END) AS allleft
+         |  FROM ed e JOIN pts k
+         |    ON k.fid = e.fid AND k.i <> e.ia AND k.i <> e.ib
+         |  GROUP BY e.fid, e.ia, e.ib, e.ax, e.ay, e.bx, e.byy)
+         |SELECT fid, CAST(count(*) AS BIGINT) AS n_hull,
+         |  round(sum(ax * byy - bx * ay) / 2, 6) AS hull_area,
+         |  round(sum(sqrt((bx - ax) * (bx - ax)
+         |    + (byy - ay) * (byy - ay))), 6) AS hull_perim
+         |FROM tst WHERE allleft = 1 GROUP BY fid""".stripMargin,
 
     "lidar_grid_extremes" ->
       s"""WITH lc AS (${Derived.lidarCloudSql}),
