@@ -2365,6 +2365,141 @@ object SparkEntry {
             .as("hull_perim"))
     }),
 
+    // MultiscaleElevationResidualIndex (MultiscaleElevationResidual
+    // Index.groovy:125-210, base 1.8): share of scales at which the
+    // cell sits above its windowed mean. The window means come from a
+    // 2-D integer prefix sum (the reference's integral image) over
+    // scaled-int elevations, so the above-mean test is the exact
+    // z*numCells > windowSum integer comparison on both engines (the
+    // reference's float compare in exact arithmetic). Radii = the
+    // reference's distinct floor(1.8^i) ladder for this grid:
+    // 1, 3, 5, 10, 18.
+    "geo_meri" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val radii = Seq(1, 3, 5, 10, 18)
+      val g = Derived.partGrid(s, dir)
+        .withColumn("zi", round(col("v") * 10).cast("long"))
+      val wRow = Window.partitionBy("r").orderBy("c")
+      val wCol = Window.partitionBy("c").orderBy("r")
+      val ii = g.withColumn("sic", sum("zi").over(wRow))
+        .withColumn("ii", sum("sic").over(wCol))
+        .select(col("r").as("ir"), col("c").as("ic"), col("ii"))
+        .localCheckpoint(true)
+      val tgt = g.select(col("r"), col("c"), col("zi"),
+          explode(lit(radii.toArray)).as("rad"))
+        .withColumn("y1", least(greatest(col("r") - col("rad"), lit(0L)),
+          lit(GridRows - 1)))
+        .withColumn("y2", least(greatest(col("r") + col("rad"), lit(0L)),
+          lit(GridRows - 1)))
+        .withColumn("x1", least(greatest(col("c") - col("rad"), lit(0L)),
+          lit(GridCols - 1)))
+        .withColumn("x2", least(greatest(col("c") + col("rad"), lit(0L)),
+          lit(GridCols - 1)))
+      def corner(yc: String, xc: String, out: String)(df: DataFrame) =
+        df.join(ii, col(yc) === col("ir") && col(xc) === col("ic"))
+          .drop("ir", "ic").withColumnRenamed("ii", out)
+      val withC = corner("y2", "x2", "icc")(
+        corner("y1", "x1", "iaa")(
+          corner("y1", "x2", "ibb")(
+            corner("y2", "x1", "idd")(tgt))))
+      val sumW = col("icc") + col("iaa") - col("ibb") - col("idd")
+      val nCells = (col("y2") - col("y1")) * (col("x2") - col("x1"))
+      withC
+        .withColumn("above",
+          when(col("zi") * nCells > sumW, 1L).otherwise(0L))
+        .groupBy("r", "c")
+        .agg(round(sum("above") / lit(radii.size.toDouble), 4).as("meri"))
+    }),
+
+    // WriteFunctionMemoryInsertion (WriteFunctionMemoryInsertion.java:
+    // 230-257): date-1 band into red, date-2 band into green AND blue,
+    // each min-max scaled to [0,255]; packed composite.
+    "geo_wfmi" -> ((s, dir) => {
+      val g = Derived.rgbChannels(s, dir)
+      val st = g.agg(min("rch").as("rmn"), max("rch").as("rmx"),
+        min("gch").as("gmn"), max("gch").as("gmx"))
+      def chan(v: String, mn: String, mx: String, out: String) =
+        least(greatest(((col(v) - col(mn)) /
+          (col(mx) - col(mn)).cast("double") * 255).cast("long"),
+          lit(0L)), lit(255L)).as(out)
+      g.crossJoin(broadcast(st))
+        .select(col("r"), col("c"), chan("rch", "rmn", "rmx", "wr"),
+          chan("gch", "gmn", "gmx", "wg"))
+        .select(col("r"), col("c"), col("wr"), col("wg"),
+          (lit(4278190080L) + col("wg") * 65536 + col("wg") * 256 +
+            col("wr")).as("rgb"))
+    }),
+
+    // CoordinateSystemTransformation, geographic -> UTM arm
+    // (ConversionTools/CoordinateSystemTransformation.java via
+    // whitebox/georeference/LL2UTM.java:117-186, WGS 84): per-point
+    // zone from longitude, transverse-Mercator series easting/
+    // northing, southern rows offset by 10^7.
+    "geo_utm_project" -> ((s, dir) => {
+      val aAx = 6378137.0; val bAx = 6356752.314
+      val e = math.sqrt(1 - (bAx / aAx) * (bAx / aAx))
+      val esq = 1 - (bAx / aAx) * (bAx / aAx)
+      val e0sq = e * e / (1 - e * e)
+      val k0 = 0.9996
+      val drad = math.Pi / 180
+      val pts = Derived.customerPoints(s, dir)
+      val zone = (lit(1) + floor((col("x") + 180) / 6.0)).cast("long")
+      val base = pts.select(col("id"), col("x"), col("y"),
+          zone.as("zone"))
+        .withColumn("zcm", lit(3) + lit(6) * (col("zone") - 1) - 180)
+        .withColumn("phi", col("y") * drad)
+      val sinPhi = sin(col("phi")); val cosPhi = cos(col("phi"))
+      val tanPhi = tan(col("phi"))
+      val nBig = lit(aAx) /
+        sqrt(lit(1.0) - pow(lit(e) * sinPhi, 2.0))
+      val tT = pow(tanPhi, 2.0)
+      val cC = lit(e0sq) * pow(cosPhi, 2.0)
+      val aA = (col("x") - col("zcm")) * drad * cosPhi
+      val m1 = col("phi") * (1 - esq * (1 / 4.0 + esq *
+        (3 / 64.0 + 5 * esq / 256.0)))
+      val m2 = m1 - sin(lit(2) * col("phi")) * (esq * (3 / 8.0 + esq *
+        (3 / 32.0 + 45 * esq / 1024.0)))
+      val m3 = m2 + sin(lit(4) * col("phi")) * (esq * esq *
+        (15 / 256.0 + esq * 45 / 1024.0))
+      val m4 = m3 - sin(lit(6) * col("phi")) * (esq * esq * esq *
+        (35 / 3072.0))
+      val mArc = m4 * aAx
+      val withT = base.select(col("id"), col("x"), col("y"), col("zone"),
+        nBig.as("nn"), tT.as("tt"), cC.as("cc"), aA.as("aa"),
+        mArc.as("mm"), tanPhi.as("tp"))
+      val xE = lit(k0) * col("nn") * col("aa") * (lit(1) +
+        col("aa") * col("aa") * ((lit(1) - col("tt") + col("cc")) / 6.0 +
+          col("aa") * col("aa") * (lit(5) - lit(18) * col("tt") +
+            col("tt") * col("tt") + lit(72) * col("cc") -
+            lit(58) * e0sq) / 120.0)) + 500000
+      val yN = lit(k0) * (col("mm") + col("nn") * col("tp") *
+        (col("aa") * col("aa") * (lit(1) / 2.0 +
+          col("aa") * col("aa") * ((lit(5) - col("tt") +
+            lit(9) * col("cc") + lit(4) * col("cc") * col("cc")) / 24.0 +
+            col("aa") * col("aa") * (lit(61) - lit(58) * col("tt") +
+              col("tt") * col("tt") + lit(600) * col("cc") -
+              lit(330) * e0sq) / 720.0))))
+      withT.select(col("id"), col("zone"),
+        when(col("y") < 0, "S").otherwise("N").as("hemi"),
+        round(xE, 4).as("easting"),
+        round(when(col("y") < 0, lit(10000000) + yN).otherwise(yN), 4)
+          .as("northing"))
+    }),
+
+    // LongProfile (Scripts/LongProfile.groovy, the chart's underlying
+    // series): per stream cell, the along-flowpath distance to its
+    // outlet and its elevation — the (distance, elevation) long
+    // profile of every stream, as a table.
+    "geo_long_profile" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val fp = operators.Terrain.flowpathLength(g)
+      val st = operators.Terrain.extractStreams(g, 5L)
+        .select(col("r"), col("c"))
+      st.join(fp, Seq("r", "c")).join(g, Seq("r", "c"))
+        .select(col("r"), col("c"), col("fp_len").as("dist_to_outlet"),
+          col("v").as("elev"))
+    }),
+
     // LiDAR_Max_interpolation / LiDAR_Min_interpolation /
     // LiDAR_NN_interpolation (LidarTools): per grid cell the max/min
     // return z, and the z of the nearest point to the cell centre
@@ -5253,6 +5388,113 @@ object SparkEntry {
          |  round(sum(sqrt((bx - ax) * (bx - ax)
          |    + (byy - ay) * (byy - ay))), 6) AS hull_perim
          |FROM tst WHERE allleft = 1 GROUP BY fid""".stripMargin,
+
+    "geo_meri" ->
+      s"""WITH g AS ($GRID),
+         |gz AS (SELECT r, c, CAST(round(v * 10) AS BIGINT) AS zi FROM g),
+         |ii0 AS (SELECT r, c, zi,
+         |  sum(zi) OVER (PARTITION BY r ORDER BY c) AS sic FROM gz),
+         |ii AS (SELECT r AS ir, c AS ic,
+         |  sum(sic) OVER (PARTITION BY ic2 ORDER BY r) AS ii
+         |  FROM (SELECT r, c, sic, c AS ic2 FROM ii0)),
+         |rads AS (SELECT unnest([1, 3, 5, 10, 18]) AS rad),
+         |tgt AS (SELECT gz.r, gz.c, gz.zi, rad,
+         |  LEAST(GREATEST(gz.r - rad, 0), ${GridRows - 1}) AS y1,
+         |  LEAST(GREATEST(gz.r + rad, 0), ${GridRows - 1}) AS y2,
+         |  LEAST(GREATEST(gz.c - rad, 0), ${GridCols - 1}) AS x1,
+         |  LEAST(GREATEST(gz.c + rad, 0), ${GridCols - 1}) AS x2
+         |  FROM gz CROSS JOIN rads),
+         |wc AS (SELECT t.r, t.c, t.zi, t.rad,
+         |  t.y1, t.y2, t.x1, t.x2,
+         |  cc.ii AS icc, aa.ii AS iaa, bb.ii AS ibb, dd.ii AS idd
+         |  FROM tgt t
+         |  JOIN ii cc ON cc.ir = t.y2 AND cc.ic = t.x2
+         |  JOIN ii aa ON aa.ir = t.y1 AND aa.ic = t.x1
+         |  JOIN ii bb ON bb.ir = t.y1 AND bb.ic = t.x2
+         |  JOIN ii dd ON dd.ir = t.y2 AND dd.ic = t.x1)
+         |SELECT r, c, round(sum(CASE WHEN
+         |    zi * ((y2 - y1) * (x2 - x1)) > icc + iaa - ibb - idd
+         |  THEN 1 ELSE 0 END) / 5.0, 4) AS meri
+         |FROM wc GROUP BY r, c""".stripMargin,
+
+    "geo_wfmi" ->
+      s"""WITH g AS (${Derived.rgbChannelsSql}),
+         |st AS (SELECT min(rch) AS rmn, max(rch) AS rmx,
+         |  min(gch) AS gmn, max(gch) AS gmx FROM g),
+         |k AS (SELECT r, c,
+         |  LEAST(GREATEST(CAST(trunc((rch - rmn) / CAST(rmx - rmn AS DOUBLE)
+         |    * 255) AS BIGINT), 0), 255) AS wr,
+         |  LEAST(GREATEST(CAST(trunc((gch - gmn) / CAST(gmx - gmn AS DOUBLE)
+         |    * 255) AS BIGINT), 0), 255) AS wg
+         |  FROM g CROSS JOIN st)
+         |SELECT r, c, wr, wg,
+         |  4278190080 + wg * 65536 + wg * 256 + wr AS rgb
+         |FROM k""".stripMargin,
+
+    "geo_utm_project" -> {
+      val aAx = 6378137.0; val bAx = 6356752.314
+      val e = math.sqrt(1 - (bAx / aAx) * (bAx / aAx))
+      val esq = 1 - (bAx / aAx) * (bAx / aAx)
+      val e0sq = e * e / (1 - e * e)
+      val k0 = 0.9996
+      val drad = math.Pi / 180
+      val mc1 = 1 - esq * (1 / 4.0 + esq * (3 / 64.0 + 5 * esq / 256.0))
+      val mc2 = esq * (3 / 8.0 + esq * (3 / 32.0 + 45 * esq / 1024.0))
+      val mc3 = esq * esq * (15 / 256.0 + esq * 45 / 1024.0)
+      val mc4 = esq * esq * esq * (35 / 3072.0)
+      s"""WITH pts AS ($PTS),
+         |b1 AS (SELECT id, x, y,
+         |  CAST(1 + floor((x + 180) / 6.0) AS BIGINT) AS zone,
+         |  y * $drad AS phi FROM pts),
+         |b2 AS (SELECT id, x, y, zone, phi,
+         |  3 + 6 * (zone - 1) - 180 AS zcm FROM b1),
+         |b3 AS (SELECT id, x, y, zone, phi,
+         |  $aAx / sqrt(1.0 - pow($e * sin(phi), 2.0)) AS nn,
+         |  pow(tan(phi), 2.0) AS tt,
+         |  $e0sq * pow(cos(phi), 2.0) AS cc,
+         |  (x - zcm) * $drad * cos(phi) AS aa,
+         |  ((((phi * $mc1) - sin(2 * phi) * $mc2) + sin(4 * phi) * $mc3)
+         |    - sin(6 * phi) * $mc4) * $aAx AS mm,
+         |  tan(phi) AS tp
+         |  FROM b2),
+         |b4 AS (SELECT id, y, zone,
+         |  $k0 * nn * aa * (1 + aa * aa * ((1 - tt + cc) / 6.0
+         |    + aa * aa * (5 - 18 * tt + tt * tt + 72 * cc
+         |      - 58 * $e0sq) / 120.0)) + 500000 AS xe,
+         |  $k0 * (mm + nn * tp * (aa * aa * (1 / 2.0
+         |    + aa * aa * ((5 - tt + 9 * cc + 4 * cc * cc) / 24.0
+         |      + aa * aa * (61 - 58 * tt + tt * tt + 600 * cc
+         |        - 330 * $e0sq) / 720.0)))) AS yn
+         |  FROM b3)
+         |SELECT id, zone,
+         |  CASE WHEN y < 0 THEN 'S' ELSE 'N' END AS hemi,
+         |  round(xe, 4) AS easting,
+         |  round(CASE WHEN y < 0 THEN 10000000 + yn ELSE yn END, 4)
+         |    AS northing
+         |FROM b4""".stripMargin
+    },
+
+    "geo_long_profile" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5)},
+         |edl AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc,
+         |  (ptr IN (1, 4, 16, 64)) AS diag
+         |  FROM p WHERE ptr > 0),
+         |wfp AS (SELECT r AS sr, c AS sc, r, c,
+         |  CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS nd FROM g
+         |  UNION SELECT w.sr, w.sc, edl.tr, edl.tc,
+         |    w.ns + CASE WHEN edl.diag THEN 0 ELSE 1 END,
+         |    w.nd + CASE WHEN edl.diag THEN 1 ELSE 0 END
+         |  FROM wfp w JOIN edl ON edl.r = w.r AND edl.c = w.c),
+         |term AS (SELECT w.sr AS r, w.sc AS c, w.ns, w.nd
+         |  FROM wfp w JOIN p ON p.r = w.r AND p.c = w.c AND p.ptr = 0)
+         |SELECT s.r, s.c, round(t.ns + t.nd * sqrt(2.0), 6)
+         |    AS dist_to_outlet, g.v AS elev
+         |FROM stream s
+         |JOIN term t ON t.r = s.r AND t.c = s.c
+         |JOIN g ON g.r = s.r AND g.c = s.c""".stripMargin,
 
     "lidar_grid_extremes" ->
       s"""WITH lc AS (${Derived.lidarCloudSql}),
