@@ -55,6 +55,13 @@ class FixpointSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap)
   }
 
+  test("upstream channel stats: local Kahn == distributed Jacobi") {
+    val g = hashGrid(20, 25)
+    both(() => Terrain.upstreamChannelStats(g, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap)
+  }
+
   test("fd8 accumulation: local Jacobi == distributed rounds") {
     val g = hashGrid(20, 25)
     both(() => Terrain.fd8Accum(g, 1.0, rounds = 24).collect()
