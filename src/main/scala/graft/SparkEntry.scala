@@ -2486,6 +2486,11 @@ object SparkEntry {
           .as("northing"))
     }),
 
+    // DownslopeIndex, tangent arm (GeasyTools/DownslopeIndex.java:
+    // 245-300, drop threshold 15): d / distance-to-fall-d downslope.
+    "geo_downslope_index" -> ((s, dir) =>
+      operators.Terrain.downslopeIndex(Derived.partGrid(s, dir), 15.0)),
+
     // LongProfile (Scripts/LongProfile.groovy, the chart's underlying
     // series): per stream cell, the along-flowpath distance to its
     // outlet and its elevation — the (distance, elevation) long
@@ -5473,6 +5478,38 @@ object SparkEntry {
          |    AS northing
          |FROM b4""".stripMargin
     },
+
+    "geo_downslope_index" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |ed AS (SELECT p.r, p.c,
+         |  p.r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  p.c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc,
+         |  (ptr IN (1, 4, 16, 64)) AS diag
+         |  FROM p WHERE ptr > 0),
+         |ed2 AS (SELECT ed.r, ed.c, ed.tr, ed.tc, ed.diag, g2.v AS tz
+         |  FROM ed JOIN g g2 ON g2.r = ed.tr AND g2.c = ed.tc),
+         |wk AS (SELECT p.r AS sr, p.c AS sc, g.v AS zst,
+         |  p.r AS cr, p.c AS cc,
+         |  CAST(0 AS BIGINT) AS ns, CAST(0 AS BIGINT) AS nd
+         |  FROM p JOIN g ON g.r = p.r AND g.c = p.c WHERE p.ptr > 0
+         |  UNION
+         |  SELECT w.sr, w.sc, w.zst, e.tr, e.tc,
+         |    w.ns + CASE WHEN e.diag THEN 0 ELSE 1 END,
+         |    w.nd + CASE WHEN e.diag THEN 1 ELSE 0 END
+         |  FROM wk w JOIN ed2 e ON e.r = w.cr AND e.c = w.cc
+         |  WHERE w.zst - e.tz < 15.0),
+         |qf AS (SELECT w.sr, w.sc,
+         |  15.0 / ((w.ns * 1.0 + w.nd * sqrt(2.0))
+         |    + (CASE WHEN e.diag THEN sqrt(2.0) ELSE 1.0 END) * 15.0
+         |      / (w.zst - e.tz)) AS dsi
+         |  FROM wk w JOIN ed2 e ON e.r = w.cr AND e.c = w.cc
+         |  WHERE w.zst - e.tz >= 15.0),
+         |deadend AS (SELECT w.sr, w.sc, CAST(0.0 AS DOUBLE) AS dsi
+         |  FROM wk w LEFT JOIN ed2 e ON e.r = w.cr AND e.c = w.cc
+         |  WHERE e.tr IS NULL AND w.ns + w.nd > 0)
+         |SELECT sr AS r, sc AS c, round(dsi, 6) AS dsi
+         |FROM (SELECT * FROM qf UNION ALL SELECT * FROM deadend)""".stripMargin,
 
     "geo_long_profile" ->
       s"""WITH RECURSIVE g AS ($GRID),

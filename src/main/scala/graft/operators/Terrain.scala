@@ -1456,6 +1456,119 @@ object Terrain {
   }
 
   /**
+   * DownslopeIndex, tangent arm (GeasyTools/DownslopeIndex.java:
+   * 245-300, drop threshold `d`): walk the D8 path from each cell
+   * until the drop from the START elevation reaches d; the index is
+   * d / flowLength with the final step linearly interpolated. The
+   * reference's inner loop re-reads the START cell for zLastCell
+   * (DownslopeIndex.java:256 uses (row, col), not (y, x)), so the
+   * interpolated step is glen*d/drop and a path that dies before
+   * dropping d emits 0 — mirrored literally here. Start cells that
+   * are themselves pits emit NoData (absent rows). Path lengths are
+   * exact nano-int pairs; rounds bound the walked path length in the
+   * distributed arm (one-task walk below [[localFixpointMaxRows]]).
+   */
+  def downslopeIndex(grid: DataFrame, d: Double,
+                     rounds: Int = 64): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val edges = d8EdgesFromPtr(ptr)
+      .join(grid.select(col("r").as("tr"), col("c").as("tc"),
+        col("v").as("tz")), Seq("tr", "tc"))
+      .select(col("r"), col("c"), col("tr"), col("tc"), col("tz"),
+        when(abs(col("tr") - col("r")) + abs(col("tc") - col("c")) === 2,
+          lit(DiagNano)).otherwise(lit(1000000000L)).as("stepn"))
+      .localCheckpoint(true)
+    val base = grid.select(col("r"), col("c"), col("v")).localCheckpoint(true)
+    if (base.count() <= localFixpointMaxRows) {
+      val tagged = base
+        .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+          col("v").as("tz"), lit(-1L).as("stepn"))
+        .unionByName(edges.select(col("r"), col("c"), col("tr"),
+          col("tc"), col("tz"), col("stepn")))
+        .as[(Long, Long, Long, Long, Double, Long)]
+      return tagged.coalesce(1).mapPartitions { it =>
+        val rows = it.toArray
+        val cellz = new scala.collection.mutable.HashMap[(Long, Long), Double]
+        rows.foreach { case (r, c, _, _, z, sn) =>
+          if (sn == -1L) cellz((r, c)) = z
+        }
+        val nxt = new scala.collection.mutable.HashMap[
+          (Long, Long), (Long, Long, Long)]
+        rows.foreach { case (r, c, tr, tc, _, sn) =>
+          if (sn >= 0L) nxt((r, c)) = (tr, tc, sn)
+        }
+        cellz.iterator.flatMap { case ((sr, sc), zSt) =>
+          if (!nxt.contains((sr, sc))) Iterator.empty
+          else {
+            var cur = (sr, sc); var ns = 0L; var nd = 0L
+            var res: Option[Double] = None; var done = false
+            while (!done) {
+              nxt.get(cur) match {
+                case Some((tr, tc, sn)) =>
+                  val drop = zSt - cellz((tr, tc))
+                  if (drop < d) {
+                    if (sn == 1000000000L) ns += 1 else nd += 1
+                    cur = (tr, tc)
+                  } else {
+                    val prev = ns * 1.0 + nd * math.sqrt(2.0)
+                    val glen = if (sn == 1000000000L) 1.0
+                               else math.sqrt(2.0)
+                    res = Some(d / (prev + glen * d / drop)); done = true
+                  }
+                case None =>
+                  res = if (ns + nd > 0) Some(0.0) else None
+                  done = true
+              }
+            }
+            res.iterator.map(v =>
+              (sr, sc, BigDecimal(v).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }
+      }.toDF("r", "c", "dsi")
+    }
+    // distributed arm: advance every unfinished walker one D8 step per
+    // round; state is O(cells), each round one broadcast-ready join
+    var st = base.join(edges.select(col("r"), col("c")).distinct(),
+        Seq("r", "c"))
+      .select(col("r").as("sr"), col("c").as("sc"), col("v").as("zst"),
+        col("r").as("cr"), col("c").as("cc"),
+        lit(0L).as("ns"), lit(0L).as("nd"),
+        lit(null).cast("double").as("out"), lit(false).as("done"))
+    for (i <- 1 to rounds) {
+      val step = st.where(!col("done"))
+        .join(edges.select(col("r").as("cr"), col("c").as("cc"),
+          col("tr"), col("tc"), col("tz"), col("stepn")),
+          Seq("cr", "cc"), "left")
+      val adv = step.select(col("sr"), col("sc"), col("zst"),
+        when(col("tr").isNotNull && col("zst") - col("tz") < d,
+          col("tr")).otherwise(col("cr")).as("cr"),
+        when(col("tr").isNotNull && col("zst") - col("tz") < d,
+          col("tc")).otherwise(col("cc")).as("cc"),
+        (col("ns") + when(col("tr").isNotNull &&
+          col("zst") - col("tz") < d && col("stepn") === 1000000000L,
+          1L).otherwise(0L)).as("ns"),
+        (col("nd") + when(col("tr").isNotNull &&
+          col("zst") - col("tz") < d && col("stepn") =!= 1000000000L,
+          1L).otherwise(0L)).as("nd"),
+        when(col("tr").isNotNull && col("zst") - col("tz") >= d,
+          lit(d) / ((col("ns") * 1.0 + col("nd") * math.sqrt(2.0)) +
+            when(col("stepn") === 1000000000L, 1.0)
+              .otherwise(math.sqrt(2.0)) * d / (col("zst") - col("tz"))))
+          .when(col("tr").isNull && col("ns") + col("nd") > 0, lit(0.0))
+          .otherwise(lit(null).cast("double")).as("out"),
+        (col("tr").isNull || col("zst") - col("tz") >= d).as("done"))
+      st = st.where(col("done")).unionByName(adv)
+      if (i % 2 == 0 && i < rounds) st = st.localCheckpoint(true)
+    }
+    st.where(col("out").isNotNull)
+      .select(col("sr").as("r"), col("sc").as("c"),
+        round(col("out"), 6).as("dsi"))
+  }
+
+  /**
    * StreamLinkID (StreamNetworkAnalysisTools/StreamLinkID.java
    * semantics): maximal stream segments between junctions; a cell
    * with stream in-degree != 1 heads a new link (junction cells open

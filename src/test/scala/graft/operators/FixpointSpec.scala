@@ -62,6 +62,12 @@ class FixpointSpec extends AnyFunSuite {
         (x.getLong(2), x.getLong(3))).toMap)
   }
 
+  test("downslope index: local walk == distributed stepping") {
+    val g = hashGrid(20, 25)
+    both(() => Terrain.downslopeIndex(g, 15.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap)
+  }
+
   test("fd8 accumulation: local Jacobi == distributed rounds") {
     val g = hashGrid(20, 25)
     both(() => Terrain.fd8Accum(g, 1.0, rounds = 24).collect()
