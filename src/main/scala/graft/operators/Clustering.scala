@@ -326,6 +326,37 @@ object Clustering {
     (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
   }
 
+  /**
+   * InversePrincipalComponentAnalysis (StatsTools/InversePrincipal
+   * ComponentAnalysis.java): reconstruct the attribute space from the
+   * first nComponents component images — x_hat = mean + sum_k
+   * (v_k . (x - mean)) v_k. The loadings (nComponents x dim, tiny)
+   * broadcast into two relational passes (score, back-project); the
+   * eigen solve itself is [[pca]].
+   */
+  def inversePca(emb: DataFrame, nComponents: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val comps = pca(emb, nComponents)._2
+    val cdf = comps.zipWithIndex.toSeq.flatMap { case (v, k) =>
+      v.zipWithIndex.map { case (w, p) => (k, p, w) }
+    }.toDF("k", "pos", "w")
+    val e = Similarity.exploded(emb).localCheckpoint(true)
+    val means = e.groupBy("pos")
+      .agg((sum("ev") / count(lit(1))).as("m"))
+    val cent = e.join(means, Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("ev") - col("m")).as("x"))
+    val scores = cent.join(broadcast(cdf), Seq("pos"))
+      .groupBy("vec_id", "k")
+      .agg(sum(col("x") * col("w")).as("score"))
+    scores.join(broadcast(cdf), Seq("k"))
+      .groupBy("vec_id", "pos")
+      .agg(sum(col("score") * col("w")).as("proj"))
+      .join(means, Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        (col("m") + col("proj")).as("recon"))
+  }
+
   /** DuckDB CTE chain mirroring [[kMeans]] over the `embeddings`
     * view: defines `e`, `c_0`..`c_<iters>` and `a_final`. */
   def kMeansSqlCtes(k: Int, iters: Int): String = {

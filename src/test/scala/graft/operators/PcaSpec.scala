@@ -33,4 +33,25 @@ class PcaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("inverse PCA reconstructs exactly at full rank, monotonically " +
+      "better with more components") {
+    val emb = Derived.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val orig = Similarity.exploded(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val dim = orig.keys.map(_._2).max + 1
+    def err(k: Int): Double = {
+      val rec = Clustering.inversePca(emb, k).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(rec.keySet == orig.keySet)
+      rec.map { case (key, v) =>
+        val d = v - orig(key); d * d
+      }.sum
+    }
+    val eFull = err(dim)
+    assert(eFull < 1e-12, s"full-rank reconstruction error $eFull")
+    val e1 = err(1); val e3 = err(3)
+    assert(e1 > e3 && e3 > eFull,
+      s"errors must fall with rank: $e1 -> $e3 -> $eFull")
+  }
 }
