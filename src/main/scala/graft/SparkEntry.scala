@@ -130,6 +130,61 @@ object SparkEntry {
         .select(col("id").as("c_id"), col("s_id"))
     }),
 
+    // Empirical semivariogram (PlotVariogram's series; the input of
+    // SemivariogramCurveFitter): lag-binned pair dissimilarity from
+    // the cell-bucketed bounded-distance pair join
+    "geo_variogram" -> ((s, dir) => {
+      val sp = Derived.supplierPoints(s, dir)
+        .select(col("s_id").as("id"), col("sx").as("x"),
+          col("sy").as("y"),
+          (lit(25) * (col("s_id") * 6151 % 36000) +
+            lit(50) * (col("s_id") * 4517 % 17000)).as("zq"))
+      operators.Kriging.empiricalVariogram(sp, lagWidth = 8.0,
+        nBins = 10, zScale = 10000.0)
+    }),
+
+    // FindStraightSegments.groovy: split each polyline at vertices
+    // whose deflection angle exceeds the threshold; emit per-segment
+    // vertex count + length. The break test runs on cos(angle) vs
+    // cos(threshold) — same decision as the reference's
+    // degrees(acos(...)) > T without the acos library call, so both
+    // engines compare identical +,*,/,sqrt doubles. Lines are a
+    // deterministic 10-vertex walk per supplier.
+    "geo_straight_segments" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("line_id").orderBy("k")
+      val cosT = math.cos(math.Pi / 6) // 30 degrees
+      val v = Derived.table(s, dir, "supplier")
+        .select(col("s_suppkey").as("line_id"),
+          explode(sequence(lit(0L), lit(9L))).as("k"))
+        .select(col("line_id"), col("k"),
+          (col("k") * 2).cast("double").as("x"),
+          ((col("line_id") * (col("k") + 1) * 7919) % 200)
+            .cast("double") / lit(10.0) as "y")
+      val px = lag("x", 1).over(w); val py = lag("y", 1).over(w)
+      val nx = lead("x", 1).over(w); val ny = lead("y", 1).over(w)
+      val cosang = ((col("x") - px) * (nx - col("x")) +
+        (col("y") - py) * (ny - col("y"))) /
+        (sqrt((col("x") - px) * (col("x") - px) +
+          (col("y") - py) * (col("y") - py)) *
+          sqrt((nx - col("x")) * (nx - col("x")) +
+            (ny - col("y")) * (ny - col("y"))))
+      val marked = v.withColumn("brk",
+          when(col("k") >= 1 && col("k") <= 8 && cosang < cosT, 1L)
+            .otherwise(0L))
+        .withColumn("run_inc", sum(col("brk")).over(w))
+        .withColumn("seg_id",
+          lit(1L) + coalesce(lag("run_inc", 1).over(w), lit(0L)))
+        .withColumn("elen_nano",
+          coalesce(round(sqrt((col("x") - px) * (col("x") - px) +
+            (col("y") - py) * (col("y") - py)) * 1e9).cast("long"),
+            lit(0L)))
+      marked.where(col("k") >= 1) // one row per edge
+        .groupBy("line_id", "seg_id")
+        .agg((count(lit(1)) + 1L).as("n_vertices"),
+          sum(col("elen_nano")).as("len_nano"))
+    }),
+
     // ---- rasterization / zonal / focal / interpolation ----
 
     "geo_rasterize_points" -> ((s, dir) => {
@@ -697,6 +752,20 @@ object SparkEntry {
       operators.Terrain.fd8Accum(Derived.partGrid(s, dir), power = 1.0,
           rounds = 24)
         .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))),
+
+    // MDInf multiple-direction accumulation (FlowAccumMDInf.java,
+    // Seibert & McGlynn): facet-apportioned split over the 8 rays
+    "geo_mdinf_accum" -> ((s, dir) =>
+      operators.Terrain.mdinfAccum(Derived.partGrid(s, dir),
+          hExp = 1.0, rounds = 24)
+        .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))),
+
+    // MDInf apportioning itself (the FlowPointerDinf-analogue surface):
+    // per-cell facet-split edge weights over the 8 rays
+    "geo_mdinf_edges" -> ((s, dir) =>
+      operators.Terrain.mdinfEdges(Derived.partGrid(s, dir), hExp = 1.0)
+        .select(col("r"), col("c"), col("tr"), col("tc"),
+          round(col("w"), 6).as("w"), col("j"))),
 
     // Rho8 stochastic pointer (FlowPointerRho8.java): D8 with
     // hash-seeded random diagonal scaling 1/(2-u)
@@ -1508,6 +1577,12 @@ object SparkEntry {
       operators.Terrain.downslopeDistanceToStream(
         Derived.partGrid(s, dir), threshold = 5L)),
 
+    // FindSaddlePoints.groovy: lowest crest cell draining to each
+    // channel head
+    "geo_saddle_points" -> ((s, dir) =>
+      operators.Terrain.saddlePoints(Derived.partGrid(s, dir),
+        threshold = 5L, width = 50L)),
+
     // Maximum/AverageUpslopeFlowpathLength family (one pass)
     "geo_upslope_flowpath" -> ((s, dir) =>
       operators.Terrain.upslopeFlowpathStats(Derived.partGrid(s, dir))),
@@ -1616,6 +1691,16 @@ object SparkEntry {
     "lidar_idw" -> ((s, dir) =>
       operators.Lidar.idwSurface(Derived.lidarCloud(s, dir),
         rows = 10, cols = 10, cellSize = 10.0, radius = 8.0)),
+
+    // FindFlightlineEdgePoints.groovy: not-withheld points with the
+    // edge-of-flightline bit set, projected to the reference's DBF
+    // fields (FID, Z, I, CLASS, RTN_NUM, NUM_RTNS, SCAN_ANGLE)
+    "lidar_flightline_edge" -> ((s, dir) =>
+      Derived.lidarCloud(s, dir)
+        .where(col("withheld") === 0 && col("edge_flag") === 1)
+        .select(col("pid"), round(col("z"), 6).as("z"),
+          col("intensity"), col("classification"), col("return_num"),
+          col("n_returns"), col("scan_angle"))),
 
     // ---- image enhancement / colour family (ImageProcessingTools) ----
 
@@ -3831,6 +3916,46 @@ object SparkEntry {
          |SELECT nc.link_id, nc.n_cells, COALESCE(ln.len_nano, 0) AS len_nano
          |FROM nc LEFT JOIN ln ON ln.link_id = nc.link_id""".stripMargin,
 
+    "geo_variogram" ->
+      s"""WITH p AS (SELECT s_suppkey AS id,
+         |  ((s_suppkey * 6151) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS x,
+         |  ((s_suppkey * 4517) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE) AS y,
+         |  25 * ((s_suppkey * 6151) % 36000) + 50 * ((s_suppkey * 4517) % 17000) AS zq
+         |  FROM supplier),
+         |pr AS (SELECT a.id, b.id AS rid,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2,
+         |  a.zq - b.zq AS dz
+         |  FROM p a JOIN p b ON a.id < b.id),
+         |lg AS (SELECT CAST(floor(sqrt(dist2) / 8.0e0) AS BIGINT) AS lag, dz
+         |  FROM pr WHERE dist2 <= 6400.0)
+         |SELECT lag, count(*) AS n_pairs,
+         |  round(CAST(sum(dz * dz) AS DOUBLE) /
+         |    (CAST(2.0 AS DOUBLE) * count(*) * CAST(100000000.0 AS DOUBLE)), 6) AS gamma
+         |FROM lg WHERE lag < 10 GROUP BY lag""".stripMargin,
+
+    "geo_straight_segments" ->
+      s"""WITH v AS (SELECT s_suppkey AS line_id, k.k AS k,
+         |  CAST(k.k * 2 AS DOUBLE) AS x,
+         |  CAST((s_suppkey * (k.k + 1) * 7919) % 200 AS DOUBLE) / CAST(10.0 AS DOUBLE) AS y
+         |  FROM supplier CROSS JOIN range(0, 10) k(k)),
+         |m AS (SELECT line_id, k, x, y,
+         |  lag(x) OVER w AS px, lag(y) OVER w AS py,
+         |  lead(x) OVER w AS nx, lead(y) OVER w AS ny
+         |  FROM v WINDOW w AS (PARTITION BY line_id ORDER BY k)),
+         |b AS (SELECT *, CASE WHEN k >= 1 AND k <= 8 AND
+         |  ((x - px) * (nx - x) + (y - py) * (ny - y)) /
+         |  (sqrt((x - px) * (x - px) + (y - py) * (y - py)) *
+         |   sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y))) < 0.8660254037844387e0
+         |  THEN 1 ELSE 0 END AS brk FROM m),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY line_id ORDER BY k) AS run_inc FROM b),
+         |sg AS (SELECT *,
+         |  CAST(1 + COALESCE(lag(run_inc) OVER (PARTITION BY line_id ORDER BY k), 0) AS BIGINT) AS seg_id,
+         |  COALESCE(CAST(round(sqrt((x - px) * (x - px) + (y - py) * (y - py)) * 1e9) AS BIGINT), 0) AS elen_nano
+         |  FROM ri)
+         |SELECT line_id, seg_id, count(*) + 1 AS n_vertices,
+         |  CAST(sum(elen_nano) AS BIGINT) AS len_nano
+         |FROM sg WHERE k >= 1 GROUP BY line_id, seg_id""".stripMargin,
+
     "geo_kriging" -> {
       def gam(h: String) =
         s"CASE WHEN $h >= 15.0 THEN 0.1 + 0.9 ELSE 0.1 + 0.9 * " +
@@ -4028,6 +4153,17 @@ object SparkEntry {
          |$fd8SqlCtes,
          |${accumSqlCtes(24, "fedges", "fa")}
          |SELECT r, c, round(acc, 6) AS acc FROM fa_24""".stripMargin,
+
+    "geo_mdinf_accum" ->
+      s"""WITH g AS ($GRID),
+         |$mdinfSqlCtes,
+         |${accumSqlCtes(24, "mdedges", "mda")}
+         |SELECT r, c, round(acc, 6) AS acc FROM mda_24""".stripMargin,
+
+    "geo_mdinf_edges" ->
+      s"""WITH g AS ($GRID),
+         |$mdinfSqlCtes
+         |SELECT r, c, tr, tc, round(w, 6) AS w, j FROM mdedges""".stripMargin,
 
     "geo_mass_flux" -> {
       val dy = operators.Terrain.dY
@@ -4454,6 +4590,27 @@ object SparkEntry {
          |FROM term t JOIN g gv ON gv.r = t.r AND gv.c = t.c
          |JOIN g sv ON sv.r = t.tr AND sv.c = t.tc""".stripMargin,
 
+    "geo_saddle_points" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |heads AS (SELECT s.r AS hr, s.c AS hc, s.r * 50 + s.c AS head_id
+         |  FROM stream s LEFT JOIN indeg d ON d.tr = s.r AND d.tc = s.c
+         |  WHERE COALESCE(d.n, 0) = 0),
+         |ridge AS (SELECT g.r, g.c, g.v FROM g WHERE NOT EXISTS
+         |  (SELECT 1 FROM e WHERE e.tr = g.r AND e.tc = g.c)),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e.tr, e.tc
+         |  FROM walk w JOIN e ON e.r = w.r AND e.c = w.c
+         |  LEFT JOIN stream s ON s.r = w.r AND s.c = w.c
+         |  WHERE s.r IS NULL),
+         |term AS (SELECT w.sr AS r, w.sc AS c, w.r AS tr, w.c AS tc
+         |  FROM walk w JOIN stream s ON s.r = w.r AND s.c = w.c),
+         |cand AS (SELECT h.head_id, t.r, t.c, rg.v
+         |  FROM term t JOIN ridge rg ON rg.r = t.r AND rg.c = t.c
+         |  JOIN heads h ON h.hr = t.tr AND h.hc = t.tc)
+         |SELECT head_id, r, c, v AS saddle_z FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY head_id ORDER BY v, r, c) = 1""".stripMargin,
+
     "geo_downslope_dist_stream" ->
       s"""WITH RECURSIVE g AS ($GRID),
          |${streamSqlCtes(5L)},
@@ -4694,6 +4851,12 @@ object SparkEntry {
          |FROM pick""".stripMargin,
 
     // ---- LiDAR gridding family ----
+
+    "lidar_flightline_edge" ->
+      s"""WITH lc AS (${Derived.lidarCloudSql})
+         |SELECT pid, round(z, 6) AS z, intensity, classification,
+         |  return_num, n_returns, scan_angle
+         |FROM lc WHERE withheld = 0 AND edge_flag = 1""".stripMargin,
 
     "lidar_bare_earth" ->
       s"""WITH lc AS (${Derived.lidarCloudSql})
@@ -5750,6 +5913,107 @@ object SparkEntry {
        |ftot AS MATERIALIZED (SELECT *, $tot AS tot FROM frl
        |  WHERE $tot > 0),
        |fedges AS MATERIALIZED (
+       |$arms)""".stripMargin
+  }
+
+  /** MDInf facet/valley/portion CTEs (mirrors Terrain.mdinfEdges
+    * stage by stage; constants printed from the identical Scala
+    * doubles so both engines compare the same bits). hExp fixed 1.0.
+    * Every real literal gets an `e0` suffix: DuckDB otherwise types
+    * bare 17-significant-digit decimals as DECIMAL(17,16), whose
+    * integer mantissa exceeds 2^53 and loses an ulp on the cast to
+    * DOUBLE (CASE-branch unification triggers exactly that). */
+  private lazy val mdinfSqlCtes: String = {
+    val myd = operators.Terrain.mYd
+    val mxd = operators.Terrain.mXd
+    val mdd = Seq(1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0),
+      1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0))
+    val pi = math.Pi
+    def D(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val h = "1.0e0"
+    val joins = (0 until 8).map(m =>
+      s"LEFT JOIN g q$m ON q$m.r = g.r + ${myd(m)} AND q$m.c = g.c + ${mxd(m)}")
+      .mkString("\n")
+    val ps = (0 until 8).map(m => s"q$m.v AS p$m").mkString(", ")
+    def facet(m: Int): (String, String) = {
+      val m1 = (m + 1) % 8
+      val nx = s"(${D(myd(m).toDouble)} * (p$m1 - v) - ${D(myd(m1).toDouble)} * (p$m - v))"
+      val ny = s"(${D(mxd(m1).toDouble)} * (p$m - v) - ${D(mxd(m).toDouble)} * (p$m1 - v))"
+      val nzd = (mxd(m) * myd(m1) - mxd(m1) * myd(m)).toDouble
+      val hr0 = s"CASE WHEN $nx = 0 THEN (CASE WHEN $ny >= 0 THEN 0.0e0 ELSE ${D(pi)} END)" +
+        s" ELSE (CASE WHEN $nx >= 0 THEN ${D(pi / 2)} - atan($ny / $nx)" +
+        s" ELSE ${D(3 * pi / 2)} - atan($ny / $nx) END) END"
+      val xq = s"(${D(nzd)} / sqrt($nx * $nx + $ny * $ny + ${D(nzd * nzd)}))"
+      val hs0 = s"-(sqrt(1.0e0 - $xq * $xq) / $xq)"
+      val lo = D(m * pi / 4)
+      val hi = D((m + 1) * pi / 4)
+      val m1q = D(m1 * pi / 4)
+      val clamp = s"(($hr0) < $lo OR ($hr0) > $hi)"
+      val hr =
+        s"""CASE WHEN (p$m IS NOT NULL AND p$m1 IS NOT NULL) THEN
+           | (CASE WHEN $clamp THEN (CASE WHEN p$m < p$m1 THEN $lo ELSE $m1q END)
+           |  ELSE ($hr0) END)
+           | WHEN (p$m IS NOT NULL AND p$m < v) THEN $lo
+           | ELSE 0.0 END""".stripMargin.replace("\n", "")
+      val hs =
+        s"""CASE WHEN (p$m IS NOT NULL AND p$m1 IS NOT NULL) THEN
+           | (CASE WHEN $clamp THEN (CASE WHEN p$m < p$m1
+           |   THEN (v - p$m) / ${D(mdd(m))} ELSE (v - p$m1) / ${D(mdd(m1))} END)
+           |  ELSE ($hs0) END)
+           | WHEN (p$m IS NOT NULL AND p$m < v) THEN (v - p$m) / ${D(mdd(m1))}
+           | ELSE NULL END""".stripMargin.replace("\n", "")
+      (hr, hs)
+    }
+    val facetCols = (0 until 8).map { m =>
+      val (hr, hs) = facet(m)
+      s"($hr) AS hr$m,\n  ($hs) AS hs$m"
+    }.mkString(",\n  ")
+    def vl(m: Int): String = {
+      val m1 = (m + 1) % 8; val mp = (m + 7) % 8
+      val lo = D(m * pi / 4)
+      val hi = D((m + 1) * pi / 4)
+      s"""CASE WHEN (hs$m IS NOT NULL AND hs$m > 0) THEN
+         | (CASE WHEN (hr$m > $lo AND hr$m < $hi) THEN hs$m
+         |  WHEN hr$m = hr$m1 THEN hs$m
+         |  WHEN (hs$m1 IS NULL AND hr$m = $hi) THEN hs$m
+         |  WHEN (hs$mp IS NULL AND hr$m = $lo) THEN hs$m
+         |  ELSE 0.0 END)
+         | ELSE 0.0 END""".stripMargin.replace("\n", "")
+    }
+    val vlCols = (0 until 8).map(m => s"(${vl(m)}) AS vl$m")
+      .mkString(",\n  ")
+    val vsum = (0 until 8).map(m => s"pow(vl$m, $h)").mkString(" + ")
+    def wgt(m: Int) = s"(pow(vl$m, $h) / vsum)"
+    def rrS(m: Int): String =
+      if (m == 7) s"(CASE WHEN hr7 = 0 THEN ${D(2 * pi)} ELSE hr7 END)"
+      else s"hr$m"
+    def portion(d: Int): String = {
+      val prev = (d + 7) % 8
+      val hid = D((d + 1) * pi / 4)
+      val lop = D(prev * pi / 4)
+      val pi4 = D(pi / 4)
+      s"(CASE WHEN ${wgt(d)} > 0 THEN (${wgt(d)} * ($hid - ${rrS(d)})) / $pi4 ELSE 0.0 END)" +
+        s" + (CASE WHEN ${wgt(prev)} > 0 THEN (${wgt(prev)} * (${rrS(prev)} - $lop)) / $pi4 ELSE 0.0 END)"
+    }
+    val arms = (0 until 8).map { d =>
+      s"""SELECT * FROM (SELECT r, c, r + ${myd(d)} AS tr,
+         |  c + ${mxd(d)} AS tc, ${portion(d)} AS w, ${(11 - d) % 8} AS j
+         |  FROM mdw) WHERE w > 0""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""mnb AS (SELECT g.r, g.c, g.v, $ps FROM g
+       |$joins),
+       |mf AS MATERIALIZED (SELECT r, c,
+       |  $facetCols
+       |  FROM mnb),
+       |mvl AS (SELECT r, c, hr0, hr1, hr2, hr3, hr4, hr5, hr6, hr7,
+       |  $vlCols
+       |  FROM mf),
+       |mdw AS MATERIALIZED (SELECT * FROM
+       |  (SELECT *, $vsum AS vsum FROM mvl) WHERE vsum > 0),
+       |mdedges AS MATERIALIZED (
        |$arms)""".stripMargin
   }
 

@@ -393,7 +393,12 @@ object Derived {
         .as("classification"),
       (p("p_partkey") % 3 + 1).as("n_returns"),
       (p("p_partkey") * 7 % (p("p_partkey") % 3 + 1) + 1)
-        .as("return_num"))
+        .as("return_num"),
+      (p("p_partkey") * 13 % 61 - 30).as("scan_angle"),
+      when(p("p_partkey") % 17 === 0, 1L).otherwise(0L)
+        .as("edge_flag"),
+      when(p("p_partkey") % 97 === 0, 1L).otherwise(0L)
+        .as("withheld"))
     base.withColumn("z",
       (col("x") * 3.0 + col("y") * 2.0) / 10.0 +
         when(col("classification") === 1,
@@ -412,6 +417,9 @@ object Derived {
       |    (p_partkey * 11) % 256 AS intensity,
       |    CASE WHEN p_partkey % 5 < 3 THEN 2 ELSE 1 END AS classification,
       |    p_partkey % 3 + 1 AS n_returns,
-      |    (p_partkey * 7) % (p_partkey % 3 + 1) + 1 AS return_num
+      |    (p_partkey * 7) % (p_partkey % 3 + 1) + 1 AS return_num,
+      |    (p_partkey * 13) % 61 - 30 AS scan_angle,
+      |    CASE WHEN p_partkey % 17 = 0 THEN 1 ELSE 0 END AS edge_flag,
+      |    CASE WHEN p_partkey % 97 = 0 THEN 1 ELSE 0 END AS withheld
       |  FROM part)""".stripMargin
 }

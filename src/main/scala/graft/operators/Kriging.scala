@@ -105,6 +105,42 @@ object Kriging {
   }
 
   /**
+   * Empirical semivariogram — the series PlotVariogram charts and
+   * SemivariogramCurveFitter.java fits its models to (reference:
+   * whitebox/stats/SemivariogramCurveFitterProblem.java): bin point
+   * pairs by separation distance into `nBins` lags of width
+   * `lagWidth`, γ(lag) = avg over pairs of 0.5·(z_i − z_j)².
+   *
+   * Scale design: pairs come from the cell-bucketed bounded-distance
+   * join (only the 3×3 cell neighbourhood at the max-lag resolution
+   * meets — never an all-pairs cross join), counted once via id
+   * ordering. z arrives as a scaled long (`zq` = z·zScale) so the
+   * per-lag squared-difference sum is an exact integer — order-free
+   * and bit-identical across engines; at web scale swap the long for
+   * a DECIMAL(38) sum before ~2^63/(Δzq²·pairs) overflows.
+   *
+   * `points`: (id, x, y, zq) -> (lag, n_pairs, gamma).
+   */
+  def empiricalVariogram(points: DataFrame, lagWidth: Double,
+                         nBins: Int, zScale: Double): DataFrame = {
+    val maxLag = lagWidth * nBins
+    val r = points.select(col("id").as("rid"), col("x").as("rx"),
+      col("y").as("ry"), col("zq").as("rzq"))
+    SpatialJoins.distanceJoin(points, r, maxLag)
+      .where(col("id") < col("rid"))
+      .withColumn("lag", floor(sqrt(col("dist2")) / lagWidth))
+      .where(col("lag") < nBins)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("zq") - col("rzq")) * (col("zq") - col("rzq")))
+          .as("__ss"))
+      .select(col("lag"), col("n_pairs"),
+        round(col("__ss").cast("double") /
+          (lit(2.0) * col("n_pairs") * lit(zScale * zScale)), 6)
+          .as("gamma"))
+  }
+
+  /**
    * k = 2 closed-form ordinary kriging used by the oracle query:
    * neighbour rank by (dist², sid); w1 = (1 − (γ1t − γ2t)/γ12)/2.
    * Input `nnPivot` must carry (sx1, sy1, sv1, d21, sx2, sy2, sv2,

@@ -1020,6 +1020,147 @@ object Terrain {
                rounds: Int = 24): DataFrame =
     weightedAccum(fd8Edges(grid, power), grid, rounds)
 
+  /** MDInf neighbour order (GeasyTools/FlowAccumMDInf.java:50-52,
+    * Seibert & McGlynn): m = 0 is north, sweeping west-about. Maps to
+    * the shared dY/dX order (NE clockwise) as n(7 - m). */
+  private[graft] val mYd = Seq(-1, -1, 0, 1, 1, 1, 0, -1)
+  private[graft] val mXd = Seq(0, -1, -1, -1, 0, 1, 1, 1)
+  private val mDd = Seq(1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0),
+    1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0))
+
+  /**
+   * MDInf weighted edges (FlowAccumMDInf.java:413-570, the Seibert &
+   * McGlynn 2007 multiple-direction Dinf): eight triangular facets
+   * between consecutive neighbour rays; each facet gets a downslope
+   * direction hr (clamped into its 45-degree wedge, falling back to
+   * the lower of its two edge neighbours) and slope hs; facets whose
+   * direction survives the reference's valley tests contribute
+   * hs^hExp / Σ hs^hExp of the cell's flow, split between the facet's
+   * two bounding rays by angular position.
+   *
+   * hs is the facet-plane gradient magnitude computed algebraically as
+   * -sqrt(1 - x²)/x with x = nz/|n| — the exact value of the
+   * reference's -tan(acos(x)) without the tan/acos library calls (so
+   * both engines evaluate identical arithmetic). The p1-only fallback
+   * keeps the reference's dd[ii] divisor verbatim. Output matches
+   * [[dinfEdges]]'s (r, c, tr, tc, w, j) contract so
+   * [[weightedAccum]]'s fixed-slot pivot applies unchanged.
+   */
+  private[graft] def mdinfEdges(grid: DataFrame,
+                                hExp: Double): DataFrame = {
+    require(hExp < 10,
+      "hExp >= 10 selects the reference's single-direction arm; use d8")
+    val pi = math.Pi
+    val nb = gatherNeighbors(grid).select(
+      col("r") +: col("c") +: col("v") +:
+        (0 until 8).map(m => col(s"n${7 - m}").as(s"p$m")): _*)
+    def p(m: Int) = col(s"p${m % 8}")
+    // facet downslope direction + slope (FlowAccumMDInf.java:443-501)
+    def hrhs(m: Int): (Column, Column) = {
+      val m1 = (m + 1) % 8
+      val z1 = p(m) - col("v")
+      val z2 = p(m1) - col("v")
+      val nxc = lit(mYd(m).toDouble) * z2 - lit(mYd(m1).toDouble) * z1
+      val nyc = lit(mXd(m1).toDouble) * z1 - lit(mXd(m).toDouble) * z2
+      val nzd = (mXd(m) * mYd(m1) - mXd(m1) * mYd(m)).toDouble
+      val hr0 = when(nxc === 0,
+          when(nyc >= 0, lit(0.0)).otherwise(lit(pi)))
+        .otherwise(when(nxc >= 0, lit(pi / 2) - atan(nyc / nxc))
+          .otherwise(lit(3 * pi / 2) - atan(nyc / nxc)))
+      val xq = lit(nzd) / sqrt(nxc * nxc + nyc * nyc + lit(nzd * nzd))
+      val hs0 = -(sqrt(lit(1.0) - xq * xq) / xq)
+      val lo = lit(m * pi / 4)
+      val hi = lit((m + 1) * pi / 4)
+      val clamp = hr0 < lo || hr0 > hi
+      val both = p(m).isNotNull && p(m1).isNotNull
+      val hr = when(both,
+          when(clamp,
+            when(p(m) < p(m1), lo).otherwise(lit(m1 * pi / 4)))
+            .otherwise(hr0))
+        .when(p(m).isNotNull && p(m) < col("v"), lo)
+        .otherwise(lit(0.0))
+      val hs = when(both,
+          when(clamp,
+            when(p(m) < p(m1), (col("v") - p(m)) / mDd(m))
+              .otherwise((col("v") - p(m1)) / mDd(m1)))
+            .otherwise(hs0))
+        .when(p(m).isNotNull && p(m) < col("v"),
+          (col("v") - p(m)) / mDd(m1))
+        .otherwise(lit(null).cast("double"))
+      (hr, hs)
+    }
+    // materialize the facet stage: downstream valley tests reference
+    // adjacent facets, which would otherwise duplicate each facet
+    // tree 3x (same CollapseProject blowup dinfPointer guards against)
+    val withF = nb.select(
+      (col("r") +: col("c") +:
+        (0 until 8).flatMap { m =>
+          val (hr, hs) = hrhs(m)
+          Seq(hr.as(s"hr$m"), hs.as(s"hs$m"))
+        }): _*)
+      .localCheckpoint(true)
+    def hrc(m: Int) = col(s"hr${m % 8}")
+    def hsc(m: Int) = col(s"hs${m % 8}")
+    // valley tests (FlowAccumMDInf.java:504-529): a facet flows iff
+    // its direction is strictly inside its wedge, or degenerately on a
+    // wedge border shared with an equal-direction / NoData neighbour
+    def valleyCol(m: Int): Column = {
+      val lo = lit(m * pi / 4); val hi = lit((m + 1) * pi / 4)
+      when(hsc(m).isNotNull && hsc(m) > 0,
+        when(hrc(m) > lo && hrc(m) < hi, hsc(m))
+          .when(hrc(m) === hrc(m + 1), hsc(m))
+          .when(hsc(m + 1).isNull && hrc(m) === hi, hsc(m))
+          .when(hsc(m + 7).isNull && hrc(m) === lo, hsc(m))
+          .otherwise(lit(0.0)))
+        .otherwise(lit(0.0))
+    }
+    val withV = withF.select(
+      (Seq(col("r"), col("c")) ++
+        (0 until 8).map(m => hrc(m)) ++
+        (0 until 8).map(m => valleyCol(m).as(s"vl$m"))): _*)
+      .withColumn("__vsum",
+        (0 until 8).map(m => pow(col(s"vl$m"), lit(hExp)))
+          .reduce(_ + _))
+      .where(col("__vsum") > 0)
+      .localCheckpoint(true)
+    def wgt(m: Int) = pow(col(s"vl$m"), lit(hExp)) / col("__vsum")
+    // rFacet[7] == 0 -> 2π (FlowAccumMDInf.java:547-549) so facet 7's
+    // angular split sees north as 2π, not 0
+    def rr(m: Int): Column =
+      if (m == 7) when(col("hr7") === 0, lit(2 * pi))
+        .otherwise(col("hr7"))
+      else col(s"hr$m")
+    // portion to ray d = own-facet share + previous-facet share
+    // (two-term add is order-free; zero terms are exact no-ops)
+    def portion(d: Int): Column = {
+      val prev = (d + 7) % 8
+      val own = when(wgt(d) > 0,
+        (wgt(d) * (lit((d + 1) * pi / 4) - rr(d))) / lit(pi / 4))
+        .otherwise(lit(0.0))
+      val fromPrev = when(wgt(prev) > 0,
+        (wgt(prev) * (rr(prev) - lit(prev * pi / 4))) / lit(pi / 4))
+        .otherwise(lit(0.0))
+      own + fromPrev
+    }
+    val arms = (0 until 8).map { d =>
+      withV.withColumn("__w", portion(d))
+        .where(col("__w") > 0)
+        .select(col("r"), col("c"),
+          (col("r") + mYd(d)).as("tr"), (col("c") + mXd(d)).as("tc"),
+          col("__w").as("w"),
+          // source direction relative to target in the shared dY/dX
+          // order: repo index of mdinf ray d is 7-d; opposite is +4
+          lit((11 - d) % 8).as("j"))
+    }
+    arms.reduce(_.unionByName(_))
+  }
+
+  /** MDInf flow accumulation (FlowAccumMDInf.java): 1 + Seibert &
+    * McGlynn facet-apportioned inflow, via [[weightedAccum]]. */
+  def mdinfAccum(grid: DataFrame, hExp: Double = 1.0,
+                 rounds: Int = 24): DataFrame =
+    weightedAccum(mdinfEdges(grid, hExp), grid, rounds)
+
   /**
    * DirectionalRelief for the east azimuth (TerrainAnalysisTools/
    * DirectionalRelief.java:337-392): mean elevation of every cell in
@@ -1990,6 +2131,62 @@ object Terrain {
       .join(grid.select(col("r"), col("c"), col("v")), Seq("r", "c"))
       .select(col("r"), col("c"),
         round(col("v") - col("sv"), 6).as("elev_above"))
+  }
+
+  /**
+   * FindSaddlePoints.groovy: (1) channel heads = stream cells with no
+   * inflowing stream neighbour (:108-127); (2) every ridge cell —
+   * here, cells receiving no D8 inflow at all, the zero-accumulation
+   * crest set — walks its D8 flowpath to the FIRST stream cell it
+   * reaches (:138-170, the same absorbing pointer chase as
+   * [[elevAboveStream]]); (3) per channel head, the minimum-elevation
+   * ridge cell draining to it is that head's saddle point (the
+   * reference's strict < under row-major scan = the (z, r, c)
+   * lexicographic minimum). Head ids are coordinate-packed
+   * (r·width + c) per the repo's streamLinkId convention rather than
+   * scan-sequential. Heads reached by no ridge walker are absent
+   * (minElev stays infinite in the reference).
+   */
+  def saddlePoints(grid: DataFrame, threshold: Long,
+                   width: Long): DataFrame = {
+    val (stream, _, indeg) = streamGraph(grid, threshold)
+    val heads = stream
+      .join(indeg.select(col("tr").as("r"), col("tc").as("c"),
+        col("n")), Seq("r", "c"), "left")
+      .where(coalesce(col("n"), lit(0L)) === 0)
+      .select(col("r").as("tr"), col("c").as("tc"),
+        (col("r") * width + col("c")).as("head_id"))
+    val edges = d8Edges(grid).localCheckpoint(true)
+    val ridge = grid.select(col("r"), col("c"), col("v"))
+      .join(edges.select(col("tr").as("r"), col("tc").as("c"))
+        .distinct().withColumn("__in", lit(true)),
+        Seq("r", "c"), "left")
+      .where(col("__in").isNull)
+      .select(col("r"), col("c"), col("v"))
+    val ptr = d8Pointer(grid)
+    val dyExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dY(i))).otherwise(acc)
+    }
+    val dxExpr = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ptr") === (1 << i), lit(dX(i))).otherwise(acc)
+    }
+    val isStream = stream.withColumn("__s", lit(true))
+    val next = ptr.join(isStream, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("r"))
+          .otherwise(col("r") + dyExpr).as("tr"),
+        when(col("__s").isNotNull || col("ptr") === 0, col("c"))
+          .otherwise(col("c") + dxExpr).as("tc"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("head_id").orderBy("v", "r", "c")
+    resolvePointers(next)
+      .join(ridge, Seq("r", "c"))
+      .join(heads, Seq("tr", "tc"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("head_id"), col("r"), col("c"),
+        col("v").as("saddle_z"))
   }
 
   /**

@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
  * :1077-1090), built on the PUBLIC ASPRS LAS 1.2 layout. Decode runs
  * through binaryFile + flatMap, like the raster formats.
  *
- * Output: (x, y, z, intensity, return_num, n_returns,
- * classification) with the scale/offset transform applied.
+ * Output: (x, y, z, intensity, return_num, n_returns, classification,
+ * scan_angle, edge_flag, withheld) with the scale/offset transform
+ * applied. edge_flag is bit 7 of the flags byte (edge of flight
+ * line); withheld is bit 7 of the classification byte; scan_angle is
+ * the signed scan-angle-rank byte — the fields
+ * FindFlightlineEdgePoints.groovy / IsolateGroundPoints.groovy read
+ * via PointRecord.isPointWithheld()/getScanAngle().
  */
 object LasIO {
 
@@ -43,19 +48,33 @@ object LasIO {
         val flags = content(p + 14) & 0xff
         val returnNum = flags & 0x7          // bits 0-2
         val nReturns = (flags >> 3) & 0x7    // bits 3-5
-        val classification = content(p + 15) & 0xff
+        val edge = (flags >> 7) & 0x1        // bit 7: edge of flight line
+        val clsByte = content(p + 15) & 0xff
+        val classification = clsByte & 0x1f  // bits 0-4
+        val withheld = (clsByte >> 7) & 0x1  // bit 7
+        val scanAngle = content(p + 16).toLong // signed byte
         (x, y, z, intensity.toLong, returnNum.toLong, nReturns.toLong,
-          classification.toLong)
+          classification.toLong, scanAngle, edge.toLong, withheld.toLong)
       }
     }.toDF("x", "y", "z", "intensity", "return_num", "n_returns",
-      "classification")
+      "classification", "scan_angle", "edge_flag", "withheld")
   }
 
   /** Minimal LAS 1.2 format-0 writer (driver-side; fixture/export
     * path — LAS2Shapefile analogue in reverse). */
   def writeLas(points: Seq[(Double, Double, Double, Int, Int, Int, Int)],
                path: String,
-               scale: Double = 0.001): Unit = {
+               scale: Double = 0.001): Unit =
+    writeLasFull(points.map { case (x, y, z, i, rn, nr, cls) =>
+      (x, y, z, i, rn, nr, cls, 0, false, false)
+    }, path, scale)
+
+  /** Full-flag writer: (x, y, z, intensity, retNum, nRet, cls,
+    * scanAngle, edge, withheld). */
+  def writeLasFull(points: Seq[(Double, Double, Double, Int, Int, Int,
+                     Int, Int, Boolean, Boolean)],
+                   path: String,
+                   scale: Double = 0.001): Unit = {
     val headerLen = 227
     val recLen = 20
     val buf = ByteBuffer.allocate(headerLen + points.length * recLen)
@@ -74,14 +93,18 @@ object LasIO {
     buf.putDouble(155, 0.0); buf.putDouble(163, 0.0)
     buf.putDouble(171, 0.0)
     points.zipWithIndex.foreach {
-      case ((x, y, z, intensity, retNum, nRet, cls), i) =>
+      case ((x, y, z, intensity, retNum, nRet, cls, scanAngle, edge,
+             withheld), i) =>
         val p = headerLen + i * recLen
         buf.putInt(p, math.round(x / scale).toInt)
         buf.putInt(p + 4, math.round(y / scale).toInt)
         buf.putInt(p + 8, math.round(z / scale).toInt)
         buf.putShort(p + 12, intensity.toShort)
-        buf.put(p + 14, ((retNum & 0x7) | ((nRet & 0x7) << 3)).toByte)
-        buf.put(p + 15, cls.toByte)
+        buf.put(p + 14, ((retNum & 0x7) | ((nRet & 0x7) << 3) |
+          (if (edge) 0x80 else 0)).toByte)
+        buf.put(p + 15, ((cls & 0x1f) |
+          (if (withheld) 0x80 else 0)).toByte)
+        buf.put(p + 16, scanAngle.toByte)
     }
     Files.write(Paths.get(path), buf.array())
   }

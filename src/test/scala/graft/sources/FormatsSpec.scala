@@ -154,6 +154,27 @@ class FormatsSpec extends AnyFunSuite {
       assert(row.getLong(4) === rn.toLong)
       assert(row.getLong(5) === nr.toLong)
       assert(row.getLong(6) === cl.toLong)
+      assert(row.getLong(7) === 0L) // scan angle
+      assert(row.getLong(8) === 0L) // edge flag
+      assert(row.getLong(9) === 0L) // withheld
+    }
+  }
+
+  test("LAS 1.2 edge/withheld bits + signed scan angle round-trip") {
+    val dir = Files.createTempDirectory("lasf").toString
+    val pts = Seq(
+      (1.0, 1.0, 5.0, 10, 1, 1, 2, -30, true, false),
+      (2.0, 2.0, 6.0, 20, 2, 3, 1, 30, false, true),
+      (3.0, 3.0, 7.0, 30, 1, 2, 31, 0, true, true))
+    LasIO.writeLasFull(pts, s"$dir/p.las")
+    val back = LasIO.readLas(spark, s"$dir/p.las")
+      .orderBy("x").collect()
+    pts.zip(back).foreach {
+      case ((_, _, _, _, _, _, cl, sa, edge, wh), row) =>
+        assert(row.getLong(6) === cl.toLong)
+        assert(row.getLong(7) === sa.toLong)
+        assert(row.getLong(8) === (if (edge) 1L else 0L))
+        assert(row.getLong(9) === (if (wh) 1L else 0L))
     }
   }
 
