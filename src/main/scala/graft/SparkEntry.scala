@@ -185,6 +185,45 @@ object SparkEntry {
           sum(col("elen_nano")).as("len_nano"))
     }),
 
+    // DeleteSmallLakesAndExtendRivers.groovy: small lakes with >= 2
+    // nearby stream endpoints are deleted and those endpoints snap to
+    // the lake interior point (highest-id lake wins per endpoint)
+    "geo_extend_rivers" -> ((s, dir) => {
+      def half = lit(4.0) + (col("id") % 3).cast("double") * 4
+      val lakes = Derived.customerPoints(s, dir)
+        .where(col("id") <= 150)
+        .select(col("id").as("lake_id"),
+          (col("x") - half).as("xmin"), (col("y") - half).as("ymin"),
+          (col("x") + half).as("xmax"), (col("y") + half).as("ymax"),
+          col("x").as("cx"), col("y").as("cy"))
+      val lines = Derived.supplierLines(s, dir)
+        .select(col("line_id"),
+          element_at(col("xs"), 1).as("sx0"),
+          element_at(col("ys"), 1).as("sy0"),
+          element_at(col("xs"), 3).as("ex0"),
+          element_at(col("ys"), 3).as("ey0"))
+      val eps = lines.select(col("line_id"), lit(0L).as("kind"),
+          col("sx0").as("px"), col("sy0").as("py"))
+        .unionByName(lines.select(col("line_id"), lit(1L).as("kind"),
+          col("ex0").as("px"), col("ey0").as("py")))
+      val picks = operators.VectorReshape.extendRivers(lakes, eps,
+        searchDistance = 3.0, areaThreshold = 150.0)
+      lines
+        .join(picks.where(col("kind") === 0)
+          .select(col("line_id"), col("cx").as("pcx"),
+            col("cy").as("pcy")), Seq("line_id"), "left")
+        .join(picks.where(col("kind") === 1)
+          .select(col("line_id"), col("cx").as("acx"),
+            col("cy").as("acy")), Seq("line_id"), "left")
+        .select(col("line_id"),
+          when(col("pcx").isNotNull, 1L).otherwise(0L).as("prepended"),
+          coalesce(col("pcx"), col("sx0")).as("sx"),
+          coalesce(col("pcy"), col("sy0")).as("sy"),
+          when(col("acx").isNotNull, 1L).otherwise(0L).as("appended"),
+          coalesce(col("acx"), col("ex0")).as("ex"),
+          coalesce(col("acy"), col("ey0")).as("ey"))
+    }),
+
     // ---- rasterization / zonal / focal / interpolation ----
 
     "geo_rasterize_points" -> ((s, dir) => {
@@ -781,6 +820,18 @@ object SparkEntry {
           lit(0.8) + (col("r") % 3).cast("double") * lit(0.05))
         .withColumn("absorp", (col("c") % 4).cast("double") * lit(0.01))
       operators.Terrain.massFluxD8(g, rounds = 24)
+        .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))
+    }),
+
+    // MassFluxDinf (MassFluxDinf.java): loading routed down the Dinf
+    // two-way angular split with per-source absorption and efficiency
+    "geo_mass_flux_dinf" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+        .withColumn("load", col("v"))
+        .withColumn("eff",
+          lit(0.8) + (col("r") % 3).cast("double") * lit(0.05))
+        .withColumn("absorp", (col("c") % 4).cast("double") * lit(0.01))
+      operators.Terrain.massFluxDinf(g, rounds = 24)
         .select(col("r"), col("c"), round(col("acc"), 6).as("acc"))
     }),
 
@@ -1691,6 +1742,12 @@ object SparkEntry {
     "lidar_idw" -> ((s, dir) =>
       operators.Lidar.idwSurface(Derived.lidarCloud(s, dir),
         rows = 10, cols = 10, cellSize = 10.0, radius = 8.0)),
+
+    // LiDAR_segmentation: region-grown segments over the point
+    // neighbourhood graph gated on max-downward-angle similarity
+    "lidar_segmentation" -> ((s, dir) =>
+      operators.Lidar.segmentation(Derived.lidarCloud(s, dir),
+        searchDist = 3.0)),
 
     // FindFlightlineEdgePoints.groovy: not-withheld points with the
     // edge-of-flightline bit set, projected to the reference's DBF
@@ -3916,6 +3973,42 @@ object SparkEntry {
          |SELECT nc.link_id, nc.n_cells, COALESCE(ln.len_nano, 0) AS len_nano
          |FROM nc LEFT JOIN ln ON ln.link_id = nc.link_id""".stripMargin,
 
+    "geo_extend_rivers" -> {
+      val h = "(CAST(4.0 AS DOUBLE) + CAST(id % 3 AS DOUBLE) * 4)"
+      val gx = "GREATEST(l.xmin - e.px, 0.0, e.px - l.xmax)"
+      val gy = "GREATEST(l.ymin - e.py, 0.0, e.py - l.ymax)"
+      s"""WITH pts AS ($PTS),
+         |sp0 AS (SELECT s_suppkey AS line_id,
+         |  (((s_suppkey * 6151) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)) / 2 AS x0,
+         |  (((s_suppkey * 4517) % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)) / 2 AS y0
+         |  FROM supplier),
+         |eps AS (SELECT line_id, 0 AS kind, x0 AS px, y0 AS py FROM sp0
+         |  UNION ALL
+         |  SELECT line_id, 1 AS kind, x0 + 3 AS px, y0 + 8 AS py FROM sp0),
+         |lakes AS (SELECT id AS lake_id,
+         |  x - $h AS xmin, y - $h AS ymin, x + $h AS xmax, y + $h AS ymax,
+         |  x AS cx, y AS cy FROM pts WHERE id <= 150),
+         |near AS (SELECT e.line_id, e.kind, l.lake_id, l.cx, l.cy,
+         |  (l.xmax - l.xmin) * (l.ymax - l.ymin) AS area
+         |  FROM eps e JOIN lakes l ON $gx * $gx + $gy * $gy < 9.0),
+         |qual AS (SELECT lake_id FROM near GROUP BY lake_id
+         |  HAVING count(*) >= 2 AND min(area) <= 150.0),
+         |pick AS (SELECT line_id, kind, cx, cy FROM
+         |  (SELECT n.line_id, n.kind, n.lake_id, n.cx, n.cy,
+         |    row_number() OVER (PARTITION BY n.line_id, n.kind
+         |      ORDER BY n.lake_id DESC) AS rn
+         |   FROM near n JOIN qual q ON q.lake_id = n.lake_id)
+         |  WHERE rn = 1)
+         |SELECT s.line_id,
+         |  CASE WHEN p0.cx IS NOT NULL THEN 1 ELSE 0 END AS prepended,
+         |  COALESCE(p0.cx, s.x0) AS sx, COALESCE(p0.cy, s.y0) AS sy,
+         |  CASE WHEN p1.cx IS NOT NULL THEN 1 ELSE 0 END AS appended,
+         |  COALESCE(p1.cx, s.x0 + 3) AS ex, COALESCE(p1.cy, s.y0 + 8) AS ey
+         |FROM sp0 s
+         |LEFT JOIN pick p0 ON p0.line_id = s.line_id AND p0.kind = 0
+         |LEFT JOIN pick p1 ON p1.line_id = s.line_id AND p1.kind = 1""".stripMargin
+    },
+
     "geo_variogram" ->
       s"""WITH p AS (SELECT s_suppkey AS id,
          |  ((s_suppkey * 6151) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS x,
@@ -4201,6 +4294,34 @@ object SparkEntry {
          |  c + $tcC AS tc, $jC AS j FROM p WHERE ptr > 0),
          |${sb.toString}
          |SELECT r, c, round(acc, 6) AS acc FROM mf_24""".stripMargin
+    },
+
+    "geo_mass_flux_dinf" -> {
+      val sb = new StringBuilder
+      sb ++= "mfd_0 AS (SELECT r, c, load AS acc FROM ga)"
+      for (i <- 1 to 24) {
+        val ds = (0 until 8).map(j =>
+          s"sum(CASE WHEN e.j = $j THEN e.w * GREATEST((a.acc - t.absorp) * t.eff, 0.0) END) AS d$j")
+          .mkString(", ")
+        val adds = (0 until 8).map(j => s"COALESCE(d$j, 0.0)")
+          .mkString(" + ")
+        sb ++=
+          s""",
+             |mfdc_$i AS (SELECT e.tr AS r, e.tc AS c, $ds
+             |  FROM dedges e JOIN mfd_${i - 1} a ON a.r = e.r AND a.c = e.c
+             |  JOIN ga t ON t.r = e.r AND t.c = e.c
+             |  GROUP BY 1, 2),
+             |mfd_$i AS MATERIALIZED (SELECT ga.r, ga.c, ga.load + $adds AS acc
+             |  FROM ga LEFT JOIN mfdc_$i x ON x.r = ga.r AND x.c = ga.c)"""
+            .stripMargin
+      }
+      s"""WITH g AS ($GRID),
+         |$dinfSqlCtes,
+         |ga AS (SELECT g.r, g.c, g.v AS load,
+         |  CAST(0.8 AS DOUBLE) + CAST(g.r % 3 AS DOUBLE) * CAST(0.05 AS DOUBLE) AS eff,
+         |  CAST(g.c % 4 AS DOUBLE) * CAST(0.01 AS DOUBLE) AS absorp FROM g),
+         |${sb.toString}
+         |SELECT r, c, round(acc, 6) AS acc FROM mfd_24""".stripMargin
     },
 
     "geo_rho8_pointer" -> {
@@ -4851,6 +4972,27 @@ object SparkEntry {
          |FROM pick""".stripMargin,
 
     // ---- LiDAR gridding family ----
+
+    "lidar_segmentation" -> {
+      val thr = (3.0 * math.tan(math.toRadians(65.0))).toString + "e0"
+      s"""WITH RECURSIVE lc AS (${Derived.lidarCloudSql}),
+         |pts AS (SELECT pid, x, y, z FROM lc),
+         |prs AS (SELECT a.pid, b.pid AS rpid, b.z AS rz
+         |  FROM pts a JOIN pts b ON a.pid <> b.pid
+         |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9.0),
+         |mda AS (SELECT p.pid,
+         |  p.z - LEAST(p.z, COALESCE(mn.mn, p.z)) AS mda
+         |  FROM pts p LEFT JOIN (SELECT pid, min(rz) AS mn FROM prs
+         |    GROUP BY pid) mn ON mn.pid = p.pid),
+         |ed AS (SELECT pr.pid AS s, pr.rpid AS t FROM prs pr
+         |  JOIN mda m1 ON m1.pid = pr.pid
+         |  JOIN mda m2 ON m2.pid = pr.rpid
+         |  WHERE abs(m1.mda - m2.mda) <= $thr),
+         |reach AS (SELECT pid AS s, pid AS t FROM pts
+         |  UNION SELECT r.s, e.t FROM reach r JOIN ed e ON r.t = e.s),
+         |comp AS (SELECT s AS pid, min(t) AS seg_id FROM reach GROUP BY s)
+         |SELECT pid, seg_id FROM comp""".stripMargin
+    },
 
     "lidar_flightline_edge" ->
       s"""WITH lc AS (${Derived.lidarCloudSql})

@@ -100,4 +100,43 @@ object Lidar {
       col("z").as("pval"))
     Raster.idw(targets, pts, radius)
   }
+
+  /**
+   * LiDAR_segmentation (LidarTools/LiDAR_segmentation.java): per
+   * point, maxDownwardAngle = z − min z among neighbours within
+   * searchDist, z itself when none lower (:314-333); region growing
+   * joins neighbouring points whose maxDownwardAngle difference is
+   * within threshold = searchDist·tan(65°) (:312, :553-565). The
+   * reference's recursive flood fill over a SYMMETRIC pairwise
+   * predicate IS undirected connected components, so segments come
+   * from the CC labeller over the cell-bucketed distance join —
+   * ids are the component's minimum pid (the clump convention)
+   * rather than the reference's lowest-seed-first class numbers
+   * (same partition, different names).
+   */
+  def segmentation(cloud: DataFrame, searchDist: Double): DataFrame = {
+    val threshold = searchDist * math.tan(math.toRadians(65.0))
+    val pts = cloud.select(col("pid"), col("x"), col("y"), col("z"))
+    val r = pts.select(col("pid").as("rpid"), col("x").as("rx"),
+      col("y").as("ry"), col("z").as("rz"))
+    val pairs = SpatialJoins.distanceJoin(pts, r, searchDist)
+      .where(col("pid") =!= col("rpid"))
+      .select(col("pid"), col("rpid"), col("rz"))
+      .localCheckpoint(true)
+    val mda = pts.join(
+        pairs.groupBy("pid").agg(min(col("rz")).as("__mn")),
+        Seq("pid"), "left")
+      .select(col("pid"),
+        (col("z") - least(col("z"), coalesce(col("__mn"), col("z"))))
+          .as("mda"))
+    val e = pairs
+      .join(mda.select(col("pid"), col("mda").as("ma")), Seq("pid"))
+      .join(mda.select(col("pid").as("rpid"), col("mda").as("mb")),
+        Seq("rpid"))
+      .where(abs(col("ma") - col("mb")) <= threshold)
+      .select(col("pid").as("a"), col("rpid").as("b"))
+    val selfLoops = pts.select(col("pid").as("a"), col("pid").as("b"))
+    GraphCC.label(e.unionByName(selfLoops))
+      .select(col("node").as("pid"), col("comp").as("seg_id"))
+  }
 }

@@ -1231,16 +1231,42 @@ object Terrain {
     val edges = ptr.where(col("ptr") > 0)
       .select(col("r"), col("c"),
         (col("r") + fromPtr(dY)).as("tr"),
-        (col("c") + fromPtr(dX)).as("tc"), jIdx.as("j"))
+        (col("c") + fromPtr(dX)).as("tc"),
+        lit(1.0).as("w"), jIdx.as("j"))
       .localCheckpoint(true)
+    massFluxRun(edges, grid, rounds)
+  }
+
+  /**
+   * MassFluxDinf (HydroTools/MassFluxDinf.java): the same
+   * loading/efficiency/absorption routing contract as [[massFluxD8]],
+   * but each cell's clamped send splits between its two Dinf facet
+   * neighbours by the angular proportions of [[dinfEdges]] —
+   * w·max((acc − absorp)·eff, 0) per edge. (The reference's
+   * proportional split of the outflux by the Dinf angle is exactly
+   * the dinfEdges weight pair.)
+   */
+  def massFluxDinf(grid: DataFrame, rounds: Int = 24): DataFrame = {
+    val edges = dinfEdges(grid.select(col("r"), col("c"), col("v")))
+      .localCheckpoint(true)
+    massFluxRun(edges, grid, rounds)
+  }
+
+  /** Shared mass-flux Jacobi over weighted edges (r, c, tr, tc, w, j):
+    * acc = load + Σ_slots w·max((acc_src − absorp_src)·eff_src, 0),
+    * slots added in fixed textual order (at most one edge per
+    * (target, slot), so no ordering freedom — see [[weightedAccum]]).
+    * Size-adaptive via [[localFixpointMaxRows]]. */
+  private def massFluxRun(edges: DataFrame, grid: DataFrame,
+                          rounds: Int): DataFrame = {
     val attrs = grid.select(col("r"), col("c"), col("load"),
       col("eff"), col("absorp")).localCheckpoint(true)
     if (attrs.count() <= localFixpointMaxRows)
       return massFluxLocal(edges, attrs, rounds)
     var acc = attrs.select(col("r"), col("c"), col("load").as("acc"))
     for (i <- 1 to rounds) {
-      val send = greatest((col("__a") - col("absorp")) * col("eff"),
-        lit(0.0))
+      val send = col("w") *
+        greatest((col("__a") - col("absorp")) * col("eff"), lit(0.0))
       val contrib = edges
         .join(acc.select(col("r"), col("c"), col("acc").as("__a"))
           .join(attrs, Seq("r", "c")), Seq("r", "c"))
@@ -1258,25 +1284,25 @@ object Terrain {
     acc
   }
 
-  /** One-task replication of [[massFluxD8]]'s rounds (see
+  /** One-task replication of [[massFluxRun]]'s rounds (see
     * [[weightedAccumLocal]] — same exactness argument; the fold seeds
-    * at the cell's own loading and each slot adds the clamped send
-    * from its unique source). */
+    * at the cell's own loading and each slot adds the weighted clamped
+    * send from its unique source). */
   private def massFluxLocal(edges: DataFrame, attrs: DataFrame,
                             rounds: Int): DataFrame = {
     val spark = attrs.sparkSession
     import spark.implicits._
     val tagged = attrs
       .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
-        col("load"), col("eff"), col("absorp"),
+        col("load"), col("eff"), col("absorp"), lit(0.0).as("w"),
         lit(-1).cast("int").as("j"))
       .unionByName(edges.select(col("r"), col("c"), col("tr"),
         col("tc"), lit(0.0).as("load"), lit(0.0).as("eff"),
-        lit(0.0).as("absorp"), col("j").cast("int").as("j")))
-      .as[(Long, Long, Long, Long, Double, Double, Double, Int)]
+        lit(0.0).as("absorp"), col("w"), col("j").cast("int").as("j")))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Int)]
     tagged.coalesce(1).mapPartitions { it =>
       val rows = it.toArray
-      val cells = rows.filter(_._8 == -1)
+      val cells = rows.filter(_._9 == -1)
       val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
       cells.zipWithIndex.foreach { case (t, i) => idx((t._1, t._2)) = i }
       val n = cells.length
@@ -1284,11 +1310,12 @@ object Terrain {
       val eff = cells.map(_._6)
       val absorp = cells.map(_._7)
       val inSrc = Array.fill(n, 8)(-1)
+      val inW = Array.ofDim[Double](n, 8)
       rows.foreach {
-        case (r, c, tr, tc, _, _, _, j) if j >= 0 =>
+        case (r, c, tr, tc, _, _, _, w, j) if j >= 0 =>
           val t = idx((tr, tc))
           require(inSrc(t)(j) == -1, s"duplicate edge slot ($tr,$tc,$j)")
-          inSrc(t)(j) = idx((r, c))
+          inSrc(t)(j) = idx((r, c)); inW(t)(j) = w
         case _ =>
       }
       var acc = load.clone()
@@ -1301,7 +1328,8 @@ object Terrain {
           while (j < 8) {
             val si = inSrc(i)(j)
             if (si >= 0)
-              s += math.max((acc(si) - absorp(si)) * eff(si), 0.0)
+              s += inW(i)(j) *
+                math.max((acc(si) - absorp(si)) * eff(si), 0.0)
             else s += 0.0
             j += 1
           }

@@ -92,4 +92,52 @@ object VectorReshape {
         round((array_max(col("pxs")) - array_min(col("pxs"))) *
           (array_max(col("pys")) - array_min(col("pys"))), 6).as("parea"))
   }
+
+  /**
+   * DeleteSmallLakesAndExtendRivers.groovy (:138-177): a lake with
+   * area <= areaThreshold that has >= 2 stream endpoints (starts or
+   * ends) within searchDistance is deleted, and each such endpoint is
+   * replaced by the lake's interior point; when an endpoint qualifies
+   * against several lakes, the reference's sequential overwrite makes
+   * the highest lake id win. Lakes here are axis-aligned rectangles
+   * (lake_id, xmin, ymin, xmax, ymax, cx, cy) so point-to-lake
+   * distance is the closed form GREATEST(xmin-p, 0, p-xmax) per axis
+   * — plain codegen'd columns on both engines, no geometry library in
+   * the hot path (the general-polygon arm reuses the JTS overlay
+   * family). `endpoints`: (line_id, kind 0=start/1=end, px, py).
+   *
+   * Scale: lakes are the small dimension — broadcast — and the only
+   * shuffles are the per-lake count and per-endpoint pick; endpoint
+   * cardinality is 2x the stream table, never pairs x pairs.
+   *
+   * Returns (line_id, kind, cx, cy): the endpoints to rewrite and
+   * the interior point that replaces them.
+   */
+  def extendRivers(lakes: DataFrame, endpoints: DataFrame,
+                   searchDistance: Double,
+                   areaThreshold: Double): DataFrame = {
+    val d2 = searchDistance * searchDistance
+    val gx = greatest(col("xmin") - col("px"), lit(0.0),
+      col("px") - col("xmax"))
+    val gy = greatest(col("ymin") - col("py"), lit(0.0),
+      col("py") - col("ymax"))
+    val near = endpoints.join(broadcast(lakes),
+        gx * gx + gy * gy < d2)
+      .select(col("line_id"), col("kind"), col("lake_id"),
+        col("cx"), col("cy"),
+        ((col("xmax") - col("xmin")) *
+          (col("ymax") - col("ymin"))).as("area"))
+      .localCheckpoint(true)
+    val qual = near.groupBy("lake_id")
+      .agg(count(lit(1)).as("n"), min(col("area")).as("area"))
+      .where(col("n") >= 2 && col("area") <= areaThreshold)
+      .select("lake_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line_id", "kind")
+      .orderBy(col("lake_id").desc)
+    near.join(qual, Seq("lake_id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("line_id"), col("kind"), col("cx"), col("cy"))
+  }
 }
