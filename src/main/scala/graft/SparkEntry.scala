@@ -1634,6 +1634,22 @@ object SparkEntry {
       operators.Terrain.saddlePoints(Derived.partGrid(s, dir),
         threshold = 5L, width = 50L)),
 
+    // MapGullyDepth.groovy: shortest flagged cross-section's
+    // interpolated depth at each low-DFME cell. partGrid's hash ramp
+    // is periodic along every scanline (identical runs everywhere),
+    // so the surface is roughened with a second integer hash to make
+    // run shapes vary.
+    "geo_gully_depth" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        (col("v") + ((col("r") * 7 + col("c") * 13) % 11)
+          .cast("double")).as("v"))
+      operators.Terrain.mapGullyDepth(g,
+        nRows = GridRows, nCols = GridCols, maxGullyWidth = 6.0,
+        maxGullyDepth = 90.0, minGullyDepth = 0.5,
+        dfmeThreshold10 = -150L, highPlanCurv = 100.0,
+        dfmeRadius = 3)
+    }),
+
     // Maximum/AverageUpslopeFlowpathLength family (one pass)
     "geo_upslope_flowpath" -> ((s, dir) =>
       operators.Terrain.upslopeFlowpathStats(Derived.partGrid(s, dir))),
@@ -4710,6 +4726,74 @@ object SparkEntry {
          |SELECT t.r, t.c, round(gv.v - sv.v, 6) AS elev_above
          |FROM term t JOIN g gv ON gv.r = t.r AND gv.c = t.c
          |JOIN g sv ON sv.r = t.tr AND sv.c = t.tc""".stripMargin,
+
+    "geo_gully_depth" -> {
+      val maxW = "6.0e0"; val maxD = "90.0e0"; val minD = "0.5e0"
+      val t10 = "-150"; val cpc = "100.0e0"
+      val sq2 = math.sqrt(2.0).toString + "e0"
+      def dirCtes(dir: Int, keyE: String, posE: String,
+                  diag: Boolean): String = {
+        val q = s"g$dir"
+        val resL = if (diag) sq2 else "1.0e0"
+        def distOf(steps: String): String =
+          if (diag)
+            s"sqrt(CAST($steps AS DOUBLE) * CAST($steps AS DOUBLE) * 2.0e0) * $sq2"
+          else s"CAST($steps AS DOUBLE) * 1.0e0"
+        val d0 = s"(rb.stz + (rb.endz - rb.stz) * " +
+          s"${distOf("mm.pos - (rb.a - 1)")} / rb.len) - mm.z"
+        s"""${q}b AS (SELECT r, c, z, m, hp, $keyE AS key, $posE AS pos FROM cells),
+           |${q}mm AS (SELECT *, pos - row_number() OVER (PARTITION BY key ORDER BY pos) AS grp
+           |  FROM ${q}b WHERE m),
+           |${q}rn AS (SELECT key, grp, min(pos) AS a, max(pos) AS b,
+           |  max(CASE WHEN hp THEN 1 ELSE 0 END) AS runhp
+           |  FROM ${q}mm GROUP BY key, grp),
+           |${q}rb AS MATERIALIZED (SELECT rs.key, rs.grp, rs.a, rs.b, rs.runhp,
+           |  st.z AS stz, en.z AS endz,
+           |  CAST(rs.b - rs.a + 3 AS DOUBLE) * $resL AS len
+           |  FROM ${q}rn rs
+           |  JOIN ${q}b st ON st.key = rs.key AND st.pos = rs.a - 1
+           |  JOIN ${q}b en ON en.key = rs.key AND en.pos = rs.b + 1),
+           |${q}mx AS (SELECT rb.key, rb.grp, max((rb.stz + (rb.endz - rb.stz) *
+           |    ${distOf("zz.pos - (rb.a - 1)")} / rb.len) - zz.z) AS mxd
+           |  FROM ${q}rb rb JOIN ${q}b zz ON zz.key = rb.key
+           |    AND zz.pos >= rb.a - 1 AND zz.pos <= rb.b + 1
+           |  WHERE CAST(rb.b - rb.a + 2 AS DOUBLE) * $resL <= $maxW
+           |  GROUP BY rb.key, rb.grp),
+           |${q}o AS (SELECT mm.r, mm.c, $dir AS dir, rb.len,
+           |  (rb.runhp = 1 AND CAST(mm.pos - rb.a + 1 AS DOUBLE) * $resL <= $maxW
+           |   AND CAST(rb.b - rb.a + 2 AS DOUBLE) * $resL <= $maxW
+           |   AND COALESCE(mx.mxd <= $maxD AND mx.mxd > $minD, false)) AS flag,
+           |  CASE WHEN $d0 <= 0 THEN 0.0 ELSE $d0 END AS depth
+           |  FROM ${q}mm mm JOIN ${q}rb rb ON rb.key = mm.key AND rb.grp = mm.grp
+           |  LEFT JOIN ${q}mx mx ON mx.key = mm.key AND mx.grp = mm.grp)"""
+          .stripMargin
+      }
+      s"""WITH g0 AS ($GRID),
+         |g AS (SELECT r, c, v + CAST((r * 7 + c * 13) % 11 AS DOUBLE) AS v FROM g0),
+         |$surfaceSql,
+         |pc AS (SELECT r, c, round((zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2)
+         |  / (p * sqrt(p)) * $RadToDegLit * 100, 6) AS plan_curv
+         |  FROM st2 WHERE p > 0),
+         |fw AS (SELECT a.r, a.c, sum(CAST(round(b.v * 10) AS BIGINT)) AS sum10,
+         |  count(*) AS cnt FROM g a JOIN g b ON b.r BETWEEN a.r - 3 AND a.r + 3
+         |  AND b.c BETWEEN a.c - 3 AND a.c + 3 GROUP BY a.r, a.c),
+         |cells AS MATERIALIZED (SELECT g.r, g.c, g.v AS z,
+         |  (CAST(round(g.v * 10) AS BIGINT) * f.cnt - f.sum10) <= $t10 * f.cnt AS m,
+         |  COALESCE(pc.plan_curv >= $cpc, false) AS hp
+         |  FROM g JOIN fw f ON f.r = g.r AND f.c = g.c
+         |  LEFT JOIN pc ON pc.r = g.r AND pc.c = g.c),
+         |${dirCtes(0, "c", "r", diag = false)},
+         |${dirCtes(1, "r", "c", diag = false)},
+         |${dirCtes(2, "c - r", "r", diag = true)},
+         |${dirCtes(3, "r + c", "r", diag = true)},
+         |allo AS (SELECT * FROM g0o UNION ALL SELECT * FROM g1o
+         |  UNION ALL SELECT * FROM g2o UNION ALL SELECT * FROM g3o),
+         |pick AS (SELECT r, c, depth FROM (SELECT r, c, depth,
+         |  row_number() OVER (PARTITION BY r, c ORDER BY len, dir) AS rn
+         |  FROM allo WHERE flag) WHERE rn = 1)
+         |SELECT g.r, g.c, round(COALESCE(p.depth, 0.0), 6) AS gully_depth
+         |FROM g LEFT JOIN pick p ON p.r = g.r AND p.c = g.c""".stripMargin
+    },
 
     "geo_saddle_points" ->
       s"""WITH RECURSIVE g AS ($GRID),

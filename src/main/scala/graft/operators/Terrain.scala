@@ -2218,6 +2218,120 @@ object Terrain {
   }
 
   /**
+   * MapGullyDepth.groovy: (1) candidate cells have
+   * difference-from-mean-elevation <= dfmeThreshold (:99-112; the
+   * test runs in EXACT integer space — v is a multiple of 0.1, so
+   * v − Σw/n <= T ⟺ v10·n − Σw10 <= T10·n over scaled longs, making
+   * the mask bit-identical across engines where a double mean would
+   * ulp-flip); (2) through each candidate, four cross sections
+   * (vertical, horizontal, the two diagonals) walk the candidate run
+   * to its bounding non-candidate cells (:152-231 and the three
+   * repeats), flagged when the run carries a high-plan-curvature cell,
+   * stays within maxGullyWidth during both walks, and its interpolated
+   * cross-section depth profile peaks in (minGullyDepth,
+   * maxGullyDepth]; (3) the SHORTEST flagged cross section's
+   * interpolated depth is the output (:449-459; ties by direction
+   * order). Runs touching the grid edge are dropped — the reference's
+   * NoData boundary elevation forces those flags false. The diagonal
+   * distance keeps the reference's gridResXY double-scaling verbatim
+   * (dist = √(Δj²+Δk²)·√2, :349-351).
+   *
+   * Scale shape: one focal scatter for DFME, the surface-fit stencil
+   * for plan curvature, then per direction one window pass
+   * (gaps-and-islands run ids), one run aggregation, and one bounded
+   * run×cells join — no iteration, every stage keyed on the line key.
+   */
+  def mapGullyDepth(grid: DataFrame, nRows: Long, nCols: Long,
+                    maxGullyWidth: Double, maxGullyDepth: Double,
+                    minGullyDepth: Double, dfmeThreshold10: Long,
+                    highPlanCurv: Double, dfmeRadius: Int): DataFrame = {
+    val Sq2 = math.sqrt(2.0)
+    val dfme = Focal
+      .contributions(grid, dfmeRadius, reflect = false, nRows, nCols)
+      .groupBy("r", "c")
+      .agg(sum(round(col("nv") * 10).cast("long")).as("sum10"),
+        count(lit(1)).as("cnt"))
+    val hpDf = planCurvature(grid, nRows, nCols)
+      .select(col("r"), col("c"),
+        (col("plan_curv") >= highPlanCurv).as("hp0"))
+    val cells = grid
+      .join(dfme, Seq("r", "c"))
+      .join(hpDf, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("v").as("z"),
+        ((round(col("v") * 10).cast("long") * col("cnt") - col("sum10"))
+          <= lit(dfmeThreshold10) * col("cnt")).as("m"),
+        coalesce(col("hp0"), lit(false)).as("hp"))
+      .localCheckpoint(true)
+    def dirResult(dir: Int, keyE: Column, posE: Column,
+                  diag: Boolean): DataFrame = {
+      val resL = if (diag) Sq2 else 1.0
+      def distOf(steps: Column): Column =
+        if (diag) sqrt(steps.cast("double") * steps.cast("double") *
+          lit(2.0)) * Sq2
+        else steps.cast("double") * lit(1.0)
+      val base = cells.select(col("r"), col("c"), col("z"), col("m"),
+        col("hp"), keyE.as("key"), posE.as("pos"))
+      val wKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy("pos")
+      val mm = base.where(col("m"))
+        .withColumn("grp", col("pos") - row_number().over(wKey))
+      val runs = mm.groupBy("key", "grp")
+        .agg(min(col("pos")).as("a"), max(col("pos")).as("b"),
+          max(col("hp").cast("int")).as("runhp"))
+      val st = base.select(col("key"), (col("pos") + 1).as("a"),
+        col("z").as("stz"))
+      val en = base.select(col("key"), (col("pos") - 1).as("b"),
+        col("z").as("endz"))
+      val rb = runs.join(st, Seq("key", "a")).join(en, Seq("key", "b"))
+        .withColumn("len",
+          (col("b") - col("a") + 3).cast("double") * resL)
+        .localCheckpoint(true)
+      val zz = base.select(col("key"), col("pos").as("zp"),
+        col("z").as("zv"))
+      // depth profiles only for runs short enough to ever flag
+      // (okDown already fails longer ones) — bounds the run x cells
+      // join fan-out to maxGullyWidth/res + 2 cells per run
+      val mxd = rb
+        .where((col("b") - col("a") + 2).cast("double") * resL
+          <= maxGullyWidth)
+        .join(zz, Seq("key"))
+        .where(col("zp") >= col("a") - 1 && col("zp") <= col("b") + 1)
+        .withColumn("dep",
+          (col("stz") + (col("endz") - col("stz")) *
+            distOf(col("zp") - (col("a") - 1)) / col("len")) - col("zv"))
+        .groupBy("key", "grp").agg(max(col("dep")).as("mxd"))
+      val d0 = (col("stz") + (col("endz") - col("stz")) *
+        distOf(col("pos") - (col("a") - 1)) / col("len")) - col("z")
+      mm.join(rb, Seq("key", "grp")).join(mxd, Seq("key", "grp"), "left")
+        .select(col("r"), col("c"), lit(dir).as("dir"), col("len"),
+          (col("runhp") === 1 &&
+            (col("pos") - col("a") + 1).cast("double") * resL
+              <= maxGullyWidth &&
+            (col("b") - col("a") + 2).cast("double") * resL
+              <= maxGullyWidth &&
+            coalesce(col("mxd") <= maxGullyDepth &&
+              col("mxd") > minGullyDepth, lit(false))).as("flag"),
+          when(d0 <= 0, lit(0.0)).otherwise(d0).as("depth"))
+    }
+    val all = dirResult(0, col("c"), col("r"), diag = false)
+      .unionByName(dirResult(1, col("r"), col("c"), diag = false))
+      .unionByName(dirResult(2, col("c") - col("r"), col("r"),
+        diag = true))
+      .unionByName(dirResult(3, col("r") + col("c"), col("r"),
+        diag = true))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("r", "c").orderBy(col("len"), col("dir"))
+    val picked = all.where(col("flag"))
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      .select(col("r"), col("c"), col("depth"))
+    grid.select(col("r"), col("c"))
+      .join(picked, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        round(coalesce(col("depth"), lit(0.0)), 6).as("gully_depth"))
+  }
+
+  /**
    * Hillslopes (HydroTools/Hillslopes.java): label every cell by the
    * bank-specific hillslope draining to its stream link — right-bank
    * cells of link k get id(k), left-bank cells 100000 + id(k). Seeds
