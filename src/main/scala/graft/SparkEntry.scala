@@ -185,6 +185,51 @@ object SparkEntry {
           sum(col("elen_nano")).as("len_nano"))
     }),
 
+    // FindPolygonMidline: per-polygon Delaunay of the ring vertices
+    // (the reference's skeleton substrate, FindPolygonMidline.java:
+    // 307-320); midline nodes = midpoints of interior triangles'
+    // internal (non-boundary) edges
+    "geo_polygon_midline" -> ((s, dir) => {
+      val verts = Derived.zones(s).where(col("zone_id") =!= 3)
+        .select(col("zone_id"),
+          posexplode(arrays_zip(col("xs"), col("ys"))))
+        .select(col("zone_id").as("gid"), col("pos").as("pid"),
+          col("col.xs").as("px"), col("col.ys").as("py"))
+      val tri = operators.Tin.delaunayGrouped(verts)
+      def vAs(n: String) = verts.select(col("gid"),
+        col("pid").as(s"i$n"), col("px").as(s"x$n"),
+        col("py").as(s"y$n"))
+      val t3 = tri.join(vAs("a"), Seq("gid", "ia"))
+        .join(vAs("b"), Seq("gid", "ib"))
+        .join(vAs("c"), Seq("gid", "ic"))
+      val cents = t3.select(col("gid"), col("ia"), col("ib"), col("ic"),
+        ((col("xa") + col("xb") + col("xc")) / 3.0).as("x"),
+        ((col("ya") + col("yb") + col("yc")) / 3.0).as("y"))
+      val interior = SpatialJoins.pipJoin(cents, Derived.zones(s),
+          res = 4)
+        .where(col("zone_id") === col("gid"))
+        .select("gid", "ia", "ib", "ic")
+      val nv = verts.groupBy("gid").agg(count(lit(1)).as("nv"))
+      val edges = interior
+        .select(col("gid"), col("ia").as("va"), col("ib").as("vb"))
+        .unionByName(interior.select(col("gid"), col("ib").as("va"),
+          col("ic").as("vb")))
+        .unionByName(interior.select(col("gid"), col("ia").as("va"),
+          col("ic").as("vb")))
+        .distinct()
+        .join(nv, Seq("gid"))
+        .where(!(col("vb") - col("va") === 1 ||
+          (col("va") === 0 && col("vb") === col("nv") - 1)))
+      edges
+        .join(verts.select(col("gid"), col("pid").as("va"),
+          col("px").as("ax"), col("py").as("ay")), Seq("gid", "va"))
+        .join(verts.select(col("gid"), col("pid").as("vb"),
+          col("px").as("bx"), col("py").as("by")), Seq("gid", "vb"))
+        .select(col("gid").as("zone_id"), col("va"), col("vb"),
+          ((col("ax") + col("bx")) / 2.0).as("mx"),
+          ((col("ay") + col("by")) / 2.0).as("my"))
+    }),
+
     // DeleteSmallLakesAndExtendRivers.groovy: small lakes with >= 2
     // nearby stream endpoints are deleted and those endpoints snap to
     // the lake interior point (highest-id lake wins per endpoint)
@@ -3988,6 +4033,51 @@ object SparkEntry {
          |nc AS (SELECT link_id, count(*) AS n_cells FROM links GROUP BY 1)
          |SELECT nc.link_id, nc.n_cells, COALESCE(ln.len_nano, 0) AS len_nano
          |FROM nc LEFT JOIN ln ON ln.link_id = nc.link_id""".stripMargin,
+
+    "geo_polygon_midline" -> {
+      val preds = Derived.zonePredicatesSql.toMap
+      val inCase = Seq(1, 2, 4, 5).map(z =>
+        s"WHEN $z THEN (${preds(z)})").mkString(" ")
+      s"""WITH zv AS (SELECT * FROM ${Derived.zoneOuterVerticesSql}),
+         |t0 AS (SELECT a.zone_id AS gid, a.vid AS ia, a.vx AS xa, a.vy AS ya,
+         |  b.vid AS ib, b.vx AS xb, b.vy AS yb,
+         |  c.vid AS ic, c.vx AS xc, c.vy AS yc,
+         |  (b.vx - a.vx) * (c.vy - a.vy) - (b.vy - a.vy) * (c.vx - a.vx) AS o
+         |  FROM zv a JOIN zv b ON a.zone_id = b.zone_id AND a.vid < b.vid
+         |  JOIN zv c ON b.zone_id = c.zone_id AND b.vid < c.vid),
+         |t AS MATERIALIZED (SELECT * FROM t0 WHERE o <> 0),
+         |w AS (SELECT t.gid, t.ia, t.ib, t.ic, t.o,
+         |  (t.xa - d.vx) AS a1, (t.ya - d.vy) AS a2,
+         |  (t.xb - d.vx) AS b1, (t.yb - d.vy) AS b2,
+         |  (t.xc - d.vx) AS c1, (t.yc - d.vy) AS c2
+         |  FROM t JOIN zv d ON d.zone_id = t.gid AND d.vid <> t.ia
+         |    AND d.vid <> t.ib AND d.vid <> t.ic),
+         |w2 AS (SELECT *, a1 * a1 + a2 * a2 AS a3, b1 * b1 + b2 * b2 AS b3,
+         |  c1 * c1 + c2 * c2 AS c3 FROM w),
+         |bad AS (SELECT DISTINCT gid, ia, ib, ic FROM w2
+         |  WHERE (a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1)
+         |    + a3 * (b1 * c2 - b2 * c1)) * o > 0),
+         |tri AS (SELECT t.gid, t.ia, t.ib, t.ic, t.xa, t.ya, t.xb, t.yb,
+         |  t.xc, t.yc FROM t
+         |  LEFT JOIN bad ON bad.gid = t.gid AND bad.ia = t.ia
+         |    AND bad.ib = t.ib AND bad.ic = t.ic
+         |  WHERE bad.ia IS NULL),
+         |cen AS (SELECT *, (xa + xb + xc) / 3.0 AS x,
+         |  (ya + yb + yc) / 3.0 AS y FROM tri),
+         |inz AS (SELECT gid, ia, ib, ic FROM cen
+         |  WHERE CASE gid $inCase ELSE false END),
+         |nv AS (SELECT zone_id AS gid, count(*) AS nv FROM zv GROUP BY 1),
+         |ed AS (SELECT DISTINCT gid, va, vb FROM (
+         |  SELECT gid, ia AS va, ib AS vb FROM inz
+         |  UNION ALL SELECT gid, ib AS va, ic AS vb FROM inz
+         |  UNION ALL SELECT gid, ia AS va, ic AS vb FROM inz)),
+         |ednb AS (SELECT e.gid, e.va, e.vb FROM ed e JOIN nv ON nv.gid = e.gid
+         |  WHERE NOT (e.vb - e.va = 1 OR (e.va = 0 AND e.vb = nv.nv - 1)))
+         |SELECT e.gid AS zone_id, e.va, e.vb,
+         |  (pa.vx + pb.vx) / 2.0 AS mx, (pa.vy + pb.vy) / 2.0 AS my
+         |FROM ednb e JOIN zv pa ON pa.zone_id = e.gid AND pa.vid = e.va
+         |JOIN zv pb ON pb.zone_id = e.gid AND pb.vid = e.vb""".stripMargin
+    },
 
     "geo_extend_rivers" -> {
       val h = "(CAST(4.0 AS DOUBLE) + CAST(id % 3 AS DOUBLE) * 4)"

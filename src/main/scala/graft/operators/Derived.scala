@@ -96,6 +96,24 @@ object Derived {
       .withColumn("max_y", array_max($"ys"))
   }
 
+  /** Outer-ring vertices of the hole-free zones as a VALUES relation
+    * (zone_id, vid, vx, vy) — FindPolygonMidline's triangulation
+    * substrate (same literals as [[zones]]). */
+  val zoneOuterVerticesSql: String = {
+    val zs = Seq(
+      1 -> (Seq(12.005, 13.005, 13.005, 12.005),
+            Seq(45.005, 45.005, 46.505, 46.505)),
+      2 -> (Seq(-120.005, -60.005, -60.005, -120.005),
+            Seq(-30.005, -30.005, 30.005, 30.005)),
+      4 -> (Seq(0.005, 20.005, 10.005), Seq(0.005, 1.005, 15.005)),
+      5 -> (Seq(100.005, 140.005, 140.005, 120.005, 120.005, 100.005),
+            Seq(0.005, 0.005, 20.005, 20.005, 40.005, 40.005)))
+    zs.flatMap { case (zid, (xs, ys)) =>
+      xs.indices.map(i =>
+        s"($zid, $i, CAST(${xs(i)} AS DOUBLE), CAST(${ys(i)} AS DOUBLE))")
+    }.mkString("(VALUES ", ", ", ") AS zvv(zone_id, vid, vx, vy)")
+  }
+
   /** Per-zone membership predicates for the oracle (pt relation must
     * expose x, y). Interior-only by construction (strict bounds). */
   val zonePredicatesSql: Seq[(Int, String)] = Seq(

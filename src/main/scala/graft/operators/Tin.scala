@@ -68,6 +68,37 @@ object Tin {
       .select("ia", "ib", "ic")
   }
 
+  /** Per-group variant of [[delaunayBrute]]: points (gid, pid, px,
+    * py) -> (gid, ia, ib, ic). FindPolygonMidline.java builds exactly
+    * this per-feature triangulation of the polygon's vertices
+    * (:307-320) as its skeleton substrate; each group triangulates
+    * independently (joins carry the group key, so a group never sees
+    * another group's sites). */
+  def delaunayGrouped(points: DataFrame): DataFrame = {
+    val p = points.select(col("gid"), col("pid"), col("px"), col("py"))
+      .localCheckpoint(true)
+    def pAs(n: String) = p.select(col("gid").as(s"g$n"),
+      col("pid").as(s"i$n"), col("px").as(s"x$n"), col("py").as(s"y$n"))
+    val triples = pAs("a")
+      .join(pAs("b"), col("ga") === col("gb") && col("ia") < col("ib"))
+      .join(pAs("c"), col("gb") === col("gc") && col("ib") < col("ic"))
+      .withColumn("__o", orient(col("xa"), col("ya"), col("xb"),
+        col("yb"), col("xc"), col("yc")))
+      .where(col("__o") =!= 0)
+      .drop("gb", "gc")
+      .withColumnRenamed("ga", "gid")
+      .localCheckpoint(true)
+    val withD = triples.join(pAs("d"),
+      col("gid") === col("gd") && col("id") =!= col("ia") &&
+        col("id") =!= col("ib") && col("id") =!= col("ic"))
+    val bad = withD
+      .where(incircle(col("xa"), col("ya"), col("xb"), col("yb"),
+        col("xc"), col("yc"), col("xd"), col("yd")) * col("__o") > 0)
+      .select("gid", "ia", "ib", "ic").distinct()
+    triples.join(bad, Seq("gid", "ia", "ib", "ic"), "left_anti")
+      .select("gid", "ia", "ib", "ic")
+  }
+
   /**
    * RasterizeTIN (Scripts/RasterizeTIN.groovy): linear facet
    * interpolation — every target cell inside a Delaunay triangle
