@@ -185,6 +185,20 @@ object SparkEntry {
           sum(col("elen_nano")).as("len_nano"))
     }),
 
+    // RemoveOffTerrainObjects (grayscale-opening arm): cells more
+    // than minHeight above the morphological opening are cut to it
+    "geo_remove_oto" -> ((s, dir) =>
+      operators.Focal.removeOffTerrainObjects(Derived.partGrid(s, dir),
+        radius = 2, minHeight = 5.0, nRows = GridRows,
+        nCols = GridCols)),
+
+    // RemovePolygonNecks: neck vertices = ring folds back within the
+    // neighbour radius (two separated index runs); chains emitted
+    "geo_polygon_necks" -> ((s, dir) =>
+      operators.VectorReshape.polygonNecks(Derived.dumbbellVertices(s),
+        radius = 2.0, nodeGapThreshold = 5L,
+        numPoints = Derived.dumbbellRing.length.toLong)),
+
     // FindPolygonMidline: per-polygon Delaunay of the ring vertices
     // (the reference's skeleton substrate, FindPolygonMidline.java:
     // 307-320); midline nodes = midpoints of interior triangles'
@@ -4033,6 +4047,38 @@ object SparkEntry {
          |nc AS (SELECT link_id, count(*) AS n_cells FROM links GROUP BY 1)
          |SELECT nc.link_id, nc.n_cells, COALESCE(ln.len_nano, 0) AS len_nano
          |FROM nc LEFT JOIN ln ON ln.link_id = nc.link_id""".stripMargin,
+
+    "geo_remove_oto" ->
+      s"""WITH g AS ($GRID),
+         |ero AS (SELECT a.r, a.c, min(b.v) AS v FROM g a JOIN g b
+         |  ON b.r BETWEEN a.r - 2 AND a.r + 2
+         |  AND b.c BETWEEN a.c - 2 AND a.c + 2 GROUP BY a.r, a.c),
+         |opn AS (SELECT a.r, a.c, max(b.v) AS open FROM ero a JOIN ero b
+         |  ON b.r BETWEEN a.r - 2 AND a.r + 2
+         |  AND b.c BETWEEN a.c - 2 AND a.c + 2 GROUP BY a.r, a.c)
+         |SELECT g.r, g.c,
+         |  CASE WHEN g.v - o.open > 5.0e0 THEN o.open ELSE g.v END AS dem_out
+         |FROM g JOIN opn o ON o.r = g.r AND o.c = g.c""".stripMargin,
+
+    "geo_polygon_necks" -> {
+      val n = Derived.dumbbellRing.length
+      s"""WITH dv AS (SELECT * FROM ${Derived.dumbbellVerticesSql}),
+         |nb AS (SELECT a.vid AS cid, b.vid AS nid FROM dv a JOIN dv b
+         |  ON (a.vx - b.vx) * (a.vx - b.vx) + (a.vy - b.vy) * (a.vy - b.vy) <= 4.0),
+         |rng AS (SELECT cid, max(nid) - min(nid) AS rng FROM nb GROUP BY cid),
+         |nrm AS (SELECT nb.cid, CASE WHEN r.rng = ${n - 1} AND nb.nid < ${n / 2}
+         |  THEN nb.nid + $n ELSE nb.nid END AS nid
+         |  FROM nb JOIN rng r ON r.cid = nb.cid),
+         |gp AS (SELECT cid, nid - lag(nid) OVER (PARTITION BY cid ORDER BY nid) AS gp
+         |  FROM nrm),
+         |mg AS (SELECT cid, COALESCE(max(gp), 0) AS maxgap FROM gp GROUP BY cid),
+         |kept AS (SELECT cid FROM mg WHERE maxgap >= 5),
+         |ch AS (SELECT cid, cid - row_number() OVER (ORDER BY cid) AS grp FROM kept)
+         |SELECT min(cid) AS chain_start, max(cid) AS chain_end,
+         |  count(*) AS n_vertices
+         |FROM ch GROUP BY grp
+         |HAVING count(*) >= 2 OR max(cid) = ${n - 1}""".stripMargin
+    },
 
     "geo_polygon_midline" -> {
       val preds = Derived.zonePredicatesSql.toMap

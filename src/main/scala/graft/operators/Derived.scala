@@ -114,6 +114,36 @@ object Derived {
     }.mkString("(VALUES ", ", ", ") AS zvv(zone_id, vid, vx, vy)")
   }
 
+  /** Dumbbell ring for RemovePolygonNecks: two 10x10 blobs joined by
+    * a 0.8-wide neck (open vertex list, no closing duplicate; last
+    * vertex sits within the neighbour radius of vertex 0 so the
+    * ring-seam index normalisation actually fires). */
+  val dumbbellRing: Seq[(Double, Double)] = Seq(
+    (0.0, 0.0), (2.5, 0.0), (5.0, 0.0), (7.5, 0.0), (10.0, 0.0),
+    (10.0, 2.3), (10.0, 4.6),
+    (11.9, 4.6), (13.8, 4.6), (16.0, 4.6),
+    (16.0, 2.3), (16.0, 0.0),
+    (18.5, 0.0), (21.0, 0.0), (23.5, 0.0), (26.0, 0.0),
+    (26.0, 2.5), (26.0, 5.1), (26.0, 7.6), (26.0, 10.0),
+    (23.5, 10.0), (21.0, 10.0), (18.5, 10.0), (16.0, 10.0),
+    (16.0, 7.7), (16.0, 5.4),
+    (14.1, 5.4), (12.2, 5.4), (10.0, 5.4),
+    (10.0, 7.7), (10.0, 10.0),
+    (7.5, 10.0), (5.0, 10.0), (2.5, 10.0), (0.0, 10.0),
+    (0.0, 7.5), (0.0, 5.1), (0.0, 1.9))
+
+  def dumbbellVertices(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dumbbellRing.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("vid", "vx", "vy")
+  }
+
+  val dumbbellVerticesSql: String =
+    dumbbellRing.zipWithIndex.map { case ((x, y), i) =>
+      s"($i, CAST($x AS DOUBLE), CAST($y AS DOUBLE))"
+    }.mkString("(VALUES ", ", ", ") AS dv(vid, vx, vy)")
+
   /** Per-zone membership predicates for the oracle (pt relation must
     * expose x, y). Interior-only by construction (strict bounds). */
   val zonePredicatesSql: Seq[(Int, String)] = Seq(

@@ -558,4 +558,31 @@ object Focal {
     }
     (k, k.map(t => math.max(math.abs(t._1), math.abs(t._2))).max)
   }
+
+  /**
+   * RemoveOffTerrainObjects (LidarTools/RemoveOffTerrainObjects.java)
+   * — the grayscale-opening arm: erosion (focal min over the
+   * (2r+1)² window) then dilation (focal max) yields the highest
+   * surface that fits under the DEM without entering bumps narrower
+   * than the window; cells standing more than minHeight above that
+   * opening are off-terrain and are cut down to it. The reference's
+   * iterative tile peak-cleave converges to exactly this for peaks
+   * narrower than its OTOMaxSize tile (= 2r+1 here), and its
+   * min-edge-slope gate maps to minHeight = tan(minEdgeSlope)·res
+   * (RemoveOffTerrainObjects.java:271-274). Two focal scatters, two
+   * shuffles, no iteration — min/max aggregation is order-free, so
+   * the result is bit-identical across engines.
+   */
+  def removeOffTerrainObjects(grid: DataFrame, radius: Int,
+                              minHeight: Double, nRows: Long,
+                              nCols: Long): DataFrame = {
+    val ero = contributions(grid, radius, reflect = false, nRows, nCols)
+      .groupBy("r", "c").agg(min(col("nv")).as("v"))
+    val open = contributions(ero, radius, reflect = false, nRows, nCols)
+      .groupBy("r", "c").agg(max(col("nv")).as("open"))
+    grid.join(open, Seq("r", "c"))
+      .select(col("r"), col("c"),
+        when(col("v") - col("open") > minHeight, col("open"))
+          .otherwise(col("v")).as("dem_out"))
+  }
 }

@@ -94,6 +94,57 @@ object VectorReshape {
   }
 
   /**
+   * RemovePolygonNecks (VectorTools/RemovePolygonNecks.java:285-388):
+   * a ring vertex is a neck vertex when the ring folds back on itself
+   * nearby — its within-radius neighbour set spans two separated
+   * index runs, detected as a max consecutive-index gap >=
+   * nodeGapThreshold after the ring-seam normalisation (indices below
+   * numPoints/2 shift up by numPoints when the raw index range spans
+   * the whole ring, :327-345). Chains of consecutive neck vertices
+   * are the emitted polylines; a chain needs >= 2 vertices, or any
+   * length when it ends at the ring's last vertex (the reference's
+   * end-of-scan flush, :364-372). The global chain window is
+   * per-feature in the reference too — one ring, one partition.
+   * vertices: (vid, vx, vy). Output: (chain_start, chain_end,
+   * n_vertices).
+   */
+  def polygonNecks(vertices: DataFrame, radius: Double,
+                   nodeGapThreshold: Long,
+                   numPoints: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val d2 = radius * radius
+    val a = vertices.select(col("vid").as("cid"), col("vx").as("ax"),
+      col("vy").as("ay"))
+    val b = vertices.select(col("vid").as("nid"), col("vx").as("bx"),
+      col("vy").as("by"))
+    val nb = a.join(b,
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= d2)
+      .select(col("cid"), col("nid"))
+      .localCheckpoint(true)
+    val rng = nb.groupBy("cid")
+      .agg((max("nid") - min("nid")).as("rng"))
+    val nrm = nb.join(rng, Seq("cid"))
+      .select(col("cid"),
+        when(col("rng") === numPoints - 1 &&
+          col("nid") < numPoints / 2, col("nid") + numPoints)
+          .otherwise(col("nid")).as("nid"))
+    val wC = w.partitionBy("cid").orderBy("nid")
+    val mg = nrm
+      .withColumn("gp", col("nid") - lag("nid", 1).over(wC))
+      .groupBy("cid").agg(coalesce(max("gp"), lit(0L)).as("maxgap"))
+    val kept = mg.where(col("maxgap") >= nodeGapThreshold)
+      .select("cid")
+    kept.withColumn("grp", col("cid") - row_number().over(w.orderBy("cid")))
+      .groupBy("grp")
+      .agg(min("cid").as("chain_start"), max("cid").as("chain_end"),
+        count(lit(1)).as("n_vertices"))
+      .where(col("n_vertices") >= 2 ||
+        col("chain_end") === numPoints - 1)
+      .select("chain_start", "chain_end", "n_vertices")
+  }
+
+  /**
    * DeleteSmallLakesAndExtendRivers.groovy (:138-177): a lake with
    * area <= areaThreshold that has >= 2 stream endpoints (starts or
    * ends) within searchDistance is deleted, and each such endpoint is
