@@ -63,8 +63,13 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        graft.core.CacheReaper.reapExcept(spark, inputIds)
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // reap with gc OUTSIDE the timed span: dead shuffle files on
+        // the tmpfs local dir otherwise accumulate across the 200+
+        // query loop and push the JVM into kernel reclaim, slowing
+        // the alphabetically-late queries 5-10x (see CacheReaper)
+        graft.core.CacheReaper.reapExcept(spark, inputIds, gc = true)
+        name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1051,24 +1051,57 @@ object Terrain {
     require(hExp < 10,
       "hExp >= 10 selects the reference's single-direction arm; use d8")
     val pi = math.Pi
+    // The facet computation runs in THREE narrow projections with a
+    // materialization between each: fused into one stage, the 16
+    // full facet trees blow whole-stage codegen's 64KB processNext
+    // (janino InternalCompilerException -> ~3s of failed compilation
+    // + interpreted fallback per run). Materializing doubles is
+    // exact, so the staged values are bit-identical to the fused
+    // tree's.
     val nb = gatherNeighbors(grid).select(
       col("r") +: col("c") +: col("v") +:
         (0 until 8).map(m => col(s"n${7 - m}").as(s"p$m")): _*)
+      .localCheckpoint(true)
     def p(m: Int) = col(s"p${m % 8}")
-    // facet downslope direction + slope (FlowAccumMDInf.java:443-501)
+    def nzd(m: Int): Double = {
+      val m1 = (m + 1) % 8
+      (mXd(m) * mYd(m1) - mXd(m1) * mYd(m)).toDouble
+    }
+    // stage 1: facet normals (FlowAccumMDInf.java:443-459)
+    val withN = nb.select(
+      (col("r") +: col("c") +: col("v") +:
+        (0 until 8).map(m => p(m))) ++
+        (0 until 8).flatMap { m =>
+          val m1 = (m + 1) % 8
+          val z1 = p(m) - col("v")
+          val z2 = p(m1) - col("v")
+          Seq((lit(mYd(m).toDouble) * z2 - lit(mYd(m1).toDouble) * z1)
+            .as(s"nx$m"),
+            (lit(mXd(m1).toDouble) * z1 - lit(mXd(m).toDouble) * z2)
+              .as(s"ny$m"))
+        }: _*)
+      .localCheckpoint(true)
+    // stage 2: unclamped direction + algebraic slope magnitude
+    val withH = withN.select(
+      (col("r") +: col("c") +: col("v") +:
+        (0 until 8).map(m => p(m))) ++
+        (0 until 8).flatMap { m =>
+          val nxc = col(s"nx$m"); val nyc = col(s"ny$m")
+          val hr0 = when(nxc === 0,
+              when(nyc >= 0, lit(0.0)).otherwise(lit(pi)))
+            .otherwise(when(nxc >= 0, lit(pi / 2) - atan(nyc / nxc))
+              .otherwise(lit(3 * pi / 2) - atan(nyc / nxc)))
+          val xq = lit(nzd(m)) /
+            sqrt(nxc * nxc + nyc * nyc + lit(nzd(m) * nzd(m)))
+          val hs0 = -(sqrt(lit(1.0) - xq * xq) / xq)
+          Seq(hr0.as(s"hr0_$m"), hs0.as(s"hs0_$m"))
+        }: _*)
+      .localCheckpoint(true)
+    // stage 3: wedge clamp + single-neighbour fallback
+    // (FlowAccumMDInf.java:461-501)
     def hrhs(m: Int): (Column, Column) = {
       val m1 = (m + 1) % 8
-      val z1 = p(m) - col("v")
-      val z2 = p(m1) - col("v")
-      val nxc = lit(mYd(m).toDouble) * z2 - lit(mYd(m1).toDouble) * z1
-      val nyc = lit(mXd(m1).toDouble) * z1 - lit(mXd(m).toDouble) * z2
-      val nzd = (mXd(m) * mYd(m1) - mXd(m1) * mYd(m)).toDouble
-      val hr0 = when(nxc === 0,
-          when(nyc >= 0, lit(0.0)).otherwise(lit(pi)))
-        .otherwise(when(nxc >= 0, lit(pi / 2) - atan(nyc / nxc))
-          .otherwise(lit(3 * pi / 2) - atan(nyc / nxc)))
-      val xq = lit(nzd) / sqrt(nxc * nxc + nyc * nyc + lit(nzd * nzd))
-      val hs0 = -(sqrt(lit(1.0) - xq * xq) / xq)
+      val hr0 = col(s"hr0_$m"); val hs0 = col(s"hs0_$m")
       val lo = lit(m * pi / 4)
       val hi = lit((m + 1) * pi / 4)
       val clamp = hr0 < lo || hr0 > hi
@@ -1092,7 +1125,7 @@ object Terrain {
     // materialize the facet stage: downstream valley tests reference
     // adjacent facets, which would otherwise duplicate each facet
     // tree 3x (same CollapseProject blowup dinfPointer guards against)
-    val withF = nb.select(
+    val withF = withH.select(
       (col("r") +: col("c") +:
         (0 until 8).flatMap { m =>
           val (hr, hs) = hrhs(m)
