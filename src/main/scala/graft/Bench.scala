@@ -25,6 +25,13 @@ object Bench {
     val bld = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce tiny shuffles below defaultParallelism: the
+      // suite's raster grids are ~2000 cells, and 32 near-empty
+      // shuffle partitions per round of an iterative operator is pure
+      // scheduler tax at high core counts (BENCH_r03: 19 queries ran
+      // >=1.5x slower at local[32] than local[8] from exactly this)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // shuffle spill dir on tmpfs: a real N-node cluster has N local

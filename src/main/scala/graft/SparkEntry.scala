@@ -3149,14 +3149,14 @@ object SparkEntry {
       s"""WITH g AS ($GRID),
          |$surfaceSql
          |SELECT r, c, round((zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2)
-         |  / (p * sqrt(p)) * $RadToDegLit * 100, 6) AS plan_curv
+         |  / (p * sqrt(p)) * $RadToDegLit * 100, 6) + 0.0 AS plan_curv
          |FROM st2 WHERE p > 0""".stripMargin,
 
     "geo_prof_curv" ->
       s"""WITH g AS ($GRID),
          |$surfaceSql
          |SELECT r, c, round((zxx * zx2 + 2 * zxy * zx * zy + zyy * zy2)
-         |  / (p * ((p + 1) * sqrt(p + 1))) * $RadToDegLit * 100, 6) AS prof_curv
+         |  / (p * ((p + 1) * sqrt(p + 1))) * $RadToDegLit * 100, 6) + 0.0 AS prof_curv
          |FROM st2 WHERE p > 0""".stripMargin,
 
     "geo_total_curv" ->
@@ -4806,7 +4806,7 @@ object SparkEntry {
       s"""WITH g AS ($GRID),
          |$surfaceSql
          |SELECT r, c, round((zxx * zy2 - 2 * zxy * zx * zy + zyy * zx2) /
-         |  (p * ((p + 1) * sqrt(p + 1))) * $RadToDegLit * 100, 6) AS tang_curv
+         |  (p * ((p + 1) * sqrt(p + 1))) * $RadToDegLit * 100, 6) + 0.0 AS tang_curv
          |FROM st2 WHERE p > 0""".stripMargin,
 
     "geo_relative_aspect" ->

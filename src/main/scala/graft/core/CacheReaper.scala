@@ -26,8 +26,11 @@ object CacheReaper {
     * the query that follows a checkpoint-heavy one. */
   def reapExcept(spark: SparkSession, keep: Set[Int],
                  blocking: Boolean = true, gc: Boolean = false): Unit = {
+    // Memo entries (shared cross-query intermediates) are spared: the
+    // whole point of the memo is surviving the per-query reap.
+    val keepAll = keep ++ Memo.protectedIds
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!keep.contains(id)) rdd.unpersist(blocking = blocking)
+      if (!keepAll.contains(id)) rdd.unpersist(blocking = blocking)
     }
     // Shuffle FILES outlive the unpersist: they are deleted by the
     // ContextCleaner only after the shuffle dependency is GC'd. With

@@ -75,6 +75,42 @@ object GeoEval {
     s
   }
 
+  /**
+   * Random-hyperplane LSH band keys in one pass — the codegen'd twin
+   * of the `transform(sequence, aggregate(...))` HOF fold it replaces
+   * in Similarity.cosineNearDupPairs (BENCH_r03's slowest query was
+   * exactly that interpreted fold). Bit-exact semantics:
+   *   sig(h)     = sum_i round(arr_i * 1000) *
+   *                (((h+1)*73856093 + (i+1)*19349663) % 95 - 47)
+   *   bandKey(b) = sum_{j < bandBits} (sig(b*bandBits + j) > 0) << j
+   * where round is Spark's Round(HALF_UP via BigDecimal.valueOf) then
+   * long cast — matching both the old HOF form and the DuckDB oracle.
+   */
+  def sigBands(arr: ArrayData, nPlanes: Int, bandBits: Int): ArrayData = {
+    val d = arr.numElements()
+    val q = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      q(i) = java.math.BigDecimal.valueOf(arr.getDouble(i) * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    val keys = new Array[Long](nPlanes / bandBits)
+    var h = 0
+    while (h < nPlanes) {
+      var s = 0L
+      var j = 0
+      while (j < d) {
+        s += q(j) * (((h + 1).toLong * 73856093L +
+          (j + 1).toLong * 19349663L) % 95L - 47L)
+        j += 1
+      }
+      if (s > 0L) keys(h / bandBits) |= 1L << (h % bandBits)
+      h += 1
+    }
+    ArrayData.toArrayData(keys)
+  }
+
   /** Double-array variant of [[dotF]]. */
   def dotD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

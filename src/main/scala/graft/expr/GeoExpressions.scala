@@ -364,6 +364,26 @@ case class ArrDot(left: Expression, right: Expression)
       r: Expression): Expression = copy(l, r)
 }
 
+/** sig_bands(arr, nPlanes, bandBits) -> Array[Long]: random-hyperplane
+  * LSH band keys over a dense double array, one codegen'd pass
+  * (kernel: [[GeoEval.sigBands]]; replaces the interpreted
+  * transform/aggregate HOF fold in cosine near-dup). */
+case class SigBands(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, n: Any, b: Any): Any =
+    GeoEval.sigBands(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, n, b) => s"graft.expr.GeoEval.sigBands($a, $n, $b)")
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** to_wkt(xs, ys, parts) -> WKT string (ExportWellKnownText.java
   * delegation to JTS WKTWriter). */
 case class ToWkt(first: Expression, second: Expression,
@@ -442,6 +462,8 @@ object GeoFunctions {
     c(StPred(Seq(x(pred), x(xsA), x(ysA), x(partsA), x(xsB), x(ysB),
       x(partsB))))
   def arr_dot(a: Column, b: Column): Column = c(ArrDot(x(a), x(b)))
+  def sig_bands(a: Column, nPlanes: Column, bandBits: Column): Column =
+    c(SigBands(x(a), x(nPlanes), x(bandBits)))
   def to_wkt(xs: Column, ys: Column, parts: Column): Column =
     c(ToWkt(x(xs), x(ys), x(parts)))
   def from_wkt(wkt: Column): Column = c(FromWkt(x(wkt)))

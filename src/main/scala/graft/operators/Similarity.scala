@@ -137,32 +137,18 @@ object Similarity {
       .withColumn("arr", transform(sequence(lit(1), col("mx")),
         i => coalesce(element_at(col("__m"), i), lit(0.0))))
       .drop("__m")
-      // spread the N rows over the full shuffle width BEFORE the
-      // checkpoint: the signature fold below is CPU-bound per row
-      // (nPlanes*d lambda evals), and AQE's byte-based coalescing
-      // would otherwise pin the tiny table to one task
-      .repartition(expl0.sparkSession.sessionState.conf.numShufflePartitions)
       .localCheckpoint(true)
-    // integer-quantized signature, in-row: sig(hj) = sum_i
-    // round(arr_i*1000) * coef(hj, i). Integer arithmetic is
-    // order-free, so this left fold equals the relational GROUP BY
-    // sum bit-for-bit (absent positions contribute 0).
-    val sig = transform(sequence(lit(0), lit(nPlanes - 1)),
-      hj => aggregate(sequence(lit(1), col("mx")), lit(0L),
-        (acc, i) => acc +
-          round(element_at(col("arr"), i) * 1000, 0).cast("long") *
-          (((hj + 1).cast("long") * lit(73856093L) +
-            i.cast("long") * lit(19349663L)) % 95 - 47)))
-    // band keys from sign bits; descending fold acc*2+bit == the
-    // relational sum of shifted bits (bit j of band b = sig[b*bits+j])
-    val bandArr = transform(sequence(lit(0), lit(nBands - 1)),
-      b => aggregate(
-        sequence(lit(bandBits - 1), lit(0), lit(-1)), lit(0L),
-        (acc, j) => acc * 2 + when(
-          element_at(col("__sig"), b * bandBits + j + 1) > 0, 1L)
-          .otherwise(0L)))
-    val bands = vecs.withColumn("__sig", sig)
-      .select(col("vec_id"), posexplode(bandArr).as(Seq("band", "bkey")))
+    // integer-quantized signature + band keys in ONE codegen'd pass
+    // per row (graft.expr.SigBands): sig(hj) = sum_i round(arr_i*1000)
+    // * coef(hj, i), bandKey(b) from the sign bits. Integer arithmetic
+    // is order-free, so the kernel's loop equals the relational
+    // GROUP BY sum bit-for-bit (absent positions contribute 0). The
+    // interpreted transform/aggregate HOF form this replaces was the
+    // bench's slowest query (nPlanes*d lambda evals per row).
+    val bands = vecs.withColumn("__bk",
+        graft.expr.GeoFunctions.sig_bands(col("arr"), lit(nPlanes),
+          lit(bandBits)))
+      .select(col("vec_id"), posexplode(col("__bk")).as(Seq("band", "bkey")))
       // both sides of the banded self-join read this; compute the
       // signature fold once, not once per side
       .localCheckpoint(true)

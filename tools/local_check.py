@@ -68,9 +68,17 @@ def main(outdir, sfdir):
         for c in g.columns:
             gv, wv = g[c], w[c]
             if np.issubdtype(gv.dtype, np.number) and np.issubdtype(wv.dtype, np.number):
-                if not np.allclose(gv.astype(float), wv.astype(float), rtol=0, atol=0, equal_nan=True):
+                gf, wf = gv.astype(float).values, wv.astype(float).values
+                # signbit check: the driver hashes values, so -0.0 vs
+                # +0.0 IS a mismatch there (bit CORRECTNESS_r03's three
+                # curvature queries); allclose alone can't see it
+                both = ~(np.isnan(gf) | np.isnan(wf))
+                sign0 = np.any(np.signbit(gf[both]) != np.signbit(wf[both]))
+                if not np.allclose(gf, wf, rtol=0, atol=0, equal_nan=True) or sign0:
                     eq = False
-                    bad = np.where(gv.astype(float).values != wv.astype(float).values)[0][:5]
+                    neq = (gf != wf) & both
+                    neq |= both & (np.signbit(gf) != np.signbit(wf))
+                    bad = np.where(neq)[0][:5]
                     print(f"  col {c}: first diffs at rows {bad}:")
                     for i in bad:
                         print(f"    spark={gv.iloc[i]!r} duckdb={wv.iloc[i]!r}")
