@@ -110,6 +110,18 @@ object ScalingBench {
         col("embedding"), col("label"))
       .repartition(nPart).localCheckpoint(true)
 
+    // Headline PIP input (VERDICT r3): a dense deterministic zone
+    // layer sized so the ray-cast kernel, not fixed job overhead,
+    // dominates — pip_join must run long enough (>= 30 s at the 4N
+    // level) that pages/sec measures compute scaling. Each page does
+    // `perCell` exact PIP tests of `verts` crossings. Built BEFORE
+    // the reaper snapshot so per-pass reaps spare it.
+    val zoneRes = 5
+    val perCell = sys.env.getOrElse("SPARK_GRAFT_ZONES_PER_CELL", "2").toInt
+    val zoneVerts = sys.env.getOrElse("SPARK_GRAFT_ZONE_VERTS", "4000").toInt
+    val denseZones = Derived.scaledZones(spark, zoneRes, perCell, zoneVerts)
+      .localCheckpoint(true)
+
     // best-of-3: the first pass pays JIT/codegen/page-cache warmup and
     // the host shows multi-second transient throughput dips; the
     // minimum is the stable capability number the cross-parallelism
@@ -138,11 +150,12 @@ object ScalingBench {
     }
 
     // untimed warmup: session init, codegen cache, page cache
-    SpatialJoins.pipJoin(pts, Derived.zones(spark), res = 7).count()
+    SpatialJoins.pipJoin(pts.limit(100000), denseZones, res = zoneRes)
+      .count()
 
     val results = Seq(
       time("pip_join") {
-        SpatialJoins.pipJoin(pts, Derived.zones(spark), res = 7)
+        SpatialJoins.pipJoin(pts, denseZones, res = zoneRes)
           .select("zone_id", "id").count()
       },
       time("tile_histogram_salted") {

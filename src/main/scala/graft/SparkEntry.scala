@@ -305,6 +305,13 @@ object SparkEntry {
     "geo_slope" -> ((s, dir) =>
       Raster.hornSlope(Derived.partGrid(s, dir), GridRows, GridCols)),
 
+    // ExposureTowardsWindFlux (TerrainAnalysisTools, no-horizon arm):
+    // sin(slope)*cos(relAspect), azimuth 135 with the reference's
+    // radian/degree mixing mirrored
+    "geo_wind_exposure" -> ((s, dir) =>
+      operators.Terrain.exposureTowardsWindFlux(Derived.partGrid(s, dir),
+        azimuthDeg = 135.0, GridRows, GridCols)),
+
     // ---- focal filter family (one generic engine, SURVEY.md §2.5) ----
 
     "geo_focal_median" -> ((s, dir) =>
@@ -519,6 +526,94 @@ object SparkEntry {
       operators.Terrain.fillDepressions(Derived.partGrid(s, dir),
         GridRows, GridCols)),
 
+    // FillPits (HydroTools/FillPits.java:206-240): single-cell pits
+    // rise to lowestNeighbour + aSmallValue
+    "geo_fill_pits" -> ((s, dir) =>
+      operators.Terrain.fillPits(Derived.partGrid(s, dir))),
+
+    // BreachPits (HydroTools/BreachPits.java:210-240): ring-2 lower
+    // cells carve the interjacent ring-1 cell to (z + z2) / 2
+    "geo_breach_pits" -> ((s, dir) =>
+      operators.Terrain.breachPits(Derived.partGrid(s, dir))),
+
+    // Sink (Scripts/Sink.py): depression cells (z < filled), clumped
+    "geo_sink" -> ((s, dir) =>
+      operators.Terrain.sink(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    // DepthInSink (Scripts/DepthInSink.py): filled - z inside sinks
+    "geo_depth_in_sink" -> ((s, dir) =>
+      operators.Terrain.depthInSink(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    // ElevAbovePit (TerrainAnalysisTools/ElevAbovePit.java):
+    // z - z(terminal pit of the D8 flowpath)
+    "geo_elev_above_pit" -> ((s, dir) =>
+      operators.Terrain.elevAbovePit(Derived.partGrid(s, dir),
+        GridCols)),
+
+    // FloodOrder (Scripts/FloodOrder.groovy): priority-flood
+    // visitation order — sequential by construction, one-task mirror;
+    // the (z, row, col) queue order is total so the result is exact.
+    // No SQL oracle (order depends on the global frontier sequence);
+    // FloodOrderSpec checks a hand-computed fixture + permutation
+    // properties.
+    "geo_flood_order" -> ((s, dir) =>
+      operators.Terrain.floodOrder(Derived.partGrid(s, dir))),
+
+    // BreachDepressions (HydroTools/BreachDepressions.java):
+    // sequential pit-by-pit least-cost carving — one-task mirror of
+    // the reference (its own semantics are order-dependent), gated by
+    // localFixpointMaxRows. No SQL oracle (per-pit Dijkstra with the
+    // reference's heap tie behaviour is not relational);
+    // BreachDepressionsSpec checks a hand-computed carve fixture and
+    // monotonicity properties.
+    "geo_breach" -> ((s, dir) =>
+      operators.Terrain.breachDepressions(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    // JensonSnapPourPoints (HydroTools/JensonSnapPourPoints.java):
+    // nearest STREAM cell within the snap window (first-minimum
+    // tie-break), vs the max-accumulation semantics of geo_snap_pour
+    "geo_jenson_snap" -> ((s, dir) => {
+      val outlets = Derived.table(s, dir, "supplier")
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("outlet_id"),
+          (col("s_suppkey") * 11 % 40).as("r"),
+          (col("s_suppkey") * 17 % 50).as("c"))
+      operators.Terrain.jensonSnapPourPoints(Derived.partGrid(s, dir),
+        outlets, threshold = 5L, snapDist = 3)
+    }),
+
+    // BranchLength (TerrainAnalysisTools/BranchLength.java): max
+    // over adjacent pairs of the nano flowpath distance to the
+    // pair's confluence (full path length when disjoint)
+    "geo_branch_length" -> ((s, dir) =>
+      operators.Terrain.branchLength(Derived.partGrid(s, dir),
+        GridRows, GridCols)),
+
+    // FindParallelFlow (HydroTools/FindParallelFlow.java): same-
+    // pointer neighbour that is neither target nor inflow
+    "geo_parallel_flow" -> ((s, dir) =>
+      operators.Terrain.findParallelFlow(Derived.partGrid(s, dir))),
+
+    // TraceDownslopeFlowpaths (Scripts/TraceDownslopeFlowpaths
+    // .groovy): seeds paint their D8 paths, first-scan seed wins
+    "geo_trace_flowpaths" -> ((s, dir) => {
+      val seeds = Derived.table(s, dir, "supplier")
+        .where(col("s_suppkey") <= 5)
+        .select(col("s_suppkey").as("sval"),
+          (col("s_suppkey") * 11 % 40).as("sr"),
+          (col("s_suppkey") * 17 % 50).as("sc"))
+      operators.Terrain.traceDownslopeFlowpaths(Derived.partGrid(s, dir),
+        seeds)
+    }),
+
+    // MedianUpstreamArea (GeasyTools/MedianUpstreamArea.java): median
+    // accumulation over each creek cell's upstream closure
+    "geo_median_upstream" -> ((s, dir) =>
+      operators.Terrain.medianUpstreamArea(Derived.partGrid(s, dir), 5L)),
+
     // ---- terrain flow (iterative pointer DAG) ----
 
     "geo_d8_pointer" -> ((s, dir) =>
@@ -591,6 +686,25 @@ object SparkEntry {
     "geo_strahler" -> ((s, dir) =>
       operators.Terrain.strahlerOrder(Derived.partGrid(s, dir), 5L,
         width = 50)),
+
+    // StrahlerOrderBasins (HydroTools/StrahlerOrderBasins.java):
+    // every cell takes the order of the first stream cell downstream
+    "geo_strahler_basins" -> ((s, dir) =>
+      operators.Terrain.strahlerOrderBasins(Derived.partGrid(s, dir),
+        5L, width = 50)),
+
+    // StreamLinkClassification (StreamNetworkAnalysisTools): outlet 5
+    // / source 3 / junction 4 / else min(2, upstream headwaters)
+    "geo_stream_class" -> ((s, dir) =>
+      operators.Terrain.streamLinkClassification(
+        Derived.partGrid(s, dir), 5L)),
+
+    // WallWatershed (HydroTools/WallWatershed.java): watershed-
+    // boundary cells rise by the increment; interior cells mirror
+    // the reference's unwritten-output quirk (absent)
+    "geo_wall_watershed" -> ((s, dir) =>
+      operators.Terrain.wallWatershed(Derived.partGrid(s, dir),
+        width = 50, increment = 10.0)),
 
     // Contour polyline assembly: marching-squares segments chained
     // into per-level lines (stats contract; arrays in the operator)
@@ -782,6 +896,21 @@ object SparkEntry {
         Derived.supplierPoints(s, dir).where(col("s_id") <= 40)
           .select(col("s_id").as("pid"), col("sx").as("px"),
             col("sy").as("py")))),
+
+    // VoronoiDiagram (VectorTools/VoronoiDiagram.java): Thiessen
+    // polygon geometry clipped to the 5%-expanded bbox. The driver
+    // oracle checks the structural invariants (polygon count = point
+    // count; cells tile the envelope exactly, so the area sum equals
+    // the envelope area); VoronoiSpec checks per-cell geometry
+    // (containment, nearest-site, adjacency vs the Delaunay dual).
+    "geo_voronoi_polygons" -> ((s, dir) => {
+      val pts = Derived.supplierPoints(s, dir).where(col("s_id") <= 40)
+        .select(col("s_id").as("pid"), col("sx").as("px"),
+          col("sy").as("py"))
+      operators.Tin.voronoiPolygons(pts)
+        .agg(count(lit(1)).as("n_polys"),
+          round(sum(col("area")), 3).as("area_sum"))
+    }),
 
     // TestForNormality (StatsTools/TestForNormality.java): one-sample
     // K-S statistic against N(mean, sd). Φ comes from one generated
@@ -1841,6 +1970,30 @@ object SparkEntry {
     // numBins = 1024, stretch bounds = the image's own min/max. Global
     // min/max is one partial agg broadcast back over the scan — no
     // second shuffle at 100 TB.
+    // GaussianStretch (GaussianStretch.java): histogram-match onto a
+    // discretized standard normal (cut = 3 SD, 1024 output bins)
+    "geo_gaussian_stretch" -> ((s, dir) =>
+      operators.Distribution.gaussianStretch(Derived.partGrid(s, dir))),
+
+    // SigmoidalStretch (SigmoidalStretch.java): normalized logistic
+    // remap, cutoff = 0.4, gain = 4
+    "geo_sigmoidal_stretch" -> ((s, dir) =>
+      operators.Distribution.sigmoidalStretch(Derived.partGrid(s, dir),
+        cutoff = 0.4, gain = 4.0)),
+
+    // FilterAdaptive (FilterAdaptive.java): z-score-gated mean
+    // replacement (threshold = 1), reference's literal coordinate
+    // guard mirrored
+    "geo_filter_adaptive" -> ((s, dir) =>
+      operators.Focal.filterAdaptive(Derived.partGrid(s, dir),
+        threshold = 1.0, GridRows, GridCols)),
+
+    // LeeSigmaFilter (LeeSigmaFilter.groovy): sigma-clipped 5x5 mean
+    // with 8-neighbour fallback (sigma = 5 -> band 10, M = 4)
+    "geo_lee_sigma" -> ((s, dir) =>
+      operators.Focal.leeSigmaFilter(Derived.partGrid(s, dir),
+        radius = 2, sigma = 5.0, m = 4, GridRows, GridCols)),
+
     "geo_stretch_minmax" -> ((s, dir) => {
       val g = Derived.partGrid(s, dir)
       val st = g.agg(min("v").as("mn"), max("v").as("mx"))
@@ -2335,6 +2488,32 @@ object SparkEntry {
     // exactly "keep the middle vertex iff its perpendicular distance
     // from the end chord exceeds the tolerance" (6.0 here; the varied
     // triangle vertices make both outcomes occur).
+    // Smooth (VectorTools/Smooth.java): per-vertex moving average
+    // along each closed zone ring (window 3)
+    "geo_smooth_vector" -> ((s, dir) => {
+      val z = Derived.zones(s).where(size(col("parts")) === 1)
+      val v = z.select(col("zone_id").as("gid"),
+          posexplode(arrays_zip(col("xs"), col("ys"))))
+        .select(col("gid"), col("pos").as("i"),
+          col("col.xs").as("vx"), col("col.ys").as("vy"))
+      operators.VectorReshape.smoothVertices(v, halfFilter = 1,
+        closed = true)
+    }),
+
+    // VectorCleaning (VectorTools/VectorCleaning.java): snap each
+    // vertex to the nearest other-feature vertex within tolerance
+    "geo_vector_clean" -> ((s, dir) => {
+      val p = Derived.supplierPoints(s, dir).where(col("s_id") <= 40)
+      val a = p.select(lit(1).as("gid"), col("s_id").as("i"),
+        col("sx").as("vx"), col("sy").as("vy"))
+      val b = p.select(lit(2).as("gid"), col("s_id").as("i"),
+        (col("sx") + lit(0.003) + (col("s_id") % 3) * lit(0.004))
+          .as("vx"),
+        (col("sy") - lit(0.002)).as("vy"))
+      operators.VectorReshape.vectorClean(a.unionByName(b),
+        tolerance = 0.01)
+    }),
+
     "geo_simplify" -> ((s, dir) => {
       val tri = Derived.supplierPoints(s, dir)
         .select(col("s_id").as("line_id"), (col("sx") / 2).as("ax"),
@@ -2929,6 +3108,25 @@ object SparkEntry {
          |$stencilReflectSql
          |SELECT r, c, round(atan(sqrt(($FxSql) * ($FxSql) + ($FySql) * ($FySql))), 6) AS slope_rad
          |FROM nb""".stripMargin,
+
+    "geo_wind_exposure" -> {
+      val azPrime = math.toRadians(135.0 - 90)
+      s"""WITH g AS ($GRID),
+         |$stencilReflectSql,
+         |f AS (SELECT r, c,
+         |  round(atan(sqrt(($FxSql) * ($FxSql) + ($FySql) * ($FySql))), 6)
+         |    AS slope_rad,
+         |  $FxSql AS fx, $FySql AS fy FROM nb),
+         |a AS (SELECT r, c, slope_rad,
+         |  round($AspectSql, 6) AS aspect FROM f),
+         |rel AS (SELECT r, c, slope_rad,
+         |  CASE WHEN CAST($azPrime AS DOUBLE) - aspect > 180
+         |    THEN 360.0 - (CAST($azPrime AS DOUBLE) - aspect)
+         |    ELSE CAST($azPrime AS DOUBLE) - aspect END AS ra FROM a)
+         |SELECT r, c, round(sin(slope_rad) *
+         |  cos(ra * CAST(${math.Pi} AS DOUBLE) / 180.0), 6) AS exposure
+         |FROM rel""".stripMargin
+    },
 
     "geo_focal_median" ->
       s"""WITH g AS ($GRID),
@@ -3666,6 +3864,225 @@ object SparkEntry {
          |   AND NOT (g.r = rch.r AND g.c = rch.c))
          |SELECT r, c, min(lvl) AS filled FROM reach GROUP BY r, c""".stripMargin,
 
+    "geo_fill_pits" ->
+      s"""WITH g AS ($GRID),
+         |nb AS (SELECT a.r, a.c, min(b.v) AS lowest
+         |  FROM g a JOIN g b ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1
+         |   AND NOT (a.r = b.r AND a.c = b.c)
+         |  GROUP BY a.r, a.c),
+         |mx AS (SELECT CASE WHEN max(abs(v)) <= 9 THEN CAST(0.00001 AS DOUBLE)
+         |  WHEN max(abs(v)) <= 99 THEN CAST(0.0001 AS DOUBLE)
+         |  WHEN max(abs(v)) <= 999 THEN CAST(0.001 AS DOUBLE)
+         |  WHEN max(abs(v)) <= 9999 THEN CAST(0.001 AS DOUBLE)
+         |  WHEN max(abs(v)) <= 99999 THEN CAST(0.01 AS DOUBLE)
+         |  ELSE CAST(1.0 AS DOUBLE) END AS asmall FROM g)
+         |SELECT g.r, g.c, CASE WHEN nb.lowest IS NOT NULL
+         |  AND nb.lowest >= g.v THEN nb.lowest + mx.asmall
+         |  ELSE g.v END AS filled
+         |FROM g LEFT JOIN nb ON nb.r = g.r AND nb.c = g.c
+         |CROSS JOIN mx""".stripMargin,
+
+    "geo_breach_pits" ->
+      s"""WITH g AS ($GRID),
+         |nb AS (SELECT a.r, a.c, count(*) AS n8, min(b.v) AS lowest
+         |  FROM g a JOIN g b ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1
+         |   AND NOT (a.r = b.r AND a.c = b.c)
+         |  GROUP BY a.r, a.c),
+         |pits AS (SELECT g.r AS pr, g.c AS pc, g.v AS pz
+         |  FROM g JOIN nb ON nb.r = g.r AND nb.c = g.c
+         |  WHERE nb.n8 = 8 AND nb.lowest >= g.v),
+         |ring(i, dx2, dy2, bdx, bdy) AS (VALUES
+         |  (0,2,-2,1,-1),(1,2,-1,1,-1),(2,2,0,1,0),(3,2,1,1,0),
+         |  (4,2,2,1,1),(5,1,2,1,1),(6,0,2,0,1),(7,-1,2,0,1),
+         |  (8,-2,2,-1,1),(9,-2,1,-1,1),(10,-2,0,-1,0),(11,-2,-1,-1,0),
+         |  (12,-2,-2,-1,-1),(13,-1,-2,-1,-1),(14,0,-2,0,-1),(15,1,-2,1,-1)),
+         |writes AS (SELECT p.pr + ring.bdy AS r, p.pc + ring.bdx AS c,
+         |  (p.pz + g2.v) / 2 AS w, p.pr, p.pc, ring.i
+         |  FROM pits p CROSS JOIN ring
+         |  JOIN g g2 ON g2.r = p.pr + ring.dy2 AND g2.c = p.pc + ring.dx2
+         |  WHERE g2.v < p.pz),
+         |chosen AS (SELECT r, c, w, ROW_NUMBER() OVER (PARTITION BY r, c
+         |  ORDER BY pr DESC, pc DESC, i DESC) AS rn FROM writes)
+         |SELECT g.r, g.c, COALESCE(ch.w, g.v) AS breached
+         |FROM g LEFT JOIN (SELECT r, c, w FROM chosen WHERE rn = 1) ch
+         |  ON ch.r = g.r AND ch.c = g.c""".stripMargin,
+
+    "geo_sink" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |reach(r, c, lvl) AS (
+         |  SELECT r, c, v FROM g
+         |  WHERE r = 0 OR r = ${GridRows - 1} OR c = 0 OR c = ${GridCols - 1}
+         |  UNION
+         |  SELECT g.r, g.c, GREATEST(g.v, rch.lvl)
+         |  FROM reach rch JOIN g
+         |    ON abs(g.r - rch.r) <= 1 AND abs(g.c - rch.c) <= 1
+         |   AND NOT (g.r = rch.r AND g.c = rch.c)),
+         |fill AS (SELECT r, c, min(lvl) AS filled FROM reach GROUP BY r, c),
+         |mask AS (SELECT g.r * $GridCols + g.c AS id, g.r, g.c
+         |  FROM g JOIN fill f ON f.r = g.r AND f.c = g.c
+         |  WHERE g.v < f.filled),
+         |edges AS (SELECT a.id AS s, b.id AS t FROM mask a JOIN mask b
+         |  ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1),
+         |reach2 AS (SELECT id AS s, id AS t FROM mask
+         |  UNION SELECT x.s, e.t FROM reach2 x JOIN edges e ON x.t = e.s),
+         |comp AS (SELECT s AS id, min(t) AS comp_id FROM reach2 GROUP BY s)
+         |SELECT m.r, m.c, c2.comp_id
+         |FROM mask m JOIN comp c2 ON m.id = c2.id""".stripMargin,
+
+    "geo_depth_in_sink" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |reach(r, c, lvl) AS (
+         |  SELECT r, c, v FROM g
+         |  WHERE r = 0 OR r = ${GridRows - 1} OR c = 0 OR c = ${GridCols - 1}
+         |  UNION
+         |  SELECT g.r, g.c, GREATEST(g.v, rch.lvl)
+         |  FROM reach rch JOIN g
+         |    ON abs(g.r - rch.r) <= 1 AND abs(g.c - rch.c) <= 1
+         |   AND NOT (g.r = rch.r AND g.c = rch.c)),
+         |fill AS (SELECT r, c, min(lvl) AS filled FROM reach GROUP BY r, c)
+         |SELECT g.r, g.c, CASE WHEN g.v < f.filled THEN f.filled - g.v
+         |  ELSE CAST(0.0 AS DOUBLE) END AS sink_depth
+         |FROM g JOIN fill f ON f.r = g.r AND f.c = g.c""".stripMargin,
+
+    "geo_elev_above_pit" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |e AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc
+         |  FROM p WHERE ptr > 0),
+         |sinks AS (SELECT r, c FROM p WHERE ptr = 0),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e.tr, e.tc
+         |  FROM walk w JOIN e ON w.r = e.r AND w.c = e.c),
+         |hit AS (SELECT w.sr AS r, w.sc AS c, w.r AS pr, w.c AS pc
+         |  FROM walk w JOIN sinks s ON s.r = w.r AND s.c = w.c)
+         |SELECT h.r, h.c, g1.v - g2.v AS elev_above_pit
+         |FROM hit h JOIN g g1 ON g1.r = h.r AND g1.c = h.c
+         |JOIN g g2 ON g2.r = h.pr AND g2.c = h.pc""".stripMargin,
+
+    "geo_jenson_snap" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |reach AS (SELECT r AS sr, c AS sc, tr, tc FROM e
+         |  UNION SELECT x.sr, x.sc, e.tr, e.tc
+         |  FROM reach x JOIN e ON x.tr = e.r AND x.tc = e.c),
+         |acc AS (SELECT tr, tc, count(*) AS k FROM reach GROUP BY tr, tc),
+         |fa AS MATERIALIZED (SELECT g.r, g.c, 1 + COALESCE(a.k, 0) AS n
+         |  FROM g LEFT JOIN acc a ON a.tr = g.r AND a.tc = g.c),
+         |stream AS (SELECT r, c FROM fa WHERE n >= 5),
+         |outlets AS (SELECT s_suppkey AS outlet_id,
+         |  (s_suppkey * 11) % 40 AS r, (s_suppkey * 17) % 50 AS c
+         |  FROM supplier WHERE s_suppkey <= 5),
+         |cand AS (SELECT o.outlet_id, s.r AS sr, s.c AS sc,
+         |  (s.r - o.r) * (s.r - o.r) + (s.c - o.c) * (s.c - o.c) AS d2
+         |  FROM outlets o JOIN stream s
+         |  ON abs(s.r - o.r) <= 3 AND abs(s.c - o.c) <= 3),
+         |best AS (SELECT outlet_id, sr, sc, ROW_NUMBER() OVER (
+         |  PARTITION BY outlet_id ORDER BY d2, sc, sr) AS rn FROM cand)
+         |SELECT o.outlet_id, COALESCE(b.sr, o.r) AS snap_r,
+         |  COALESCE(b.sc, o.c) AS snap_c
+         |FROM outlets o LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON b.outlet_id = o.outlet_id""".stripMargin,
+
+    "geo_branch_length" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |rch AS (SELECT r AS sr, c AS sc, r, c, CAST(0 AS BIGINT) AS dn
+         |  FROM g
+         |  UNION SELECT x.sr, x.sc, e.tr, e.tc, x.dn +
+         |    CASE WHEN abs(e.tr - x.r) + abs(e.tc - x.c) = 2
+         |      THEN 1414213562 ELSE 1000000000 END
+         |  FROM rch x JOIN e ON x.r = e.r AND x.c = e.c),
+         |dirs(dy, dx) AS (VALUES (0, 1), (1, 1), (1, 0), (1, -1)),
+         |pairs AS (SELECT p1.r AS pr, p1.c AS pc, p2.r AS qr, p2.c AS qc
+         |  FROM g p1 CROSS JOIN dirs d JOIN g p2
+         |    ON p2.r = p1.r + d.dy AND p2.c = p1.c + d.dx),
+         |com AS (SELECT pp.pr, pp.pc, pp.qr, pp.qc, a.dn AS d1, b.dn AS d2,
+         |  ROW_NUMBER() OVER (PARTITION BY pp.pr, pp.pc, pp.qr, pp.qc
+         |    ORDER BY a.dn) AS rn
+         |  FROM pairs pp
+         |  JOIN rch a ON a.sr = pp.pr AND a.sc = pp.pc
+         |  JOIN rch b ON b.sr = pp.qr AND b.sc = pp.qc
+         |    AND b.r = a.r AND b.c = a.c),
+         |confl AS (SELECT pr, pc, qr, qc, d1, d2 FROM com WHERE rn = 1),
+         |full0 AS (SELECT sr, sc, max(dn) AS fl FROM rch GROUP BY sr, sc),
+         |nc AS (SELECT pp.pr, pp.pc, pp.qr, pp.qc, fa.fl AS d1, fb.fl AS d2
+         |  FROM pairs pp
+         |  LEFT JOIN confl cf ON cf.pr = pp.pr AND cf.pc = pp.pc
+         |    AND cf.qr = pp.qr AND cf.qc = pp.qc
+         |  JOIN full0 fa ON fa.sr = pp.pr AND fa.sc = pp.pc
+         |  JOIN full0 fb ON fb.sr = pp.qr AND fb.sc = pp.qc
+         |  WHERE cf.pr IS NULL),
+         |contrib AS (SELECT pr AS r, pc AS c, d1 AS d FROM confl
+         |  UNION ALL SELECT qr, qc, d2 FROM confl
+         |  UNION ALL SELECT pr, pc, d1 FROM nc
+         |  UNION ALL SELECT qr, qc, d2 FROM nc)
+         |SELECT r, c, max(d) AS branch_nano FROM contrib
+         |GROUP BY r, c""".stripMargin,
+
+    "geo_parallel_flow" ->
+      s"""WITH g AS ($GRID),
+         |$d8SqlCtes,
+         |off(dy, dx, outv, inv) AS (VALUES
+         |  (-1, 1, 1, 16), (0, 1, 2, 32), (1, 1, 4, 64), (1, 0, 8, 128),
+         |  (1, -1, 16, 1), (0, -1, 32, 2), (-1, -1, 64, 4), (-1, 0, 128, 8))
+         |SELECT p.r, p.c, CAST(max(CASE WHEN p.ptr <> o.outv
+         |  AND n.ptr = p.ptr AND n.ptr <> o.inv THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS parallel
+         |FROM p CROSS JOIN off o
+         |LEFT JOIN p n ON n.r = p.r + o.dy AND n.c = p.c + o.dx
+         |GROUP BY p.r, p.c""".stripMargin,
+
+    "geo_trace_flowpaths" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |seeds AS (SELECT s_suppkey AS sval, (s_suppkey * 11) % 40 AS sr,
+         |  (s_suppkey * 17) % 50 AS sc FROM supplier WHERE s_suppkey <= 5),
+         |walk AS (SELECT sr, sc, sval, sr AS r, sc AS c FROM seeds
+         |  UNION SELECT w.sr, w.sc, w.sval, e.tr, e.tc
+         |  FROM walk w JOIN e ON w.r = e.r AND w.c = e.c),
+         |first0 AS (SELECT r, c, sval, ROW_NUMBER() OVER (
+         |  PARTITION BY r, c ORDER BY sr, sc) AS rn FROM walk)
+         |SELECT f.r, f.c, COALESCE(s.sval, f.sval) AS trace_val
+         |FROM (SELECT r, c, sval FROM first0 WHERE rn = 1) f
+         |LEFT JOIN seeds s ON s.sr = f.r AND s.sc = f.c""".stripMargin,
+
+    "geo_median_upstream" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |$d8EdgeSql,
+         |reach AS (SELECT r AS sr, c AS sc, tr, tc FROM e
+         |  UNION SELECT x.sr, x.sc, e.tr, e.tc
+         |  FROM reach x JOIN e ON x.tr = e.r AND x.tc = e.c),
+         |acc AS (SELECT tr, tc, count(*) AS k FROM reach GROUP BY tr, tc),
+         |fa AS MATERIALIZED (SELECT g.r, g.c, 1 + COALESCE(a.k, 0) AS n
+         |  FROM g LEFT JOIN acc a ON a.tr = g.r AND a.tc = g.c),
+         |creek AS (SELECT fa.r, fa.c, fa.n AS area, g.v
+         |  FROM fa JOIN g ON g.r = fa.r AND g.c = fa.c WHERE fa.n >= 5),
+         |off(ci, dy, dx, dd) AS (VALUES
+         |  (0, -1, 0, CAST(1.0 AS DOUBLE)), (1, -1, -1, sqrt(2)),
+         |  (2, 0, -1, CAST(1.0 AS DOUBLE)), (3, 1, -1, sqrt(2)),
+         |  (4, 1, 0, CAST(1.0 AS DOUBLE)), (5, 1, 1, sqrt(2)),
+         |  (6, 0, 1, CAST(1.0 AS DOUBLE)), (7, -1, 1, sqrt(2))),
+         |cand AS (SELECT u.r, u.c, n2.r AS tr, n2.c AS tc,
+         |  (u.v - n2.v) / o.dd AS slope, o.ci
+         |  FROM creek u CROSS JOIN off o
+         |  JOIN creek n2 ON n2.r = u.r + o.dy AND n2.c = u.c + o.dx
+         |  WHERE n2.v < u.v),
+         |ce AS (SELECT r, c, tr, tc FROM (SELECT *, ROW_NUMBER() OVER (
+         |  PARTITION BY r, c ORDER BY slope DESC, ci) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |cl AS (SELECT r AS ur, c AS uc, r, c FROM creek
+         |  UNION SELECT x.ur, x.uc, ce.tr, ce.tc
+         |  FROM cl x JOIN ce ON x.r = ce.r AND x.c = ce.c)
+         |SELECT cl.r, cl.c, median(CAST(a.area AS DOUBLE)) AS med_area
+         |FROM cl JOIN creek a ON a.r = cl.ur AND a.c = cl.uc
+         |GROUP BY cl.r, cl.c""".stripMargin,
+
     "geo_d8_pointer" ->
       s"""WITH g AS ($GRID),
          |$d8SqlCtes
@@ -3814,6 +4231,69 @@ object SparkEntry {
          |${strahlerSqlCtes(40)}
          |SELECT link_id, ord AS strahler FROM o_40""".stripMargin,
 
+    "geo_strahler_basins" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |${strahlerSqlCtes(40)},
+         |cellord AS (SELECT l.r, l.c, o.ord FROM links l
+         |  JOIN o_40 o ON o.link_id = l.link_id),
+         |wk AS (SELECT r AS wr, c AS wc, r, c, CAST(0 AS BIGINT) AS dn
+         |  FROM g
+         |  UNION SELECT x.wr, x.wc, e.tr, e.tc, x.dn +
+         |    CASE WHEN abs(e.tr - x.r) + abs(e.tc - x.c) = 2
+         |      THEN 1414213562 ELSE 1000000000 END
+         |  FROM wk x JOIN e ON x.r = e.r AND x.c = e.c),
+         |hit AS (SELECT w.wr, w.wc, co.ord, ROW_NUMBER() OVER (
+         |  PARTITION BY w.wr, w.wc ORDER BY w.dn) AS rn
+         |  FROM wk w JOIN cellord co ON co.r = w.r AND co.c = w.c)
+         |SELECT wr AS r, wc AS c, ord AS basin_order
+         |FROM hit WHERE rn = 1""".stripMargin,
+
+    "geo_stream_class" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |${streamSqlCtes(5L)},
+         |heads AS (SELECT s.r, s.c FROM stream s
+         |  LEFT JOIN indeg d ON d.tr = s.r AND d.tc = s.c
+         |  WHERE d.n IS NULL),
+         |upcl AS (SELECT r AS ur, c AS uc, r, c FROM stream
+         |  UNION SELECT x.ur, x.uc, e2.tr, e2.tc
+         |  FROM upcl x JOIN sedges e2 ON x.r = e2.r AND x.c = e2.c),
+         |hk AS (SELECT cl.r, cl.c, count(*) AS k FROM upcl cl
+         |  JOIN heads h ON h.r = cl.ur AND h.c = cl.uc
+         |  GROUP BY cl.r, cl.c)
+         |SELECT s.r, s.c, CAST(CASE WHEN p2.ptr = 0 THEN 5
+         |  WHEN d.n IS NULL THEN 3 WHEN d.n > 1 THEN 4
+         |  ELSE LEAST(2, COALESCE(hk.k, 0)) END AS BIGINT) AS link_class
+         |FROM stream s JOIN p p2 ON p2.r = s.r AND p2.c = s.c
+         |LEFT JOIN indeg d ON d.tr = s.r AND d.tc = s.c
+         |LEFT JOIN hk ON hk.r = s.r AND hk.c = s.c""".stripMargin,
+
+    "geo_wall_watershed" ->
+      s"""WITH RECURSIVE g AS ($GRID),
+         |$d8SqlCtes,
+         |e AS (SELECT r, c,
+         |  r + CASE ptr WHEN 1 THEN -1 WHEN 2 THEN 0 WHEN 4 THEN 1 WHEN 8 THEN 1 WHEN 16 THEN 1 WHEN 32 THEN 0 WHEN 64 THEN -1 ELSE -1 END AS tr,
+         |  c + CASE ptr WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 0 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN -1 ELSE 0 END AS tc
+         |  FROM p WHERE ptr > 0),
+         |sinks AS (SELECT r, c FROM p WHERE ptr = 0),
+         |walk AS (SELECT r AS sr, c AS sc, r, c FROM g
+         |  UNION SELECT w.sr, w.sc, e.tr, e.tc
+         |  FROM walk w JOIN e ON w.r = e.r AND w.c = e.c),
+         |ws AS (SELECT w.sr AS r, w.sc AS c, w.r * 50 + w.c AS sink_id
+         |  FROM walk w JOIN sinks s ON s.r = w.r AND s.c = w.c),
+         |off8(dy, dx) AS (VALUES (-1, 1), (0, 1), (1, 1), (1, 0),
+         |  (1, -1), (0, -1), (-1, -1), (-1, 0)),
+         |same AS (SELECT w.r, w.c, count(*) AS nsame
+         |  FROM ws w CROSS JOIN off8 o
+         |  JOIN ws n ON n.r = w.r + o.dy AND n.c = w.c + o.dx
+         |    AND n.sink_id = w.sink_id
+         |  GROUP BY w.r, w.c)
+         |SELECT g.r, g.c, CASE WHEN ws.sink_id > 0
+         |  THEN g.v + CAST(10.0 AS DOUBLE) ELSE g.v END AS walled
+         |FROM g JOIN ws ON ws.r = g.r AND ws.c = g.c
+         |LEFT JOIN same ON same.r = g.r AND same.c = g.c
+         |WHERE ws.sink_id <= 0 OR COALESCE(same.nsame, 0) < 8""".stripMargin,
+
     "geo_morph_open" ->
       s"""WITH g AS ($GRID),
          |offs AS (SELECT a.x AS dy, b.x AS dx FROM range(-1, 2) a(x)
@@ -3878,6 +4358,52 @@ object SparkEntry {
          |  SELECT ia AS pa, ib AS pb FROM tri
          |  UNION SELECT ia AS pa, ic AS pb FROM tri
          |  UNION SELECT ib AS pa, ic AS pb FROM tri)""".stripMargin,
+
+    "geo_smooth_vector" ->
+      s"""WITH v AS (SELECT zone_id AS gid, vid AS i, vx, vy
+         |  FROM ${Derived.zoneOuterVerticesSql}),
+         |nn AS (SELECT gid, count(*) AS n FROM v GROUP BY gid),
+         |o(o) AS (VALUES (-1), (0), (1)),
+         |p AS (SELECT v.gid, v.i,
+         |  ((v.i + o.o) % nn.n + nn.n) % nn.n AS j
+         |  FROM v JOIN nn ON nn.gid = v.gid CROSS JOIN o)
+         |SELECT p.gid, p.i, round(sum(w.vx) / count(*), 6) AS sx,
+         |  round(sum(w.vy) / count(*), 6) AS sy
+         |FROM p JOIN v w ON w.gid = p.gid AND w.i = p.j
+         |GROUP BY p.gid, p.i""".stripMargin,
+
+    "geo_vector_clean" ->
+      s"""WITH sp AS ($SPTS),
+         |pp AS (SELECT s_id, sx, sy FROM sp WHERE s_id <= 40),
+         |va AS (SELECT 1 AS gid, s_id AS i, sx AS vx, sy AS vy FROM pp
+         |  UNION ALL
+         |  SELECT 2 AS gid, s_id AS i,
+         |    sx + CAST(0.003 AS DOUBLE) + (s_id % 3) * CAST(0.004 AS DOUBLE) AS vx,
+         |    sy - CAST(0.002 AS DOUBLE) AS vy FROM pp),
+         |cand AS (SELECT a.gid, a.i, b.gid AS g2, b.i AS i2,
+         |  b.vx AS x2, b.vy AS y2,
+         |  (b.vx - a.vx) * (b.vx - a.vx) + (b.vy - a.vy) * (b.vy - a.vy) AS d2
+         |  FROM va a JOIN va b ON b.gid <> a.gid
+         |  AND abs(b.vx - a.vx) <= CAST(0.01 AS DOUBLE)
+         |  AND abs(b.vy - a.vy) <= CAST(0.01 AS DOUBLE)),
+         |sn AS (SELECT gid, i, x2, y2 FROM (SELECT *, ROW_NUMBER() OVER (
+         |  PARTITION BY gid, i ORDER BY d2, g2, i2) AS rn FROM cand
+         |  WHERE d2 <= CAST(0.01 AS DOUBLE) * CAST(0.01 AS DOUBLE))
+         |  WHERE rn = 1)
+         |SELECT a.gid, a.i, COALESCE(sn.x2, a.vx) AS cx,
+         |  COALESCE(sn.y2, a.vy) AS cy
+         |FROM va a LEFT JOIN sn ON sn.gid = a.gid AND sn.i = a.i""".stripMargin,
+
+    "geo_voronoi_polygons" ->
+      s"""WITH sp AS ($SPTS),
+         |p AS (SELECT s_id AS pid, sx AS px, sy AS py FROM sp
+         |  WHERE s_id <= 40)
+         |SELECT CAST(count(*) AS BIGINT) AS n_polys,
+         |  round(((max(px) + (max(px) - min(px)) * 0.05)
+         |    - (min(px) - (max(px) - min(px)) * 0.05))
+         |  * ((max(py) + (max(py) - min(py)) * 0.05)
+         |    - (min(py) - (max(py) - min(py)) * 0.05)), 3) AS area_sum
+         |FROM p""".stripMargin,
 
     "stats_ks_normal" ->
       s"""WITH k AS (SELECT c_custkey AS id,
@@ -5277,6 +5803,77 @@ object SparkEntry {
          |    / sum(CASE WHEN d2 <> 0 THEN CAST(1.0 AS DOUBLE) / d2 END)
          |  END, 6) AS idw
          |FROM j GROUP BY r, c""".stripMargin,
+
+    "geo_gaussian_stretch" ->
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT min(v) AS mn, max(v) AS mx,
+         |  CAST(count(*) AS DOUBLE) AS n FROM g),
+         |b AS (SELECT g.r, g.c, LEAST(CAST(floor((g.v - st.mn)
+         |  / ((st.mx - st.mn) / 50000)) AS BIGINT), 49999) AS bin
+         |  FROM g CROSS JOIN st),
+         |h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+         |cdf AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |wp AS (SELECT b.r, b.c, round(cdf.cum / st.n, 12) AS p
+         |  FROM b JOIN cdf ON cdf.bin = b.bin CROSS JOIN st),
+         |ref0 AS (SELECT i, exp(-(CAST(i AS DOUBLE) / 1023 * 2
+         |    * CAST(3.0 AS DOUBLE) - CAST(3.0 AS DOUBLE))
+         |  * (CAST(i AS DOUBLE) / 1023 * 2
+         |    * CAST(3.0 AS DOUBLE) - CAST(3.0 AS DOUBLE)) / 2) AS pdf
+         |  FROM range(1024) t(i)),
+         |rcum AS (SELECT i, sum(pdf) OVER (ORDER BY i
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr
+         |  FROM ref0),
+         |rc AS (SELECT i, round(cumr / (SELECT max(cumr) FROM rcum), 12)
+         |  AS rp FROM rcum)
+         |SELECT wp.r, wp.c, GREATEST(count(rc.i) - 1, 0) AS gauss_bin
+         |FROM wp LEFT JOIN rc ON rc.rp <= wp.p
+         |GROUP BY wp.r, wp.c""".stripMargin,
+
+    "geo_sigmoidal_stretch" -> {
+      val a = "1.0 / (1.0 + exp(CAST(4.0 AS DOUBLE) * CAST(0.4 AS DOUBLE)))"
+      val b = "1.0 / (1.0 + exp(CAST(4.0 AS DOUBLE) * " +
+        "CAST(-0.6 AS DOUBLE))) - 1.0 / (1.0 + exp(CAST(4.0 AS DOUBLE)" +
+        " * CAST(0.4 AS DOUBLE)))"
+      s"""WITH g AS ($GRID),
+         |st AS (SELECT min(v) AS mn, max(v) AS mx FROM g)
+         |SELECT g.r, g.c, round((1.0 / (1.0 + exp(CAST(4.0 AS DOUBLE)
+         |  * (CAST(0.4 AS DOUBLE) - (g.v - st.mn) / (st.mx - st.mn))))
+         |  - $a) / ($b), 6) AS sig
+         |FROM g CROSS JOIN st""".stripMargin
+    },
+
+    "geo_filter_adaptive" ->
+      s"""WITH g AS ($GRID),
+         |nb AS (SELECT a.r, a.c, a.v,
+         |  sum(CASE WHEN b.c <> 1 AND b.r <> 1 THEN b.v END) AS s,
+         |  count(CASE WHEN b.c <> 1 AND b.r <> 1 THEN 1 END) AS n,
+         |  sum(CASE WHEN b.c <> 1 AND b.r <> 1 THEN b.v * b.v END) AS ss
+         |  FROM g a JOIN g b ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1
+         |  GROUP BY a.r, a.c, a.v)
+         |SELECT r, c, round(CASE WHEN abs((v - s / n) /
+         |  (CASE WHEN ss / n - (s / n) * (s / n) > 0
+         |   THEN sqrt(ss / n - (s / n) * (s / n))
+         |   ELSE ss / n - (s / n) * (s / n) END)) > CAST(1.0 AS DOUBLE)
+         |  THEN s / n ELSE v END, 6) AS adaptive
+         |FROM nb WHERE n > 2""".stripMargin,
+
+    "geo_lee_sigma" ->
+      s"""WITH g AS ($GRID),
+         |nb AS (SELECT a.r, a.c,
+         |  sum(CASE WHEN b.v >= a.v - CAST(10.0 AS DOUBLE)
+         |    AND b.v <= a.v + CAST(10.0 AS DOUBLE) THEN b.v END) AS s1,
+         |  count(CASE WHEN b.v >= a.v - CAST(10.0 AS DOUBLE)
+         |    AND b.v <= a.v + CAST(10.0 AS DOUBLE) THEN 1 END) AS n1,
+         |  sum(CASE WHEN abs(b.r - a.r) <= 1 AND abs(b.c - a.c) <= 1
+         |    AND NOT (b.r = a.r AND b.c = a.c) THEN b.v END) AS s8,
+         |  count(CASE WHEN abs(b.r - a.r) <= 1 AND abs(b.c - a.c) <= 1
+         |    AND NOT (b.r = a.r AND b.c = a.c) THEN 1 END) AS n8
+         |  FROM g a JOIN g b ON abs(a.r - b.r) <= 2 AND abs(a.c - b.c) <= 2
+         |  GROUP BY a.r, a.c)
+         |SELECT r, c, round(CASE WHEN n1 > 4 THEN s1 / n1
+         |  ELSE s8 / n8 END, 6) AS lee
+         |FROM nb WHERE n1 > 4 OR n8 > 0""".stripMargin,
 
     "geo_stretch_minmax" ->
       s"""WITH g AS ($GRID),

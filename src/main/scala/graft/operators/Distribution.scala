@@ -92,4 +92,75 @@ object Distribution {
         withPos.withColumnRenamed("__pos", p))
       .drop("__bin", "__off")
   }
+
+  /**
+   * GaussianStretch (ImageProcessingTools/GaussianStretch.java:
+   * 196-325): histogram-match the raster onto a discretized standard
+   * normal. The empirical CDF uses 50 000 equal-width bins over
+   * [min, max]; the reference CDF is exp(-x²/2) over `numOutputBins`
+   * points on [-cut, +cut], cumulated then normalized; each cell maps
+   * to (first reference bin whose CDF exceeds its pVal) - 1, clamped
+   * at 0 (the reference's scan loop collapses to exactly that count).
+   * All shuffles are keyed by value bin; the reference table is a
+   * `numOutputBins`-row broadcast. Arithmetic association mirrors the
+   * Java source so the DuckDB oracle reproduces it bit-for-bit.
+   */
+  def gaussianStretch(grid: DataFrame, cutoffsInSD: Double = 3.0,
+                      numOutputBins: Int = 1024): DataFrame = {
+    val spark = grid.sparkSession
+    val nb = 50000
+    val stats = grid.agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).cast("double").as("n"))
+    val binned = grid.crossJoin(broadcast(stats))
+      .withColumn("bin", least(
+        floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / nb))
+          .cast("long"), lit(nb - 1L)))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(cum))
+    // the 12-dp quantization of p and rp makes the <= comparison
+    // decisive across engines: the Gaussian's symmetry puts rp
+    // EXACTLY on the median cell's p = 0.5 up to 1 ulp of cumsum
+    // rounding, and a raw <= flips the matched bin per engine
+    val withP = binned.join(cdf.select("bin", "cum"), Seq("bin"))
+      .withColumn("p", round(col("cum") / col("n"), 12))
+    // reference CDF: x = i/(nb-1) * 2 * cut - cut (Java's left-assoc)
+    val ref0 = spark.range(numOutputBins).withColumn("pdf",
+      exp(-(col("id").cast("double") / (numOutputBins - 1) * 2
+        * cutoffsInSD - cutoffsInSD)
+        * (col("id").cast("double") / (numOutputBins - 1) * 2
+          * cutoffsInSD - cutoffsInSD) / 2))
+    // normalize by max(cumsum) (order-free), not an unordered float
+    // re-sum — keeps every rp bit-identical between engines
+    val refCum = ref0.withColumn("cumr",
+      sum("pdf").over(Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val refCdf = refCum
+      .crossJoin(broadcast(refCum.agg(max("cumr").as("tot"))))
+      .select(col("id").as("ri"),
+        round(col("cumr") / col("tot"), 12).as("rp"))
+    withP.join(broadcast(refCdf), col("rp") <= col("p"), "left")
+      .groupBy("r", "c")
+      .agg(greatest(count(col("ri")) - 1, lit(0L)).as("gauss_bin"))
+  }
+
+  /**
+   * SigmoidalStretch (ImageProcessingTools/SigmoidalStretch.java:
+   * 195-215): z' = (z - min)/range mapped through a [0,1]-normalized
+   * logistic, (1/(1+e^{gain(cutoff-z')}) - a)/b. Pure column
+   * arithmetic over broadcast global stats.
+   */
+  def sigmoidalStretch(grid: DataFrame, cutoff: Double,
+                       gain: Double): DataFrame = {
+    val stats = grid.agg(min("v").as("mn"), max("v").as("mx"))
+    val a = lit(1.0) / (lit(1.0) + exp(lit(gain) * lit(cutoff)))
+    val b = lit(1.0) / (lit(1.0) + exp(lit(gain) * lit(cutoff - 1))) -
+      lit(1.0) / (lit(1.0) + exp(lit(gain) * lit(cutoff)))
+    val zn = (col("v") - col("mn")) / (col("mx") - col("mn"))
+    grid.crossJoin(broadcast(stats))
+      .select(col("r"), col("c"),
+        round((lit(1.0) / (lit(1.0) + exp(lit(gain) * (lit(cutoff) - zn)))
+          - a) / b, 6).as("sig"))
+  }
 }

@@ -75,6 +75,67 @@ object Focal {
       .agg(centerZ, aggs: _*)
       .where(col("z").isNotNull)
 
+  /**
+   * FilterAdaptive (ImageProcessingTools/FilterAdaptive.java:274-295,
+   * 3x3 square, no reflect): per cell, mean and stddev over the
+   * window, replacing the centre with the mean when its z-score
+   * exceeds `threshold`. The reference's inclusion guard
+   * `(x != midPointX) && (y != midPointY)` compares the NEIGHBOUR'S
+   * GLOBAL coordinates against the filter midpoint index (1), so
+   * cells in global row 1 / column 1 are excluded everywhere and the
+   * centre itself is included elsewhere — mirrored literally, like
+   * the DownslopeIndex quirk. Cells with n <= 2 stay unset (absent).
+   */
+  def filterAdaptive(grid: DataFrame, threshold: Double, nRows: Long,
+                     nCols: Long): DataFrame = {
+    val inc = (col("c") + col("dx")) =!= 1 && (col("r") + col("dy")) =!= 1
+    val out = contributions(grid, 1, reflect = false, nRows, nCols)
+      .groupBy("r", "c")
+      .agg(centerZ,
+        sum(when(inc, col("nv"))).as("s"),
+        count(when(inc, lit(1))).as("n"),
+        sum(when(inc, col("nv") * col("nv"))).as("ss"))
+      .where(col("z").isNotNull && col("n") > 2)
+    val avg = col("s") / col("n")
+    val variance = col("ss") / col("n") - avg * avg
+    val sd = when(variance > 0, sqrt(variance)).otherwise(variance)
+    out.select(col("r"), col("c"),
+      round(when(abs((col("z") - avg) / sd) > threshold, avg)
+        .otherwise(col("z")), 6).as("adaptive"))
+  }
+
+  /**
+   * LeeSigmaFilter (Scripts/LeeSigmaFilter.groovy:160-195, no
+   * reflect): mean of window cells within z ± 2·sigma (the script
+   * doubles the user sigma); if fewer than `m` qualify, fall back to
+   * the plain 8-neighbour mean; a cell with no present neighbours at
+   * all stays unset (absent).
+   */
+  def leeSigmaFilter(grid: DataFrame, radius: Int, sigma: Double,
+                     m: Int, nRows: Long, nCols: Long): DataFrame = {
+    val sigma2 = sigma * 2
+    // literal z ± 2sigma bounds (LeeSigmaFilter.groovy:165-166), not
+    // abs(nv - z): the two float forms disagree at band edges
+    val within = col("nv") >= col("z0") - sigma2 &&
+      col("nv") <= col("z0") + sigma2
+    val ring1 = abs(col("dy")) <= 1 && abs(col("dx")) <= 1 &&
+      !(col("dy") === 0 && col("dx") === 0)
+    val out = contributions(grid, radius, reflect = false, nRows, nCols)
+      .join(grid.select(col("r"), col("c"), col("v").as("z0")),
+        Seq("r", "c"))
+      .groupBy("r", "c")
+      .agg(centerZ,
+        sum(when(within, col("nv"))).as("s1"),
+        count(when(within, lit(1))).as("n1"),
+        sum(when(ring1, col("nv"))).as("s8"),
+        count(when(ring1, lit(1))).as("n8"))
+      .where(col("z").isNotNull)
+    out.where(col("n1") > m || col("n8") > 0)
+      .select(col("r"), col("c"),
+        round(when(col("n1") > m, col("s1") / col("n1"))
+          .otherwise(col("s8") / col("n8")), 6).as("lee"))
+  }
+
   /** FilterMean (FilterMean.java:272-284): mean of resolved reads. */
   def filterMean(grid: DataFrame, radius: Int, reflect: Boolean,
                  nRows: Long, nCols: Long): DataFrame =

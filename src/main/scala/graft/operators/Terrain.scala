@@ -2855,7 +2855,13 @@ object Terrain {
    * diameter of spill paths, not their cell length.
    */
   def fillDepressions(grid: DataFrame, nRows: Long, nCols: Long,
-                      tileSize: Int = 16): DataFrame = {
+                      tileSize: Int = 16): DataFrame =
+    graft.core.Memo.cached(
+      graft.core.Memo.key(grid, s"fillDepressions:$nRows:$nCols:$tileSize"),
+      grid.sparkSession) { fillDepressionsImpl(grid, nRows, nCols, tileSize) }
+
+  private def fillDepressionsImpl(grid: DataFrame, nRows: Long, nCols: Long,
+                                  tileSize: Int): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     val T = tileSize.toLong
@@ -3210,6 +3216,742 @@ object Terrain {
       converged = moved == 0
     }
     next
+  }
+
+  /**
+   * FillPits (HydroTools/FillPits.java:206-240): single-cell pits
+   * (no PRESENT 8-neighbour strictly lower; absent/noData neighbours
+   * are skipped, so border cells can be pits) rise to
+   * lowestNeighbour + aSmallValue, where aSmallValue is bucketed by
+   * the DEM's max |z| (FillPits.java:186-201; the reference's float
+   * literals carried as doubles). One stencil pass — embarrassingly
+   * parallel at any scale.
+   */
+  def fillPits(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val offs = (-1 to 1).flatMap(dr => (-1 to 1).map(dc => (dr, dc)))
+      .filterNot(o => o._1 == 0 && o._2 == 0).toDF("dr", "dc")
+    val nbrs = grid.crossJoin(broadcast(offs))
+      .select((col("r") + col("dr")).as("r"),
+        (col("c") + col("dc")).as("c"), col("v").as("nv"))
+      .groupBy("r", "c").agg(min(col("nv")).as("lowest"))
+    val aSmall = when(col("zmax") <= 9, lit(0.00001))
+      .when(col("zmax") <= 99, lit(0.0001))
+      .when(col("zmax") <= 999, lit(0.001))
+      .when(col("zmax") <= 9999, lit(0.001))
+      .when(col("zmax") <= 99999, lit(0.01))
+      .otherwise(lit(1.0))
+    grid.join(nbrs, Seq("r", "c"), "left")
+      .crossJoin(broadcast(grid.agg(max(abs(col("v"))).as("zmax"))))
+      .select(col("r"), col("c"),
+        when(col("lowest").isNotNull && col("lowest") >= col("v"),
+          col("lowest") + aSmall).otherwise(col("v")).as("filled"))
+  }
+
+  /**
+   * BreachPits (HydroTools/BreachPits.java:210-240): for each pit —
+   * here ALL 8 neighbours must be present AND >= z, because the
+   * reference's `z2 < z` count treats noData (a large negative) as
+   * lower (BreachPits.java:217, no noData guard) — every ring-2 cell
+   * strictly lower than the pit carves the interjacent ring-1 cell
+   * (`breachcell` map) down to (z + z2)/2. Writes go to a copy while
+   * reads stay on the input, so the pass is order-free except where
+   * two writes hit one cell: the reference's row-major, ring-index-
+   * ascending scan means the LAST (pr, pc, i) wins — reproduced with
+   * a window rank, keeping the operator fully relational.
+   */
+  def breachPits(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val offs = (-1 to 1).flatMap(dr => (-1 to 1).map(dc => (dr, dc)))
+      .filterNot(o => o._1 == 0 && o._2 == 0).toDF("dr", "dc")
+    val agg = grid.crossJoin(broadcast(offs))
+      .select((col("r") + col("dr")).as("r"),
+        (col("c") + col("dc")).as("c"), col("v").as("nv"))
+      .groupBy("r", "c")
+      .agg(count(lit(1)).as("n8"), min(col("nv")).as("lowest"))
+    val pits = grid.join(agg, Seq("r", "c"))
+      .where(col("n8") === 8 && col("lowest") >= col("v"))
+      .select(col("r").as("pr"), col("c").as("pc"), col("v").as("pz"))
+    // (i, dX2, dY2, dX[breachcell], dY[breachcell]) per
+    // BreachPits.java:166-168
+    val dX2 = Seq(2, 2, 2, 2, 2, 1, 0, -1, -2, -2, -2, -2, -2, -1, 0, 1)
+    val dY2 = Seq(-2, -1, 0, 1, 2, 2, 2, 2, 2, 1, 0, -1, -2, -2, -2, -2)
+    val bCell = Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 0)
+    val ring = (0 until 16).map(i =>
+      (i, dX2(i), dY2(i), dX(bCell(i)), dY(bCell(i))))
+      .toDF("i", "dx2", "dy2", "bdx", "bdy")
+    val writes = pits.crossJoin(broadcast(ring))
+      .select(col("pr"), col("pc"), col("pz"), col("i"),
+        (col("pr") + col("dy2")).as("r2"), (col("pc") + col("dx2")).as("c2"),
+        (col("pr") + col("bdy")).as("r"), (col("pc") + col("bdx")).as("c"))
+      .join(grid.select(col("r").as("r2"), col("c").as("c2"),
+        col("v").as("z2")), Seq("r2", "c2"))
+      .where(col("z2") < col("pz"))
+      .select(col("r"), col("c"), ((col("pz") + col("z2")) / 2).as("w"),
+        col("pr"), col("pc"), col("i"))
+    val lastWrite = org.apache.spark.sql.expressions.Window
+      .partitionBy("r", "c")
+      .orderBy(col("pr").desc, col("pc").desc, col("i").desc)
+    val chosen = writes
+      .withColumn("rn", row_number().over(lastWrite))
+      .where(col("rn") === 1).select(col("r"), col("c"), col("w"))
+    grid.join(chosen, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        coalesce(col("w"), col("v")).as("breached"))
+  }
+
+  /**
+   * Sink (Scripts/Sink.py:47-76): cells raised by FillDepressions
+   * (z < filled), clumped 8-connected. Component ids follow the
+   * engine's clump convention (min linearised cell id in the
+   * component — the same deterministic relabelling of the
+   * reference's scan-order ids used by geo_clump).
+   */
+  def sink(grid: DataFrame, nRows: Long, nCols: Long): DataFrame = {
+    val mask = fillDepressions(grid, nRows, nCols)
+      .join(grid, Seq("r", "c"))
+      .where(col("v") < col("filled"))
+      .select("r", "c")
+    Raster.clump(mask, nCols)
+  }
+
+  /**
+   * DepthInSink (Scripts/DepthInSink.py:50-77, background=0 arm):
+   * filled - z inside sinks, 0 elsewhere (absent rows stay absent).
+   */
+  def depthInSink(grid: DataFrame, nRows: Long, nCols: Long): DataFrame =
+    fillDepressions(grid, nRows, nCols)
+      .join(grid, Seq("r", "c"))
+      .select(col("r"), col("c"),
+        when(col("v") < col("filled"), col("filled") - col("v"))
+          .otherwise(lit(0.0)).as("sink_depth"))
+
+  /**
+   * ElevAbovePit (TerrainAnalysisTools/ElevAbovePit.java:244-296):
+   * z(cell) - z(terminal pit of the cell's D8 flowpath). The walk is
+   * the same absorbing pointer-graph as [[watershed]] (pointer
+   * doubling, O(log path) rounds), so the tool is a join on the
+   * resolved sink id.
+   */
+  def elevAbovePit(grid: DataFrame, width: Long): DataFrame =
+    watershed(grid, width)
+      .join(grid, Seq("r", "c"))
+      .join(grid.select((col("r") * width + col("c")).as("sink_id"),
+        col("v").as("pz")), Seq("sink_id"))
+      .select(col("r"), col("c"), (col("v") - col("pz")).as("elev_above_pit"))
+
+  /**
+   * FloodOrder (Scripts/FloodOrder.groovy:118-210): the index at
+   * which each cell is visited by a Wang & Liu priority flood seeded
+   * from edge-touching pits. The queue order is the TOTAL order
+   * (z, row, col) (whitebox.structures.GridCell.compareTo), so the
+   * sequence is well-defined — but it is inherently sequential (each
+   * pop depends on the global frontier), so like the reference the
+   * operator runs as one task over the grid, gated loudly by
+   * [[localFixpointMaxRows]]. Unvisited-but-present cells keep order
+   * 0 (the reference's floodOrder array default); the first pop is
+   * also 0, mirroring the reference exactly.
+   */
+  def floodOrder(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val cells = grid.select(col("r"), col("c"), col("v"))
+      .as[(Long, Long, Double)].localCheckpoint(true)
+    require(cells.count() <= localFixpointMaxRows,
+      s"floodOrder runs the reference's sequential priority flood in " +
+        s"one task; grid exceeds localFixpointMaxRows=" +
+        s"$localFixpointMaxRows — revisit with a tile-parallel " +
+        s"variant before using at this scale")
+    val dYl = dY.toArray
+    val dXl = dX.toArray
+    cells.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      val z = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      rows.foreach { case (r, c, v) => z((r, c)) = v }
+      // seeds: pits (no present neighbour lower) touching an absent
+      // neighbour (isEdgeCell, FloodOrder.groovy:131-147)
+      implicit val ord: Ordering[(Double, Long, Long)] =
+        Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long,
+          Ordering.Long)
+      val queue = scala.collection.mutable.TreeSet.empty[(Double, Long, Long)]
+      val inQueue = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      rows.foreach { case (r, c, v) =>
+        var isPit = true
+        var isEdge = false
+        var a = 0
+        while (a < 8 && isPit) {
+          val k = (r + dYl(a), c + dXl(a))
+          z.get(k) match {
+            case Some(zn) => if (zn < v) isPit = false
+            case None => isEdge = true
+          }
+          a += 1
+        }
+        // for surviving pits the scan ran all 8 neighbours, so
+        // isEdge is final (the reference's break only fires on
+        // non-pits, which are discarded anyway)
+        if (isPit && isEdge) {
+          queue.add((v, r, c)); inQueue.add((r, c))
+        }
+      }
+      val order = new scala.collection.mutable.HashMap[(Long, Long), Long]
+      var ord0 = 0L
+      while (queue.nonEmpty) {
+        val head = queue.head
+        queue.remove(head)
+        val (_, r, c) = head
+        order((r, c)) = ord0
+        ord0 += 1
+        var a = 0
+        while (a < 8) {
+          val k = (r + dYl(a), c + dXl(a))
+          if (z.contains(k) && !inQueue.contains(k)) {
+            queue.add((z(k), k._1, k._2)); inQueue.add(k)
+          }
+          a += 1
+        }
+      }
+      rows.iterator.map { case (r, c, _) =>
+        (r, c, order.getOrElse((r, c), 0L))
+      }
+    }.toDF("r", "c", "flood_order")
+  }
+
+  /**
+   * BreachDepressions (HydroTools/BreachDepressions.java:188-570):
+   * every interior no-flow cell, visited in row-major order, carves a
+   * least-cost channel through its (2k+1)^2 neighbourhood to the
+   * nearest cell lower than itself (cost = elevation excess + a
+   * Manhattan-scaled decrement; Dijkstra with the reference's
+   * (aCost, row, col) queue comparator and insertion sequence, so
+   * heap tie behaviour matches), lowering path cells to
+   * previousZ - aSmallValue. Later pits see earlier carvings — the
+   * tool is SEQUENTIAL BY CONSTRUCTION (the reference is too), so it
+   * runs as one task over the grid, gated loudly by
+   * [[localFixpointMaxRows]]; at true raster scale the reference's
+   * own recommendation is tile-wise processing (FastBreach-
+   * Depressions.groovy), which composes with the engine's tile
+   * machinery if ever needed above the bound. aSmallValue buckets
+   * per BreachDepressions.java:272-287 (float literals carried as
+   * doubles); maxCost unset (the "not specified" arm).
+   */
+  def breachDepressions(grid: DataFrame, nRows: Long, nCols: Long,
+                        maxDist: Int = 5): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val cells = grid.select(col("r"), col("c"), col("v"))
+      .as[(Long, Long, Double)].localCheckpoint(true)
+    require(cells.count() <= localFixpointMaxRows,
+      s"breachDepressions mirrors the reference's sequential pit-by-" +
+        s"pit carving in one task; grid exceeds localFixpointMaxRows=" +
+        s"$localFixpointMaxRows — use the tile-parallel fill/breach " +
+        s"composition at this scale")
+    val dYl = dY.toArray
+    val dXl = dX.toArray
+    val (nr, nc) = (nRows, nCols)
+    val k = maxDist
+    cells.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      val z = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      rows.foreach { case (r, c, v) => z((r, c)) = v }
+      val zmax = rows.iterator.map(t => math.abs(t._3)).foldLeft(0.0)(math.max)
+      val aSmall =
+        if (zmax <= 9) 0.00001 else if (zmax <= 99) 0.0001
+        else if (zmax <= 999) 0.001 else if (zmax <= 9999) 0.001
+        else if (zmax <= 99999) 0.01 else 1.0
+      val sub = 2 * k + 1
+      val largeVal = Float.MaxValue.toDouble
+      val dist = Array(math.sqrt(2), 1.0, math.sqrt(2), 1.0,
+        math.sqrt(2), 1.0, math.sqrt(2), 1.0)
+      val backLinkDir = Array(4, 5, 6, 7, 0, 1, 2, 3)
+      // loop 1: interior no-flow cells in row-major order, judged on
+      // the ORIGINAL surface (BreachDepressions.java:309-330)
+      val orig = rows.map { case (r, c, v) => (r, c, v) }
+        .filter { case (r, c, _) =>
+          r >= 1 && r < nr - 1 && c >= 1 && c < nc - 1 }
+        .sortBy(t => (t._1, t._2))
+        .filter { case (r, c, v) =>
+          (0 until 8).forall { a =>
+            z.get((r + dYl(a), c + dXl(a))).forall(_ >= v) } }
+      // loop 2: re-check against the carved surface, then carve
+      orig.foreach { case (row0, col0, _) =>
+        val zc = z((row0, col0))
+        val stillLowest = (0 until 8).forall { a =>
+          z.get((row0 + dYl(a), col0 + dXl(a))).forall(_ >= zc) }
+        if (stillLowest) {
+          val cost = Array.fill(sub, sub)(largeVal)
+          val accum = Array.fill(sub, sub)(largeVal)
+          val backLink = Array.fill(sub, sub)(-1)
+          val present = Array.fill(sub, sub)(false)
+          var atLeastOneSource = false
+          var rr = -k
+          while (rr <= k) {
+            var cc = -k
+            while (cc <= k) {
+              val j = cc + k
+              val kk = rr + k
+              val dec = (math.abs(cc) + math.abs(rr)) * aSmall
+              z.get((row0 + rr, col0 + cc)) match {
+                case Some(zn) =>
+                  present(kk)(j) = true
+                  if (zn + dec < zc) {
+                    cost(kk)(j) = 0.0; accum(kk)(j) = 0.0
+                    atLeastOneSource = true
+                  } else {
+                    cost(kk)(j) = (zn - zc) + dec
+                    accum(kk)(j) = largeVal
+                  }
+                case None => // noData: stays a barrier (largeVal arrays
+                  // carry the reference's noData sentinel semantics)
+                  present(kk)(j) = false
+              }
+              cc += 1
+            }
+            rr += 1
+          }
+          cost(k)(k) = 0.0
+          accum(k)(k) = largeVal
+          if (atLeastOneSource) {
+            // (aCost, row, col) comparator — CostDistCell.compareTo
+            val pq = new java.util.PriorityQueue[(Double, Int, Int, Int)](
+              (p, q) =>
+                if (p._1 < q._1) -1 else if (p._1 > q._1) 1
+                else if (p._2 < q._2) -1 else if (p._2 > q._2) 1
+                else if (p._3 < q._3) -1 else if (p._3 > q._3) 1 else 0)
+            var r1 = 0
+            while (r1 < sub) {
+              var c1 = 0
+              while (c1 < sub) {
+                if (present(r1)(c1) && accum(r1)(c1) == largeVal) {
+                  var a = 0
+                  while (a < 8) {
+                    val rn = r1 + dYl(a)
+                    val cn = c1 + dXl(a)
+                    if (rn >= 0 && rn < sub && cn >= 0 && cn < sub &&
+                        present(rn)(cn) && accum(rn)(cn) == 0.0) {
+                      pq.add(((cost(r1)(c1) + cost(rn)(cn)) / 2 * dist(a),
+                        r1, c1, a))
+                    }
+                    a += 1
+                  }
+                }
+                c1 += 1
+              }
+              r1 += 1
+            }
+            if (!pq.isEmpty) {
+              while (!pq.isEmpty) {
+                val (aCost, r2, c2, bl) = pq.poll()
+                if (accum(r2)(c2) > aCost) {
+                  accum(r2)(c2) = aCost
+                  backLink(r2)(c2) = bl
+                  var a = 0
+                  while (a < 8) {
+                    val rn = r2 + dYl(a)
+                    val cn = c2 + dXl(a)
+                    if (rn >= 0 && rn < sub && cn >= 0 && cn < sub &&
+                        present(rn)(cn)) {
+                      val nv = aCost + (cost(r2)(c2) + cost(rn)(cn)) / 2 *
+                        dist(a)
+                      if (nv < accum(rn)(cn))
+                        pq.add((nv, rn, cn, backLinkDir(a)))
+                    }
+                    a += 1
+                  }
+                }
+              }
+              // carve: walk the backlinks from the pit, lowering to
+              // previousZ - aSmall (BreachDepressions.java:487-510)
+              var r3 = k
+              var c3 = k
+              var row = row0
+              var colG = col0
+              var previousZ = zc
+              var flag = true
+              while (flag) {
+                val b = backLink(r3)(c3)
+                if (b >= 0) {
+                  r3 += dYl(b); c3 += dXl(b)
+                  row += dYl(b); colG += dXl(b)
+                  val zn = z((row, colG))
+                  if (zn > previousZ - aSmall)
+                    z((row, colG)) = previousZ - aSmall
+                  previousZ = z((row, colG))
+                } else flag = false
+              }
+            }
+          }
+        }
+      }
+      rows.iterator.map { case (r, c, _) => (r, c, z((r, c))) }
+    }.toDF("r", "c", "breached")
+  }
+
+  /**
+   * JensonSnapPourPoints (HydroTools/JensonSnapPourPoints.java:
+   * 360-400, raster arm): each outlet snaps to the stream cell
+   * (n_upslope >= threshold) with minimum squared cell distance
+   * within `snapDist` cells; the reference's col-ascending-then-row-
+   * ascending scan with a strict `<` keeps the FIRST minimum, i.e.
+   * ties break by (dist2, col, row) — unlike [[snapPourPoints]]'
+   * max-accumulation semantics. Executed as a bounded stencil join
+   * (outlets x (2k+1)^2 offsets), map-side at any scale.
+   */
+  def jensonSnapPourPoints(grid: DataFrame, outlets: DataFrame,
+                           threshold: Long, snapDist: Int): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val stream = extractStreams(grid, threshold)
+      .select(col("r").as("sr"), col("c").as("sc"))
+    val offs = (-snapDist to snapDist)
+      .flatMap(dc => (-snapDist to snapDist).map(dr => (dr, dc)))
+      .toDF("dr", "dc")
+    val cand = outlets.crossJoin(broadcast(offs))
+      .select(col("outlet_id"), col("r"), col("c"),
+        (col("r") + col("dr")).as("sr"), (col("c") + col("dc")).as("sc"))
+      .join(stream, Seq("sr", "sc"))
+      .select(col("outlet_id"), col("sr"), col("sc"),
+        ((col("sr") - col("r")) * (col("sr") - col("r")) +
+         (col("sc") - col("c")) * (col("sc") - col("c"))).as("d2"))
+    val firstMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("outlet_id")
+      .orderBy(col("d2"), col("sc"), col("sr"))
+    val snapped = cand.withColumn("rn", row_number().over(firstMin))
+      .where(col("rn") === 1)
+      .select(col("outlet_id"), col("sr"), col("sc"))
+    // no stream cell in the window -> the outlet keeps its own cell
+    // (the reference's minX/minY defaults, JensonSnapPourPoints.java:298)
+    outlets.join(snapped, Seq("outlet_id"), "left")
+      .select(col("outlet_id"),
+        coalesce(col("sr"), col("r")).as("snap_r"),
+        coalesce(col("sc"), col("c")).as("snap_c"))
+  }
+
+  /** Per-step nano distance between 8-adjacent cells (diagonal vs
+    * straight), exact-integer so path sums are order-independent. */
+  private def stepNano: Column =
+    when(abs(col("tr") - col("r")) + abs(col("tc") - col("c")) === 2,
+      lit(DiagNano)).otherwise(lit(1000000000L))
+
+  /**
+   * Full flowpath closure: every (sr, sc, r, c, dn) with (r, c) on
+   * the D8 path from (sr, sc) and dn the exact nano path distance
+   * (identity rows dn = 0 included). Transitive-closure doubling —
+   * O(log pathLen) rounds, each a self-join; closure size is
+   * O(cells x path length), the same bound as the walk CTEs the
+   * oracle uses. Paths are unique in a functional graph, so each
+   * (start, cell) pair carries one distance and `distinct` is exact.
+   */
+  private def flowpathClosure(ptr: DataFrame): DataFrame = {
+    val e = d8EdgesFromPtr(ptr).withColumn("d", stepNano)
+      .localCheckpoint(true)
+    var r = ptr.select(col("r").as("sr"), col("c").as("sc"),
+        col("r"), col("c"), lit(0L).as("dn"))
+      .unionByName(e.select(col("r").as("sr"), col("c").as("sc"),
+        col("tr").as("r"), col("tc").as("c"), col("d").as("dn")))
+      .localCheckpoint(true)
+    var n = r.count()
+    var converged = false
+    while (!converged) {
+      val hop = r.select(col("sr").as("hr"), col("sc").as("hc"),
+        col("r").as("r2"), col("c").as("c2"), col("dn").as("d2"))
+      val doubled = r
+        .join(hop, col("r") === col("hr") && col("c") === col("hc"))
+        .select(col("sr"), col("sc"), col("r2").as("r"),
+          col("c2").as("c"), (col("dn") + col("d2")).as("dn"))
+        .unionByName(r).distinct().localCheckpoint(true)
+      val n2 = doubled.count()
+      converged = n2 == n
+      n = n2
+      r = doubled
+    }
+    r
+  }
+
+  /**
+   * BranchLength (TerrainAnalysisTools/BranchLength.java:262-420):
+   * for every E/SE/S/SW-adjacent in-grid cell pair, trace both D8
+   * flowpaths to their confluence (the first shared cell); each cell
+   * of the pair receives its along-path nano distance to the
+   * confluence, or its full path length when the paths never meet;
+   * the output is the max over a cell's pairs. Relational form: the
+   * confluence of (p, q) is the common closure cell minimizing p's
+   * distance (path suffixes coincide in a functional graph, so the
+   * argmin is the true junction and q's distance rides along).
+   */
+  def branchLength(grid: DataFrame, nRows: Long, nCols: Long): DataFrame = {
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val reach = flowpathClosure(ptr).localCheckpoint(true)
+    val spark = grid.sparkSession
+    import spark.implicits._
+    // E, SE, S, SW (BranchLength.java's testByte c = 1..4), in-grid
+    val dirs = Seq((0, 1), (1, 1), (1, 0), (1, -1)).toDF("qdy", "qdx")
+    val cells = ptr.select(col("r"), col("c"))
+    val pairs = cells.crossJoin(broadcast(dirs))
+      .select(col("r").as("pr"), col("c").as("pc"),
+        (col("r") + col("qdy")).as("qr"), (col("c") + col("qdx")).as("qc"))
+      .join(cells.select(col("r").as("qr"), col("c").as("qc")),
+        Seq("qr", "qc"))
+      .localCheckpoint(true)
+    val ra = reach.select(col("sr").as("pr"), col("sc").as("pc"),
+      col("r").as("jr"), col("c").as("jc"), col("dn").as("d1"))
+    val rb = reach.select(col("sr").as("qr"), col("sc").as("qc"),
+      col("r").as("jr"), col("c").as("jc"), col("dn").as("d2"))
+    val confl = pairs.join(ra, Seq("pr", "pc")).join(rb,
+        Seq("qr", "qc", "jr", "jc"))
+      .groupBy("pr", "pc", "qr", "qc")
+      .agg(min_by(struct(col("d1"), col("d2")), col("d1")).as("j"))
+      .select(col("pr"), col("pc"), col("qr"), col("qc"),
+        col("j.d1").as("d1"), col("j.d2").as("d2"))
+    val full = reach.groupBy(col("sr"), col("sc"))
+      .agg(max(col("dn")).as("fl"))
+    val noConfl = pairs.join(confl.select("pr", "pc", "qr", "qc")
+        .withColumn("__c", lit(1)), Seq("pr", "pc", "qr", "qc"), "left")
+      .where(col("__c").isNull)
+      .join(full.select(col("sr").as("pr"), col("sc").as("pc"),
+        col("fl").as("d1")), Seq("pr", "pc"))
+      .join(full.select(col("sr").as("qr"), col("sc").as("qc"),
+        col("fl").as("d2")), Seq("qr", "qc"))
+      .select("pr", "pc", "qr", "qc", "d1", "d2")
+    val contrib = confl.unionByName(noConfl)
+    contrib.select(col("pr").as("r"), col("pc").as("c"), col("d1").as("d"))
+      .unionByName(contrib.select(col("qr").as("r"), col("qc").as("c"),
+        col("d2").as("d")))
+      .groupBy("r", "c").agg(max(col("d")).as("branch_nano"))
+  }
+
+  /**
+   * FindParallelFlow (HydroTools/FindParallelFlow.java:230-260, no
+   * streams arm): 1 where some neighbour that is neither the cell's
+   * downslope target nor flowing into the cell carries the SAME D8
+   * pointer value, else 0. One stencil pass.
+   */
+  def findParallelFlow(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val offs = (0 until 8).map(i =>
+      (dY(i), dX(i), 1L << i, 1L << ((i + 4) % 8)))
+      .toDF("dy", "dx", "outv", "inv")
+    ptr.crossJoin(broadcast(offs))
+      .join(ptr.select(col("r").as("nr"), col("c").as("nc"),
+          col("ptr").as("nptr")),
+        col("nr") === col("r") + col("dy") &&
+          col("nc") === col("c") + col("dx"), "left")
+      .groupBy("r", "c")
+      .agg(max(when(col("ptr") =!= col("outv") &&
+        col("nptr") === col("ptr") && col("nptr") =!= col("inv"), 1L)
+        .otherwise(0L)).as("parallel"))
+  }
+
+  /**
+   * TraceDownslopeFlowpaths (Scripts/TraceDownslopeFlowpaths.groovy:
+   * 95-130, background=0 arm): each seed paints its D8 path with its
+   * value, stopping at already-painted cells; the row-major seed scan
+   * makes the first-scan-order seed win every shared downstream cell,
+   * while seed cells always keep their own value (the unconditional
+   * self-write). seeds: (sr, sc, sval).
+   */
+  def traceDownslopeFlowpaths(grid: DataFrame,
+                              seeds: DataFrame): DataFrame = {
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val reach = flowpathClosure(ptr)
+    val painted = seeds.join(reach, Seq("sr", "sc"))
+    val firstSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy("r", "c").orderBy(col("sr"), col("sc"))
+    val byScan = painted
+      .withColumn("rn", row_number().over(firstSeed))
+      .where(col("rn") === 1)
+      .select(col("r"), col("c"), col("sval"))
+    byScan.join(seeds.select(col("sr").as("r"), col("sc").as("c"),
+        col("sval").as("own")), Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        coalesce(col("own"), col("sval")).as("trace_val"))
+  }
+
+  /**
+   * MedianUpstreamArea (GeasyTools/MedianUpstreamArea.java:296-400):
+   * over the creek-cell graph (creek = accumulation >= threshold)
+   * with edges to each cell's steepest LOWER creek neighbour
+   * (slope = dz/dist, first-in-scan tie win over the tool's N-first
+   * counter-clockwise stencil), every creek cell gets the median of
+   * the accumulation values of its upstream closure including
+   * itself — the reference's elevation-ordered chain walk computes
+   * exactly this closure median (its value-remove step is multiset-
+   * safe and its elevation filter only discards cells that are
+   * already downstream).
+   */
+  def medianUpstreamArea(grid: DataFrame, threshold: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val creek = extractStreams(grid, threshold)
+      .join(grid, Seq("r", "c"))
+      .select(col("r"), col("c"), col("v"), col("n_upslope").as("area"))
+      .localCheckpoint(true)
+    // MedianUpstreamArea.java:45-47 stencil (N-first, counter-
+    // clockwise) with its own dd distances
+    val xd = Seq(0, -1, -1, -1, 0, 1, 1, 1)
+    val ydRef = Seq(-1, -1, 0, 1, 1, 1, 0, -1)
+    val dd = Seq(1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0), 1.0,
+      math.sqrt(2.0), 1.0, math.sqrt(2.0))
+    val offs = (0 until 8).map(i => (i, ydRef(i), xd(i), dd(i)))
+      .toDF("ci", "dy", "dx", "dd")
+    val cand = creek.crossJoin(broadcast(offs))
+      .join(creek.select(col("r").as("nr"), col("c").as("nc"),
+          col("v").as("nz")),
+        col("nr") === col("r") + col("dy") &&
+          col("nc") === col("c") + col("dx"))
+      .where(col("nz") < col("v"))
+      .withColumn("slope", (col("v") - col("nz")) / col("dd"))
+    val firstMax = org.apache.spark.sql.expressions.Window
+      .partitionBy("r", "c").orderBy(col("slope").desc, col("ci"))
+    val edges = cand.withColumn("rn", row_number().over(firstMax))
+      .where(col("rn") === 1)
+      .select(col("r"), col("c"), col("nr").as("tr"), col("nc").as("tc"))
+      .localCheckpoint(true)
+    // upstream closure via the same doubling as flowpathClosure
+    var rch = creek.select(col("r").as("sr"), col("c").as("sc"),
+        col("r"), col("c"))
+      .unionByName(edges.select(col("r").as("sr"), col("c").as("sc"),
+        col("tr").as("r"), col("tc").as("c")))
+      .distinct().localCheckpoint(true)
+    var n = rch.count()
+    var converged = false
+    while (!converged) {
+      val hop = rch.select(col("sr").as("hr"), col("sc").as("hc"),
+        col("r").as("r2"), col("c").as("c2"))
+      val doubled = rch
+        .join(hop, col("r") === col("hr") && col("c") === col("hc"))
+        .select(col("sr"), col("sc"), col("r2").as("r"), col("c2").as("c"))
+        .unionByName(rch).distinct().localCheckpoint(true)
+      val n2 = doubled.count()
+      converged = n2 == n
+      n = n2
+      rch = doubled
+    }
+    rch.join(creek.select(col("r").as("sr"), col("c").as("sc"),
+        col("area")), Seq("sr", "sc"))
+      .groupBy("r", "c")
+      .agg(percentile(col("area").cast("double"), lit(0.5)).as("med_area"))
+  }
+
+  /**
+   * StrahlerOrderBasins (HydroTools/StrahlerOrderBasins.java:
+   * 230-360): every cell takes the Strahler order of the FIRST
+   * stream cell on its D8 flowpath (stream cells keep their own
+   * order — the headwater-walk order assignment of the reference
+   * equals the link-graph Strahler propagated to link cells). Cells
+   * whose path exits the grid without touching a stream are absent.
+   */
+  def strahlerOrderBasins(grid: DataFrame, threshold: Long,
+                          width: Long): DataFrame = {
+    val ord = strahlerOrder(grid, threshold, width)
+    val links = streamLinkId(grid, threshold, width)
+    val cellOrd = links.join(ord, Seq("link_id"))
+      .select(col("r"), col("c"), col("strahler"))
+    val reach = flowpathClosure(d8Pointer(grid))
+    reach.join(cellOrd, Seq("r", "c"))
+      .groupBy(col("sr").as("r"), col("sc").as("c"))
+      .agg(min_by(col("strahler"), col("dn")).as("basin_order"))
+  }
+
+  /**
+   * StreamLinkClassification (StreamNetworkAnalysisTools/
+   * StreamLinkClassification.java:250-345): per stream cell — 5 at
+   * outlets (pointer 0), 3 at source nodes (no stream inflow), 4 at
+   * junctions (>1 inflow), else min(2, upstream headwater count).
+   * The reference's order-dependent headwater walks reduce to
+   * exactly that closure count (paths stop at 2-valued cells, whose
+   * downstream is already saturated — an induction the Scaladoc of
+   * the oracle mirrors), so the operator is fully relational here.
+   */
+  def streamLinkClassification(grid: DataFrame,
+                               threshold: Long): DataFrame = {
+    val (stream0, sedges0, indeg0) = streamGraph(grid, threshold)
+    // re-alias the shared memoized frames (fresh attribute ids): the
+    // assembly below joins them several times in one plan and the
+    // using-join resolution otherwise collides
+    val stream = stream0.toDF("r", "c")
+    val sedges = sedges0.toDF("r", "c", "tr", "tc")
+    val indeg = indeg0.toDF("tr", "tc", "n")
+    val heads = stream.join(indeg.select(col("tr").as("r"),
+        col("tc").as("c")), Seq("r", "c"), "left_anti")
+      .localCheckpoint(true)
+    // upstream headwater count via the full-grid flowpath closure:
+    // accumulation is monotone downstream, so a stream headwater's
+    // D8 path never leaves the stream — cell X has headwater h
+    // upstream (in the stream graph) iff X lies on h's flowpath
+    val ptr = d8Pointer(grid).localCheckpoint(true)
+    val hk = flowpathClosure(ptr)
+      .join(heads.select(col("r").as("sr"), col("c").as("sc")),
+        Seq("sr", "sc"))
+      .groupBy("r", "c").agg(count(lit(1)).as("k"))
+    stream.join(ptr, Seq("r", "c"))
+      .join(indeg.select(col("tr").as("r"), col("tc").as("c"),
+        col("n").as("n_in")), Seq("r", "c"), "left")
+      .join(hk, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("ptr") === 0, 5L)
+          .when(col("n_in").isNull, 3L)
+          .when(col("n_in") > 1, 4L)
+          .otherwise(least(lit(2L), coalesce(col("k"), lit(0L))))
+          .as("link_class"))
+  }
+
+  /**
+   * WallWatershed (HydroTools/WallWatershed.java:258-280, raster
+   * arm): cells of a watershed bordering a different id (an absent /
+   * off-grid neighbour counts as different) rise by `increment`;
+   * non-bordering watershed-interior cells are NOT written and stay
+   * NoData — the reference's missing else-branch, mirrored
+   * literally as absent rows; w <= 0 cells keep the DEM value.
+   */
+  def wallWatershed(grid: DataFrame, width: Long,
+                    increment: Double): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val ws = watershed(grid, width).localCheckpoint(true)
+    val offs = (0 until 8).map(i => (dY(i), dX(i))).toDF("dy", "dx")
+    val same = ws.crossJoin(broadcast(offs))
+      .join(ws.select(col("r").as("nr"), col("c").as("nc"),
+          col("sink_id").as("nw")),
+        col("nr") === col("r") + col("dy") &&
+          col("nc") === col("c") + col("dx"))
+      .where(col("nw") === col("sink_id"))
+      .groupBy("r", "c").agg(count(lit(1)).as("nsame"))
+    grid.join(ws, Seq("r", "c"))
+      .join(same, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("v"), col("sink_id"),
+        coalesce(col("nsame"), lit(0L)).as("nsame"))
+      .where(col("sink_id") <= 0 || col("nsame") < 8)
+      .select(col("r"), col("c"),
+        when(col("sink_id") > 0, col("v") + increment)
+          .otherwise(col("v")).as("walled"))
+  }
+
+  /**
+   * ExposureTowardsWindFlux (TerrainAnalysisTools/
+   * ExposureTowardsWindFlux.java:305-330, no-horizon arm):
+   * exposure = cos(slope)·sin(HA=0) + sin(slope)·cos(HA=0)·
+   * cos(relAspect) = sin(slope)·cos(relAspect). The reference's
+   * azimuth is converted to radians at parse (line 218) and then
+   * subtracted from the DEGREE aspect before the 180-fold and a
+   * SECOND toRadians — that unit slip is mirrored literally.
+   * Slope here is the engine's radian hornSlope (the reference
+   * pipes the degree Slope raster through toRadians — same angle).
+   */
+  def exposureTowardsWindFlux(grid: DataFrame, azimuthDeg: Double,
+                              nRows: Long, nCols: Long): DataFrame = {
+    val sl = Raster.hornSlope(grid, nRows, nCols)
+    val asp = aspect(grid, nRows, nCols)
+    val azPrime = math.toRadians(azimuthDeg - 90)
+    val rel0 = lit(azPrime) - col("aspect")
+    val rel = when(rel0 > 180, lit(360.0) - rel0).otherwise(rel0)
+    sl.join(asp, Seq("r", "c")).select(col("r"), col("c"),
+      round(sin(col("slope_rad")) *
+        cos(rel * lit(math.Pi) / lit(180.0)), 6).as("exposure"))
   }
 
   def watershed(grid: DataFrame, width: Long): DataFrame = {

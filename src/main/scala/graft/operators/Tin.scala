@@ -147,4 +147,85 @@ object Tin {
       .unionByName(tri.select(col("ib").as("pa"), col("ic").as("pb")))
       .distinct()
   }
+
+  /** Sutherland–Hodgman clip of a convex polygon by the half-plane of
+    * points closer to (ax, ay) than to (bx, by). */
+  private[operators] def clipBisector(
+      xs: Array[Double], ys: Array[Double], ax: Double, ay: Double,
+      bx: Double, by: Double): (Array[Double], Array[Double]) = {
+    val mx = (ax + bx) / 2; val my = (ay + by) / 2
+    val dx = bx - ax; val dy = by - ay
+    @inline def f(px: Double, py: Double): Double =
+      dx * (px - mx) + dy * (py - my)          // <= 0 == closer to a
+    val n = xs.length
+    val ox = Array.newBuilder[Double]
+    val oy = Array.newBuilder[Double]
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val fi = f(xs(i), ys(i)); val fj = f(xs(j), ys(j))
+      if (fi <= 0) { ox += xs(i); oy += ys(i) }
+      if ((fi < 0 && fj > 0) || (fi > 0 && fj <= 0)) {
+        val t = fi / (fi - fj)
+        ox += xs(i) + t * (xs(j) - xs(i))
+        oy += ys(i) + t * (ys(j) - ys(i))
+      }
+      i += 1
+    }
+    (ox.result(), oy.result())
+  }
+
+  /**
+   * VoronoiDiagram (VectorTools/src/plugins/VoronoiDiagram.java:
+   * 287-300): Thiessen polygon geometry per point, clipped to the
+   * layer bbox expanded by 5% per side (the reference's Envelope).
+   * Each cell is the envelope rectangle clipped by the perpendicular-
+   * bisector half-planes of the point's DELAUNAY neighbours only —
+   * the Voronoi–Delaunay duality makes that exact (every Voronoi
+   * edge is dual to a Delaunay edge), so per-point work is
+   * O(neighbours), the clip set comes from the triangulation's dual,
+   * and the kernel maps over points with no further shuffle.
+   * Output: (pid, xs, ys, area) with shoelace area.
+   */
+  def voronoiPolygons(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val nbrs = voronoiNeighbors(points)
+    val sym = nbrs.unionByName(
+      nbrs.select(col("pb").as("pa"), col("pa").as("pb")))
+    val env = points.agg(min("px").as("mnx"), max("px").as("mxx"),
+      min("py").as("mny"), max("py").as("mxy"))
+    sym
+      .join(points.select(col("pid").as("pa"), col("px").as("ax"),
+        col("py").as("ay")), Seq("pa"))
+      .join(points.select(col("pid").as("pb"), col("px").as("bx"),
+        col("py").as("by")), Seq("pb"))
+      // deterministic clip order (bisectors commute geometrically,
+      // but float intersections do not): sort neighbours by id
+      .groupBy(col("pa").as("pid"), col("ax"), col("ay"))
+      .agg(sort_array(collect_list(
+        struct(col("pb"), col("bx"), col("by")))).as("nb"))
+      .crossJoin(broadcast(env))
+      .as[(Long, Double, Double, Seq[(Long, Double, Double)],
+        Double, Double, Double, Double)]
+      .map { case (pid, ax, ay, nb, mnx, mxx, mny, mxy) =>
+        val ew = (mxx - mnx) * 0.05
+        val ns = (mxy - mny) * 0.05
+        var xs = Array(mnx - ew, mxx + ew, mxx + ew, mnx - ew)
+        var ys = Array(mny - ns, mny - ns, mxy + ns, mxy + ns)
+        nb.foreach { case (_, bx, by) =>
+          val clipped = clipBisector(xs, ys, ax, ay, bx, by)
+          xs = clipped._1; ys = clipped._2
+        }
+        var a2 = 0.0
+        var i = 0
+        val n = xs.length
+        while (i < n) {
+          val j = (i + 1) % n
+          a2 += xs(i) * ys(j) - xs(j) * ys(i)
+          i += 1
+        }
+        (pid, xs, ys, math.abs(a2) / 2)
+      }.toDF("pid", "xs", "ys", "area")
+  }
 }

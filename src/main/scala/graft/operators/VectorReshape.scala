@@ -191,4 +191,68 @@ object VectorReshape {
       .where(col("__rn") === 1)
       .select(col("line_id"), col("kind"), col("cx"), col("cy"))
   }
+
+  /**
+   * Smooth (VectorTools/Smooth.java:268-305): per-vertex moving
+   * average over a window of 2·halfFilter+1 ring positions. Closed
+   * rings wrap (the reference's duplicate-closing-vertex index
+   * arithmetic collapses to plain mod-n on the engine's open vertex
+   * lists); open lines clamp at the ends, dividing by the in-range
+   * count. One explode + windowed join per vertex — shuffles only on
+   * (gid, i), linear in total vertex count.
+   * verts: (gid, i, vx, vy) with i 0-based ring order.
+   */
+  def smoothVertices(verts: DataFrame, halfFilter: Int,
+                     closed: Boolean): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
+    val offs = (-halfFilter to halfFilter).toDF("o")
+    val sized = verts.join(
+      verts.groupBy("gid").agg(count(lit(1)).as("n")), Seq("gid"))
+    val probes = sized.crossJoin(broadcast(offs))
+      .select(col("gid"), col("i"),
+        (if (closed) pmod(col("i") + col("o"), col("n"))
+         else col("i") + col("o")).as("j"))
+      .where(col("j") >= 0)
+    probes
+      .join(verts.select(col("gid"), col("i").as("j"),
+        col("vx").as("nx"), col("vy").as("ny")), Seq("gid", "j"))
+      .groupBy("gid", "i")
+      .agg(round(sum(col("nx")) / count(lit(1)), 6).as("sx"),
+        round(sum(col("ny")) / count(lit(1)), 6).as("sy"))
+  }
+
+  /**
+   * VectorCleaning (VectorTools/VectorCleaning.java:300-310, which
+   * delegates to JTS GeometrySnapper pairwise in record order): every
+   * vertex snaps to the nearest OTHER-feature vertex within
+   * `tolerance`, ties broken by (gid, i) scan order; out-of-range
+   * vertices stay put. The engine's form is order-free (nearest
+   * wins, not last-snapped-pair wins) — deterministic and
+   * relational: a self-join bounded by the tolerance window, then a
+   * first-row rank. At scale the join keys by cell id like every
+   * other proximity join here.
+   */
+  def vectorClean(verts: DataFrame, tolerance: Double): DataFrame = {
+    val cand = verts
+      .join(verts.select(col("gid").as("g2"), col("i").as("i2"),
+          col("vx").as("x2"), col("vy").as("y2")),
+        col("g2") =!= col("gid") &&
+          abs(col("x2") - col("vx")) <= tolerance &&
+          abs(col("y2") - col("vy")) <= tolerance)
+      .withColumn("d2",
+        (col("x2") - col("vx")) * (col("x2") - col("vx")) +
+          (col("y2") - col("vy")) * (col("y2") - col("vy")))
+      .where(col("d2") <= tolerance * tolerance)
+    val firstNear = org.apache.spark.sql.expressions.Window
+      .partitionBy("gid", "i")
+      .orderBy(col("d2"), col("g2"), col("i2"))
+    val snapped = cand.withColumn("rn", row_number().over(firstNear))
+      .where(col("rn") === 1)
+      .select(col("gid"), col("i"), col("x2"), col("y2"))
+    verts.join(snapped, Seq("gid", "i"), "left")
+      .select(col("gid"), col("i"),
+        coalesce(col("x2"), col("vx")).as("cx"),
+        coalesce(col("y2"), col("vy")).as("cy"))
+  }
 }

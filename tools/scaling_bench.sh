@@ -52,6 +52,12 @@ t8, t32 = j8['value'], j32['value']
 pages = j8.get('pages', 0)
 # throughput scales as 1/T on fixed input; N=8 cores, 4N=32 cores
 eff = (t8 / t32) / 4.0
+# the headline metric per BASELINE.json: PIP-join pages/sec at both
+# levels (the PIP input is sized so pip_join >= 30 s at local[32] —
+# compute-bound, not overhead-bound)
+p8, p32 = j8['queries']['pip_join'], j32['queries']['pip_join']
+pps8, pps32 = pages / p8, pages / p32
+pip_eff = pps32 / (4.0 * pps8)
 lines = [
     '# BENCH/BASELINE.md — measured scaling evidence',
     '',
@@ -67,8 +73,14 @@ lines = [
     f"| local[8]  | {t8:.2f} | {pages} | {j8.get('pip_pages_per_sec',0):.0f} | {len(j8['queries'])/t8:.3f} |",
     f"| local[32] | {t32:.2f} | {pages} | {j32.get('pip_pages_per_sec',0):.0f} | {len(j32['queries'])/t32:.3f} |",
     '',
-    f'**Scaling efficiency** = (T8/T32)/(32/8) = ({t8:.2f}/{t32:.2f})/4 = **{eff:.3f}**',
-    f'(target >= 0.8 per BASELINE.json north_rule; raw speedup {t8/t32:.2f}x on 4x cores)',
+    f'**Headline scaling efficiency (PIP-join pages/sec, the BASELINE.json metric)**',
+    f'= pps32 / (4 x pps8) = {pps32:.0f} / (4 x {pps8:.0f}) = **{pip_eff:.3f}**',
+    f'(target >= 0.8; pip_join runs {p32:.1f} s at local[32] / {p8:.1f} s at',
+    'local[8] against the dense zone layer — compute-bound, so the ratio',
+    'measures the ray-cast kernel scaling, not fixed job overhead)',
+    '',
+    f'**Whole-suite wall efficiency** = (T8/T32)/(32/8) = ({t8:.2f}/{t32:.2f})/4 = **{eff:.3f}**',
+    f'(raw speedup {t8/t32:.2f}x on 4x cores)',
     '',
     '## Per-query seconds',
     '',
