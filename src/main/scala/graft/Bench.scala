@@ -32,6 +32,18 @@ object Bench {
       // >=1.5x slower at local[32] than local[8] from exactly this)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // ... and tiny-input SCANS must not split defaultParallelism
+      // ways either: spark.sql.files.minPartitionNum defaults to the
+      // core count, so at local[32] every 300 KB parquet file became
+      // 32 ten-KB tasks — pure task-launch tax, measured 2-11 s per
+      // query at sf0.1 (geo_fd8_accum 12.8 s -> 1.8 s with these).
+      // At real scale maxPartitionBytes governs splitting, so a
+      // floor of 1 is harmless.
+      .config("spark.sql.files.minPartitionNum", "1")
+      // ...while 4 MB split targets keep the BIGGER sf0.1 inputs
+      // (multi-MB lidar/lineitem scans) parallel — task count follows
+      // data volume instead of the core count in both directions
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // shuffle spill dir on tmpfs: a real N-node cluster has N local

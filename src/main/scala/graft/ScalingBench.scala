@@ -118,7 +118,7 @@ object ScalingBench {
     // the reaper snapshot so per-pass reaps spare it.
     val zoneRes = 5
     val perCell = sys.env.getOrElse("SPARK_GRAFT_ZONES_PER_CELL", "2").toInt
-    val zoneVerts = sys.env.getOrElse("SPARK_GRAFT_ZONE_VERTS", "4000").toInt
+    val zoneVerts = sys.env.getOrElse("SPARK_GRAFT_ZONE_VERTS", "4800").toInt
     val denseZones = Derived.scaledZones(spark, zoneRes, perCell, zoneVerts)
       .localCheckpoint(true)
 

@@ -526,6 +526,22 @@ object SparkEntry {
       operators.Terrain.fillDepressions(Derived.partGrid(s, dir),
         GridRows, GridCols)),
 
+    // TurningBands (StatsTools/TurningBands.java): seeded Gaussian
+    // random field from 16 filtered line processes. Stochastic tool
+    // -> rows-only driver check; StochasticSpec holds the oracle
+    // (determinism, seed sensitivity, moments)
+    "geo_turning_bands" -> ((s, dir) =>
+      operators.Terrain.turningBands(Derived.partGrid(s, dir),
+        GridRows, GridCols, range = 6.0, numBands = 16, seed = 42L)),
+
+    // StochasticDepressionAnalysis (TerrainAnalysisTools): Monte-
+    // Carlo pdep over 8 seeded error fields. Stochastic -> rows-only
+    // driver check; StochasticSpec asserts the depression contrast
+    "geo_stochastic_dep" -> ((s, dir) =>
+      operators.Terrain.stochasticDepressionAnalysis(
+        Derived.partGrid(s, dir), GridRows, GridCols,
+        rmse = 2.0, iters = 8, seed = 7L)),
+
     // FillPits (HydroTools/FillPits.java:206-240): single-cell pits
     // rise to lowestNeighbour + aSmallValue
     "geo_fill_pits" -> ((s, dir) =>
@@ -2488,6 +2504,22 @@ object SparkEntry {
     // exactly "keep the middle vertex iff its perpendicular distance
     // from the end chord exceeds the tolerance" (6.0 here; the varied
     // triangle vertices make both outcomes occur).
+    // FindPolygonChains (VectorTools/FindPolygonChains.java):
+    // elongated-polygon long-axis endpoints linked within a radius,
+    // groups of >= 3 are chains
+    "geo_polygon_chains" -> ((s, dir) => {
+      val tri = Derived.supplierPoints(s, dir)
+        .select(col("s_id").as("fid"), (col("sx") / 2).as("x0"),
+          (col("sy") / 2).as("y0"))
+        .select(col("fid"), col("x0"), col("y0"),
+          (col("x0") + (lit(5) + col("fid") % 7)).as("bx"),
+          (col("y0") + 2).as("by"),
+          (col("x0") + 3).as("cx"),
+          (col("y0") + (lit(8) + col("fid") % 5)).as("cy"))
+      operators.VectorReshape.findPolygonChains(tri, radius = 8.0,
+        minChain = 3)
+    }),
+
     // Smooth (VectorTools/Smooth.java): per-vertex moving average
     // along each closed zone ring (window 3)
     "geo_smooth_vector" -> ((s, dir) => {
@@ -6267,6 +6299,72 @@ object SparkEntry {
          |    + (n + yaxis / 2) * cos(-psi)), 6) AS centre_y
          |FROM best""".stripMargin
     },
+
+    "geo_polygon_chains" ->
+      s"""WITH RECURSIVE sp AS ($SPTS),
+         |tri AS (SELECT s_id AS fid, sx / 2 AS x0, sy / 2 AS y0,
+         |  sx / 2 + (5 + s_id % 7) AS bx, sy / 2 + 2 AS "by",
+         |  sx / 2 + 3 AS cx, sy / 2 + (8 + s_id % 5) AS cy FROM sp),
+         |verts AS (SELECT fid, x0 AS vx, y0 AS vy FROM tri
+         |  UNION ALL SELECT fid, bx, "by" FROM tri
+         |  UNION ALL SELECT fid, cx, cy FROM tri),
+         |mid AS (SELECT fid, min(vx) + (max(vx) - min(vx)) / 2.0 AS midx,
+         |  min(vy) + (max(vy) - min(vy)) / 2.0 AS midy
+         |  FROM verts GROUP BY fid),
+         |edges0 AS (SELECT fid, 0 AS eidx, bx - x0 AS edx,
+         |    "by" - y0 AS edy FROM tri
+         |  UNION ALL SELECT fid, 1, cx - bx, cy - "by" FROM tri
+         |  UNION ALL SELECT fid, 2, x0 - cx, y0 - cy FROM tri),
+         |edges AS (SELECT fid, eidx, edx, edy,
+         |  sqrt(edx * edx + edy * edy) AS elen,
+         |  -atan2(edy, edx) AS psi FROM edges0),
+         |rot AS (SELECT e.fid, e.eidx, e.psi,
+         |  ((v.vx - m.midx) * e.edx + (v.vy - m.midy) * e.edy) / e.elen
+         |    AS xr,
+         |  ((v.vx - m.midx) * (0.0 - e.edy) + (v.vy - m.midy) * e.edx)
+         |    / e.elen AS yr
+         |  FROM edges e
+         |  JOIN verts v ON v.fid = e.fid
+         |  JOIN mid m ON m.fid = e.fid),
+         |ext0 AS (SELECT fid, eidx, max(psi) AS psi, min(xr) AS w,
+         |  max(xr) AS e, min(yr) AS n, max(yr) AS sxx
+         |  FROM rot GROUP BY fid, eidx),
+         |ext AS (SELECT fid, eidx, psi, w, n, abs(e - w) AS xaxis,
+         |  abs(sxx - n) AS yaxis, abs(e - w) * abs(sxx - n) AS value
+         |  FROM ext0),
+         |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fid
+         |  ORDER BY value, xaxis, yaxis, eidx) AS rk FROM ext),
+         |best AS (SELECT p.*, m.midx, m.midy FROM pick p
+         |  JOIN mid m ON m.fid = p.fid WHERE rk = 1
+         |  AND 1.0 - LEAST(p.xaxis, p.yaxis) / GREATEST(p.xaxis, p.yaxis)
+         |    > CAST(0.25 AS DOUBLE)),
+         |endr AS (SELECT fid, psi, midx, midy,
+         |  CASE WHEN xaxis >= yaxis THEN w ELSE w + xaxis / 2 END AS xr,
+         |  CASE WHEN xaxis >= yaxis THEN n + yaxis / 2 ELSE n END AS yr
+         |  FROM best
+         |  UNION ALL SELECT fid, psi, midx, midy,
+         |  CASE WHEN xaxis >= yaxis THEN w + xaxis ELSE w + xaxis / 2 END,
+         |  CASE WHEN xaxis >= yaxis THEN n + yaxis / 2 ELSE n + yaxis END
+         |  FROM best),
+         |ends AS (SELECT fid,
+         |  midx + (xr * cos(-psi) - yr * sin(-psi)) AS ex,
+         |  midy + (xr * sin(-psi) + yr * cos(-psi)) AS ey FROM endr),
+         |links AS (SELECT DISTINCT a.fid AS s, b.fid AS t
+         |  FROM ends a JOIN ends b ON b.fid <> a.fid
+         |  AND (b.ex - a.ex) * (b.ex - a.ex) +
+         |      (b.ey - a.ey) * (b.ey - a.ey)
+         |    <= CAST(8.0 AS DOUBLE) * CAST(8.0 AS DOUBLE)
+         |  UNION SELECT fid, fid FROM best),
+         |reachc AS (SELECT s, t FROM links
+         |  UNION SELECT r2.s, l.t FROM reachc r2
+         |  JOIN links l ON r2.t = l.s),
+         |comp AS (SELECT s AS fid, min(t) AS group_id FROM reachc
+         |  GROUP BY s),
+         |sizes AS (SELECT group_id, count(*) AS nmem FROM comp
+         |  GROUP BY group_id)
+         |SELECT c.fid, c.group_id FROM comp c
+         |JOIN sizes z ON z.group_id = c.group_id
+         |WHERE z.nmem >= 3""".stripMargin,
 
     "geo_layer_footprint" ->
       s"""WITH sq AS (${Derived.supplierSquaresSql})

@@ -1892,14 +1892,15 @@ object Terrain {
    * the max. Label correction over the LINK graph, iterated to exact
    * fixpoint (no representable-order cap).
    */
-  def strahlerOrder(grid: DataFrame, threshold: Long,
-                    width: Long): DataFrame = {
-    val spark = grid.sparkSession
-    import spark.implicits._
+  /** Shared junction-scale scaffold of the stream-order tools: the
+    * per-cell link labeling, the link-to-link child->parent edge
+    * graph (distributed cell-scale joins), and the distinct link
+    * ids. */
+  private def linkGraph(grid: DataFrame, threshold: Long, width: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (stream, sedges, indeg) = streamGraph(grid, threshold)
     val links = linkFromGraph(stream, sedges, indeg, width)
       .localCheckpoint(true)
-    // link-to-link edges, distributed (cell-scale joins)
     val cgraph = sedges
       .join(links.select(col("r"), col("c"), col("link_id").as("child")),
         Seq("r", "c"))
@@ -1907,50 +1908,95 @@ object Terrain {
         col("link_id").as("parent")), Seq("tr", "tc"))
       .where(col("child") =!= col("parent"))
       .select("child", "parent").distinct()
-    val linkIds = links.select("link_id").distinct()
-    // The LINK graph is junction-scale — orders of magnitude smaller
-    // than the cell grid at any raster size — so the label-correction
-    // fixpoint runs IN-MEMORY in one task over the coalesced edge
-    // list (the r2 distributed loop spent 486 s on per-round job
-    // overhead for a 92-link graph). One job, exact convergence, no
-    // order-8 cap. A graph too big for one task would mean ~10^8
-    // junctions — revisit with partitioned label correction then.
-    val edges = cgraph.as[(Long, Long)]
-    val ids = linkIds.as[Long]
-    ids.rdd.map(id => (id, Long.MinValue)) // tag ids
-      .union(edges.rdd.map { case (c, p) => (c, p) })
+    (links, cgraph, links.select("link_id").distinct(), sedges)
+  }
+
+  /**
+   * One-task harness over the junction-scale link graph. The LINK
+   * graph is orders of magnitude smaller than the cell grid at any
+   * raster size, so the order/magnitude fixpoints run IN-MEMORY over
+   * the coalesced edge list (the r2 distributed loop spent 486 s on
+   * per-round job overhead for a 92-link graph). One job, exact
+   * convergence. A graph too big for one task would mean ~10^8
+   * junctions — revisit with partitioned label correction then.
+   * `compute` receives (ids, children-map, parent-map) and returns
+   * (link_id, value) rows.
+   */
+  private def linkTask(linkIds: DataFrame, cgraph: DataFrame)(
+      compute: (scala.collection.mutable.ArrayBuffer[Long],
+        scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[Long]],
+        scala.collection.mutable.HashMap[Long, Long])
+        => Iterator[(Long, Long)]): DataFrame = {
+    val spark = linkIds.sparkSession
+    import spark.implicits._
+    linkIds.as[Long].rdd.map(id => (id, Long.MinValue)) // tag ids
+      .union(cgraph.as[(Long, Long)].rdd)
       .coalesce(1)
       .mapPartitions { it =>
         val children = new scala.collection.mutable.HashMap[
           Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
         val allIds = new scala.collection.mutable.ArrayBuffer[Long]
         it.foreach { case (a, b) =>
           if (b == Long.MinValue) allIds += a
-          else children.getOrElseUpdate(b,
-            new scala.collection.mutable.ArrayBuffer[Long]) += a
-        }
-        val ord = new scala.collection.mutable.HashMap[Long, Long]()
-        allIds.foreach(id => ord(id) = 1L)
-        var changed = true
-        while (changed) {
-          changed = false
-          allIds.foreach { id =>
-            children.get(id).foreach { cs =>
-              var mx = 0L
-              var nMax = 0
-              cs.foreach { c =>
-                val o = ord(c)
-                if (o > mx) { mx = o; nMax = 1 }
-                else if (o == mx) nMax += 1
-              }
-              val next = if (nMax >= 2) mx + 1 else mx
-              if (next != ord(id)) { ord(id) = next; changed = true }
-            }
+          else {
+            children.getOrElseUpdate(b,
+              new scala.collection.mutable.ArrayBuffer[Long]) += a
+            parent(a) = b
           }
         }
-        allIds.iterator.map(id => (id, ord(id)))
+        compute(allIds, children, parent)
+      }.toDF("link_id", "value")
+  }
+
+  /** In-memory Shreve magnitude fixpoint body (shared by
+    * streamMetrics and hackOrder). */
+  private def shreveFixpoint(
+      allIds: scala.collection.mutable.ArrayBuffer[Long],
+      children: scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]])
+      : scala.collection.mutable.HashMap[Long, Long] = {
+    val mag = new scala.collection.mutable.HashMap[Long, Long]()
+    allIds.foreach(id => mag(id) = 1L)
+    var changed = true
+    while (changed) {
+      changed = false
+      allIds.foreach { id =>
+        children.get(id).foreach { cs =>
+          val next = math.max(1L, cs.map(mag).sum)
+          if (next != mag(id)) { mag(id) = next; changed = true }
+        }
       }
-      .toDF("link_id", "strahler")
+    }
+    mag
+  }
+
+  def strahlerOrder(grid: DataFrame, threshold: Long,
+                    width: Long): DataFrame = {
+    val (_, cgraph, linkIds, _) = linkGraph(grid, threshold, width)
+    linkTask(linkIds, cgraph) { (allIds, children, _) =>
+      val ord = new scala.collection.mutable.HashMap[Long, Long]()
+      allIds.foreach(id => ord(id) = 1L)
+      var changed = true
+      while (changed) {
+        changed = false
+        allIds.foreach { id =>
+          children.get(id).foreach { cs =>
+            var mx = 0L
+            var nMax = 0
+            cs.foreach { c =>
+              val o = ord(c)
+              if (o > mx) { mx = o; nMax = 1 }
+              else if (o == mx) nMax += 1
+            }
+            val next = if (nMax >= 2) mx + 1 else mx
+            if (next != ord(id)) { ord(id) = next; changed = true }
+          }
+        }
+      }
+      allIds.iterator.map(id => (id, ord(id)))
+    }.toDF("link_id", "strahler")
   }
 
   /**
@@ -1966,44 +2012,11 @@ object Terrain {
    */
   def streamMetrics(grid: DataFrame, threshold: Long,
                     width: Long): DataFrame = {
-    val spark = grid.sparkSession
-    import spark.implicits._
-    val (stream, sedges, indeg) = streamGraph(grid, threshold)
-    val links = linkFromGraph(stream, sedges, indeg, width)
-      .localCheckpoint(true)
-    val cgraph = sedges
-      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
-        Seq("r", "c"))
-      .join(links.select(col("r").as("tr"), col("c").as("tc"),
-        col("link_id").as("parent")), Seq("tr", "tc"))
-      .where(col("child") =!= col("parent"))
-      .select("child", "parent").distinct()
-    val linkIds = links.select("link_id").distinct()
+    val (links, cgraph, linkIds, sedges) = linkGraph(grid, threshold,
+      width)
     // in-memory Shreve magnitude fixpoint over the link graph
-    val mags = linkIds.as[Long].rdd.map(id => (id, Long.MinValue))
-      .union(cgraph.as[(Long, Long)].rdd)
-      .coalesce(1)
-      .mapPartitions { it =>
-        val children = new scala.collection.mutable.HashMap[
-          Long, scala.collection.mutable.ArrayBuffer[Long]]()
-        val allIds = new scala.collection.mutable.ArrayBuffer[Long]
-        it.foreach { case (a, b) =>
-          if (b == Long.MinValue) allIds += a
-          else children.getOrElseUpdate(b,
-            new scala.collection.mutable.ArrayBuffer[Long]) += a
-        }
-        val mag = new scala.collection.mutable.HashMap[Long, Long]()
-        allIds.foreach(id => mag(id) = 1L)
-        var changed = true
-        while (changed) {
-          changed = false
-          allIds.foreach { id =>
-            children.get(id).foreach { cs =>
-              val next = math.max(1L, cs.map(mag).sum)
-              if (next != mag(id)) { mag(id) = next; changed = true }
-            }
-          }
-        }
+    val mags = linkTask(linkIds, cgraph) { (allIds, children, _) =>
+        val mag = shreveFixpoint(allIds, children)
         allIds.iterator.map(id => (id, mag(id)))
       }.toDF("link_id", "magnitude").localCheckpoint(true)
     // trunk: max-(magnitude, -link_id) child of the link's parent; a
@@ -2049,66 +2062,27 @@ object Terrain {
    */
   def hackOrder(grid: DataFrame, threshold: Long,
                 width: Long): DataFrame = {
-    val spark = grid.sparkSession
-    import spark.implicits._
-    val (stream, sedges, indeg) = streamGraph(grid, threshold)
-    val links = linkFromGraph(stream, sedges, indeg, width)
-      .localCheckpoint(true)
-    val cgraph = sedges
-      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
-        Seq("r", "c"))
-      .join(links.select(col("r").as("tr"), col("c").as("tc"),
-        col("link_id").as("parent")), Seq("tr", "tc"))
-      .where(col("child") =!= col("parent"))
-      .select("child", "parent").distinct()
-    val linkIds = links.select("link_id").distinct()
-    linkIds.as[Long].rdd.map(id => (id, Long.MinValue))
-      .union(cgraph.as[(Long, Long)].rdd)
-      .coalesce(1)
-      .mapPartitions { it =>
-        val children = new scala.collection.mutable.HashMap[
-          Long, scala.collection.mutable.ArrayBuffer[Long]]()
-        val parent = new scala.collection.mutable.HashMap[Long, Long]()
-        val allIds = new scala.collection.mutable.ArrayBuffer[Long]
-        it.foreach { case (a, b) =>
-          if (b == Long.MinValue) allIds += a
-          else {
-            children.getOrElseUpdate(b,
-              new scala.collection.mutable.ArrayBuffer[Long]) += a
-            parent(a) = b
+    val (_, cgraph, linkIds, _) = linkGraph(grid, threshold, width)
+    linkTask(linkIds, cgraph) { (allIds, children, parent) =>
+      val mag = shreveFixpoint(allIds, children)
+      // top-down order assignment from the outlets
+      val hack = new scala.collection.mutable.HashMap[Long, Long]()
+      val queue = scala.collection.mutable.Queue[Long]()
+      allIds.filterNot(parent.contains).foreach { id =>
+        hack(id) = 1L; queue.enqueue(id)
+      }
+      while (queue.nonEmpty) {
+        val p = queue.dequeue()
+        children.get(p).foreach { cs =>
+          val trunk = cs.maxBy(c => (mag(c), -c))
+          cs.foreach { c =>
+            hack(c) = if (c == trunk) hack(p) else hack(p) + 1L
+            queue.enqueue(c)
           }
         }
-        // Shreve magnitude fixpoint (as streamMetrics)
-        val mag = new scala.collection.mutable.HashMap[Long, Long]()
-        allIds.foreach(id => mag(id) = 1L)
-        var changed = true
-        while (changed) {
-          changed = false
-          allIds.foreach { id =>
-            children.get(id).foreach { cs =>
-              val next = math.max(1L, cs.map(mag).sum)
-              if (next != mag(id)) { mag(id) = next; changed = true }
-            }
-          }
-        }
-        // top-down order assignment from the outlets
-        val hack = new scala.collection.mutable.HashMap[Long, Long]()
-        val queue = scala.collection.mutable.Queue[Long]()
-        allIds.filterNot(parent.contains).foreach { id =>
-          hack(id) = 1L; queue.enqueue(id)
-        }
-        while (queue.nonEmpty) {
-          val p = queue.dequeue()
-          children.get(p).foreach { cs =>
-            val trunk = cs.maxBy(c => (mag(c), -c))
-            cs.foreach { c =>
-              hack(c) = if (c == trunk) hack(p) else hack(p) + 1L
-              queue.enqueue(c)
-            }
-          }
-        }
-        allIds.iterator.map(id => (id, hack(id)))
-      }.toDF("link_id", "hack")
+      }
+      allIds.iterator.map(id => (id, hack(id)))
+    }.toDF("link_id", "hack")
   }
 
   /**
@@ -2120,16 +2094,7 @@ object Terrain {
    */
   def removeShortStreams(grid: DataFrame, threshold: Long,
                          width: Long, minLenNano: Long): DataFrame = {
-    val (stream, sedges, indeg) = streamGraph(grid, threshold)
-    val links = linkFromGraph(stream, sedges, indeg, width)
-      .localCheckpoint(true)
-    val cgraph = sedges
-      .join(links.select(col("r"), col("c"), col("link_id").as("child")),
-        Seq("r", "c"))
-      .join(links.select(col("r").as("tr"), col("c").as("tc"),
-        col("link_id").as("parent")), Seq("tr", "tc"))
-      .where(col("child") =!= col("parent"))
-      .select("child", "parent").distinct()
+    val (links, cgraph, _, sedges) = linkGraph(grid, threshold, width)
     val interior = cgraph.select(col("parent").as("link_id")).distinct()
       .withColumn("__int", lit(true))
     val lens = polylinesFromLinks(sedges, links)
@@ -3952,6 +3917,93 @@ object Terrain {
     sl.join(asp, Seq("r", "c")).select(col("r"), col("c"),
       round(sin(col("slope_rad")) *
         cos(rel * lit(math.Pi) / lit(180.0)), 6).as("exposure"))
+  }
+
+  /**
+   * TurningBands (StatsTools/TurningBands.java:234-480): a Gaussian
+   * random field as the sum of `numBands` independent filtered 1-D
+   * line processes projected onto the grid along random directions.
+   * The engine variant is SEEDED (the reference uses an unseeded
+   * Random — its own output is unreproducible), with a moving-mean
+   * line filter and linear interpolation at the projection. Band
+   * lines are driver-built (numBands x diagonal doubles — trivially
+   * small) and broadcast; the field evaluation is one map-side pass
+   * over the cells. No SQL oracle (stochastic tool); TurningBandsSpec
+   * checks determinism, seed sensitivity and first moments.
+   */
+  def turningBands(grid: DataFrame, nRows: Long, nCols: Long,
+                   range: Double, numBands: Int, seed: Long): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val diag = math.ceil(math.sqrt(
+      (nRows * nRows + nCols * nCols).toDouble)).toInt + 2
+    val half = math.max(1, (range / 2).toInt)
+    val bands = (0 until numBands).map { b =>
+      val rnd = new scala.util.Random(seed * 7919 + b)
+      val theta = rnd.nextDouble() * math.Pi
+      val raw = Array.fill(diag + 2 * half)(rnd.nextGaussian())
+      // moving-mean filter over 2*half+1 taps
+      val line = Array.tabulate(diag) { j =>
+        var s = 0.0
+        var k = -half
+        while (k <= half) { s += raw(j + half + k); k += 1 }
+        s / (2 * half + 1)
+      }
+      (b, math.cos(theta), math.sin(theta), line)
+    }.toDF("b", "ct", "st", "line")
+    // projection offset keeps indices in [0, diag)
+    val proj = col("c") * col("ct") + col("r") * col("st")
+    val off = lit((diag / 2).toDouble) +
+      proj - lit(nCols / 2.0) * col("ct") - lit(nRows / 2.0) * col("st")
+    val idx = floor(off).cast("int")
+    val frac = off - floor(off)
+    val v1 = element_at(col("line"), idx + 1)
+    val v2 = element_at(col("line"), idx + 2)
+    grid.select(col("r"), col("c")).crossJoin(broadcast(bands))
+      .select(col("r"), col("c"),
+        (v1 + frac * (v2 - v1)).as("contrib"))
+      .groupBy("r", "c")
+      .agg(round(sum(col("contrib")) /
+        sqrt(lit(numBands.toDouble)), 6).as("tb"))
+  }
+
+  /**
+   * StochasticDepressionAnalysis (TerrainAnalysisTools/
+   * StochasticDepressionAnalysis.java): Monte-Carlo pdep — add a
+   * seeded error field (per-cell hash-derived Box-Muller normals,
+   * scale `rmse`) to the DEM, fill depressions, and report the
+   * fraction of iterations each cell sits in a depression. Each
+   * iteration is one tiled priority-flood fill; the per-cell error
+   * is a pure column expression (xxhash64 -> uniform -> normal), so
+   * every iteration is deterministic and distributed. No SQL oracle
+   * (stochastic); spec checks determinism, range, and that true
+   * depressions flood more often than ridges.
+   */
+  def stochasticDepressionAnalysis(grid: DataFrame, nRows: Long,
+                                   nCols: Long, rmse: Double,
+                                   iters: Int, seed: Long): DataFrame = {
+    val spark = grid.sparkSession
+    val masks = (0 until iters).map { it =>
+      val h = xxhash64(col("r"), col("c"), lit(seed + it))
+      val h2 = xxhash64(col("c"), col("r"), lit(seed * 31 + it))
+      val u1 = (pmod(h, lit(1000000007L)).cast("double") + 1.0) /
+        lit(1000000009.0)
+      val u2 = pmod(h2, lit(1000000007L)).cast("double") /
+        lit(1000000007.0)
+      val gauss = sqrt(lit(-2.0) * log(u1)) *
+        cos(lit(2.0 * math.Pi) * u2)
+      val demE = grid.select(col("r"), col("c"),
+        (col("v") + lit(rmse) * gauss).as("v")).localCheckpoint(true)
+      fillDepressions(demE, nRows, nCols)
+        .join(demE, Seq("r", "c"))
+        .where(col("v") < col("filled"))
+        .select(col("r"), col("c"))
+    }
+    val hits = masks.reduce(_ unionByName _)
+      .groupBy("r", "c").agg(count(lit(1)).as("k"))
+    grid.join(hits, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        (coalesce(col("k"), lit(0L)).cast("double") / iters).as("pdep"))
   }
 
   def watershed(grid: DataFrame, width: Long): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -220,6 +220,97 @@ object VectorReshape {
       .groupBy("gid", "i")
       .agg(round(sum(col("nx")) / count(lit(1)), 6).as("sx"),
         round(sum(col("ny")) / count(lit(1)), 6).as("sy"))
+  }
+
+  /**
+   * FindPolygonChains (VectorTools/FindPolygonChains.java:280-470):
+   * elongated polygons (minimum-bounding-box elongation above
+   * `elongThreshold`) expose their two long-axis end points; end
+   * points of DIFFERENT features within `radius` link their
+   * features, and connected groups with at least `minChain` members
+   * are chains. The min-bbox uses the engine's exact edge-projection
+   * method (the geo_min_bounding_box formulation — dot products +
+   * sqrt, so cross-engine pick order is bit-stable) instead of the
+   * reference's 0.5-degree rotation scan; linking is a bounded
+   * proximity join + [[GraphCC]] components (group id = min feature
+   * id). tri: (fid, x0, y0, bx, by, cx, cy) triangle features.
+   */
+  def findPolygonChains(tri: DataFrame, radius: Double, minChain: Int,
+                        elongThreshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verts = tri.select(col("fid"), explode(array(
+        struct(col("x0").as("vx"), col("y0").as("vy")),
+        struct(col("bx").as("vx"), col("by").as("vy")),
+        struct(col("cx").as("vx"), col("cy").as("vy")))).as("v"))
+      .select(col("fid"), col("v.vx").as("vx"), col("v.vy").as("vy"))
+    val mid = verts.groupBy("fid").agg(
+      (min("vx") + (max("vx") - min("vx")) / 2.0).as("midx"),
+      (min("vy") + (max("vy") - min("vy")) / 2.0).as("midy"))
+    val edges = tri.select(col("fid"), explode(array(
+        struct(lit(0).as("eidx"), (col("bx") - col("x0")).as("edx"),
+          (col("by") - col("y0")).as("edy")),
+        struct(lit(1).as("eidx"), (col("cx") - col("bx")).as("edx"),
+          (col("cy") - col("by")).as("edy")),
+        struct(lit(2).as("eidx"), (col("x0") - col("cx")).as("edx"),
+          (col("y0") - col("cy")).as("edy")))).as("e"))
+      .select(col("fid"), col("e.eidx").as("eidx"),
+        col("e.edx").as("edx"), col("e.edy").as("edy"))
+      .withColumn("elen", sqrt(col("edx") * col("edx") +
+        col("edy") * col("edy")))
+      .withColumn("psi", lit(-1.0) * atan2(col("edy"), col("edx")))
+    val rot = edges.join(verts, Seq("fid")).join(mid, Seq("fid"))
+      .select(col("fid"), col("eidx"), col("psi"),
+        (((col("vx") - col("midx")) * col("edx") +
+          (col("vy") - col("midy")) * col("edy")) / col("elen")).as("xr"),
+        (((col("vx") - col("midx")) * (lit(0.0) - col("edy")) +
+          (col("vy") - col("midy")) * col("edx")) / col("elen")).as("yr"))
+    val ext = rot.groupBy("fid", "eidx")
+      .agg(max("psi").as("psi"), min("xr").as("w"), max("xr").as("e"),
+        min("yr").as("n"), max("yr").as("sx"))
+      .select(col("fid"), col("eidx"), col("psi"), col("w"), col("n"),
+        abs(col("e") - col("w")).as("xaxis"),
+        abs(col("sx") - col("n")).as("yaxis"))
+      .withColumn("value", col("xaxis") * col("yaxis"))
+    val wnd = Window.partitionBy("fid")
+      .orderBy("value", "xaxis", "yaxis", "eidx")
+    val best = ext.withColumn("rk", row_number().over(wnd))
+      .where(col("rk") === 1).join(mid, Seq("fid"))
+      .where(lit(1.0) - least(col("xaxis"), col("yaxis")) /
+        greatest(col("xaxis"), col("yaxis")) > elongThreshold)
+      .localCheckpoint(true)
+    // long-axis end points in the rotated frame, rotated back
+    val exr1 = when(col("xaxis") >= col("yaxis"), col("w"))
+      .otherwise(col("w") + col("xaxis") / 2)
+    val eyr1 = when(col("xaxis") >= col("yaxis"),
+      col("n") + col("yaxis") / 2).otherwise(col("n"))
+    val exr2 = when(col("xaxis") >= col("yaxis"),
+      col("w") + col("xaxis")).otherwise(col("w") + col("xaxis") / 2)
+    val eyr2 = when(col("xaxis") >= col("yaxis"),
+      col("n") + col("yaxis") / 2).otherwise(col("n") + col("yaxis"))
+    def world(xr: Column, yr: Column) = Seq(
+      col("midx") + (xr * cos(lit(-1.0) * col("psi")) -
+        yr * sin(lit(-1.0) * col("psi"))),
+      col("midy") + (xr * sin(lit(-1.0) * col("psi")) +
+        yr * cos(lit(-1.0) * col("psi"))))
+    val w1 = world(exr1, eyr1)
+    val w2 = world(exr2, eyr2)
+    val ends = best.select(col("fid"), explode(array(
+        struct(w1(0).as("ex"), w1(1).as("ey")),
+        struct(w2(0).as("ex"), w2(1).as("ey")))).as("p"))
+      .select(col("fid"), col("p.ex").as("ex"), col("p.ey").as("ey"))
+      .localCheckpoint(true)
+    val links = ends.join(ends.select(col("fid").as("f2"),
+        col("ex").as("x2"), col("ey").as("y2")),
+        col("f2") =!= col("fid") &&
+          (col("x2") - col("ex")) * (col("x2") - col("ex")) +
+          (col("y2") - col("ey")) * (col("y2") - col("ey")) <=
+            lit(radius * radius))
+      .select(col("fid").as("a"), col("f2").as("b"))
+    val selfLoops = best.select(col("fid").as("a"), col("fid").as("b"))
+    val comp = GraphCC.label(links.unionByName(selfLoops).distinct())
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("nmem"))
+    comp.join(sizes, Seq("comp")).where(col("nmem") >= minChain)
+      .select(col("node").as("fid"), col("comp").as("group_id"))
   }
 
   /**
