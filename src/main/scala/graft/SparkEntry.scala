@@ -527,16 +527,18 @@ object SparkEntry {
         GridRows, GridCols)),
 
     // TurningBands (StatsTools/TurningBands.java): seeded Gaussian
-    // random field from 16 filtered line processes. Stochastic tool
-    // -> rows-only driver check; StochasticSpec holds the oracle
-    // (determinism, seed sensitivity, moments)
+    // random field from 16 filtered line processes, inlined as
+    // literal band arrays (shuffle-free) — full SQL oracle since r5;
+    // StochasticSpec additionally checks seed sensitivity + moments
     "geo_turning_bands" -> ((s, dir) =>
       operators.Terrain.turningBands(Derived.partGrid(s, dir),
         GridRows, GridCols, range = 6.0, numBands = 16, seed = 42L)),
 
     // StochasticDepressionAnalysis (TerrainAnalysisTools): Monte-
-    // Carlo pdep over 8 seeded error fields. Stochastic -> rows-only
-    // driver check; StochasticSpec asserts the depression contrast
+    // Carlo pdep over 8 seeded error fields (concurrent tiled
+    // fills) — full SQL oracle since r5 (closed-form error field +
+    // one recursive fill CTE per iteration); StochasticSpec
+    // additionally asserts the depression contrast
     "geo_stochastic_dep" -> ((s, dir) =>
       operators.Terrain.stochasticDepressionAnalysis(
         Derived.partGrid(s, dir), GridRows, GridCols,
@@ -1009,6 +1011,26 @@ object SparkEntry {
       operators.Terrain.mdinfEdges(Derived.partGrid(s, dir), hExp = 1.0)
         .select(col("r"), col("c"), col("tr"), col("tc"),
           round(col("w"), 6).as("w"), col("j"))),
+
+    // SIDE_MDInf (GeasyTools/SIDE_MDInf.java): total/right/left-bank
+    // lateral inflow per stream cell — MDInf portions of non-stream
+    // neighbours bank-classified by the FindSide cross-product rules,
+    // caThreshold for D8-steepest stream neighbours; streams + flow
+    // accumulation derived from the same DEM's MDInf accumulation
+    "geo_side_mdinf" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val accum = operators.Terrain.mdinfAccum(g, hExp = 1.0,
+        rounds = 24)
+      val streams = accum.where(col("acc") > 5.0).select("r", "c")
+      operators.Terrain.sideMdinf(g, accum, streams, caThr = 5.0)
+    }),
+
+    // StreamHeadsMDInf (GeasyTools/StreamHeadsMDInf.java): stream
+    // heads under the threshold-switched MDInf accumulation (MDInf
+    // spread at or below caThreshold, capped D8 pass-down above it)
+    "geo_stream_heads_mdinf" -> ((s, dir) =>
+      operators.Terrain.streamHeadsMdinf(Derived.partGrid(s, dir),
+        caThr = 5.0)),
 
     // Rho8 stochastic pointer (FlowPointerRho8.java): D8 with
     // hash-seeded random diagonal scaling 1/(2-u)
@@ -3902,17 +3924,21 @@ object SparkEntry {
          |  FROM g a JOIN g b ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1
          |   AND NOT (a.r = b.r AND a.c = b.c)
          |  GROUP BY a.r, a.c),
-         |mx AS (SELECT CASE WHEN max(abs(v)) <= 9 THEN CAST(0.00001 AS DOUBLE)
-         |  WHEN max(abs(v)) <= 99 THEN CAST(0.0001 AS DOUBLE)
-         |  WHEN max(abs(v)) <= 999 THEN CAST(0.001 AS DOUBLE)
-         |  WHEN max(abs(v)) <= 9999 THEN CAST(0.001 AS DOUBLE)
-         |  WHEN max(abs(v)) <= 99999 THEN CAST(0.01 AS DOUBLE)
+         |mx AS (SELECT CASE WHEN abs(max(v)) <= 9 THEN 9.999999747378752e-06
+         |  WHEN abs(max(v)) <= 99 THEN 9.999999747378752e-05
+         |  WHEN abs(max(v)) <= 999 THEN 1.0000000474974513e-03
+         |  WHEN abs(max(v)) <= 9999 THEN 1.0000000474974513e-03
+         |  WHEN abs(max(v)) <= 99999 THEN 9.999999776482582e-03
          |  ELSE CAST(1.0 AS DOUBLE) END AS asmall FROM g)
          |SELECT g.r, g.c, CASE WHEN nb.lowest IS NOT NULL
          |  AND nb.lowest >= g.v THEN nb.lowest + mx.asmall
          |  ELSE g.v END AS filled
          |FROM g LEFT JOIN nb ON nb.r = g.r AND nb.c = g.c
          |CROSS JOIN mx""".stripMargin,
+
+    "geo_turning_bands" -> turningBandsSql,
+
+    "geo_stochastic_dep" -> stochasticDepSql,
 
     "geo_breach_pits" ->
       s"""WITH g AS ($GRID),
@@ -4320,11 +4346,10 @@ object SparkEntry {
          |  JOIN ws n ON n.r = w.r + o.dy AND n.c = w.c + o.dx
          |    AND n.sink_id = w.sink_id
          |  GROUP BY w.r, w.c)
-         |SELECT g.r, g.c, CASE WHEN ws.sink_id > 0
-         |  THEN g.v + CAST(10.0 AS DOUBLE) ELSE g.v END AS walled
+         |SELECT g.r, g.c, g.v + CAST(10.0 AS DOUBLE) AS walled
          |FROM g JOIN ws ON ws.r = g.r AND ws.c = g.c
          |LEFT JOIN same ON same.r = g.r AND same.c = g.c
-         |WHERE ws.sink_id <= 0 OR COALESCE(same.nsame, 0) < 8""".stripMargin,
+         |WHERE COALESCE(same.nsame, 0) < 8""".stripMargin,
 
     "geo_morph_open" ->
       s"""WITH g AS ($GRID),
@@ -4967,6 +4992,10 @@ object SparkEntry {
       s"""WITH g AS ($GRID),
          |$mdinfSqlCtes
          |SELECT r, c, tr, tc, round(w, 6) AS w, j FROM mdedges""".stripMargin,
+
+    "geo_side_mdinf" -> sideMdinfSql,
+
+    "geo_stream_heads_mdinf" -> streamHeadsSql,
 
     "geo_mass_flux" -> {
       val dy = operators.Terrain.dY
@@ -7210,6 +7239,265 @@ object SparkEntry {
            |    GROUP BY 1) s ON s.link_id = l.link_id)""".stripMargin
     }
     sb.toString
+  }
+
+  /** First-wins D8 steepest-descent direction in the MDINF
+    * neighbour order, over the `mnb` gather of [[mdinfSqlCtes]]
+    * (mirrors Terrain.d8DirMdinf). Yields CTEs `d8s`, `d8m`. */
+  private lazy val d8mSqlCtes: String = {
+    val mdd = Seq(1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0),
+      1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0))
+    def D(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val sls = (0 until 8).map(m =>
+      s"CASE WHEN p$m IS NOT NULL AND v > p$m THEN (v - p$m) / ${D(mdd(m))} END AS sl$m")
+      .mkString(",\n  ")
+    val mx = (0 until 8).map(m =>
+      s"COALESCE(sl$m, CAST('-infinity' AS DOUBLE))")
+      .mkString("GREATEST(", ", ", ")")
+    val dirCase = (0 until 8).map(m =>
+      s"WHEN sl$m IS NOT NULL AND sl$m = mx THEN $m").mkString(" ")
+    s"""d8s AS (SELECT r, c,
+       |  $sls
+       |  FROM mnb),
+       |d8m AS MATERIALIZED (SELECT r, c,
+       |  CASE $dirCase ELSE NULL END AS dir
+       |  FROM (SELECT *, $mx AS mx FROM d8s))""".stripMargin
+  }
+
+  /** StreamHeadsMDInf oracle (mirrors Terrain.streamHeadsMdinf):
+    * merged MDInf + D8-steepest edges, 24 unrolled threshold-switch
+    * Jacobi rounds, then the not-fed-by-a-stream-D8-send head test.
+    * caThr = 5.0. */
+  private lazy val streamHeadsSql: String = {
+    val myd = operators.Terrain.mYd
+    val mxd = operators.Terrain.mXd
+    val trC = (0 until 8).map(i => s"WHEN $i THEN ${myd(i)}")
+      .mkString("CASE dir ", " ", " END")
+    val tcC = (0 until 8).map(i => s"WHEN $i THEN ${mxd(i)}")
+      .mkString("CASE dir ", " ", " END")
+    val T = "5.0e0"
+    val sb = new StringBuilder
+    sb ++= "sh_0 AS (SELECT r, c, CAST(1.0 AS DOUBLE) AS acc FROM g)"
+    val contrib = s"CASE WHEN a.acc <= $T THEN COALESCE(e.wm, 0.0) * a.acc" +
+      s" ELSE (CASE WHEN e.d8 THEN $T ELSE 0.0 END) END"
+    for (i <- 1 to 24) {
+      val ds = (0 until 8).map(j =>
+        s"sum(CASE WHEN e.slot = $j THEN $contrib END) AS d$j")
+        .mkString(", ")
+      val adds = (0 until 8).map(j => s"COALESCE(d$j, 0.0)")
+        .mkString(" + ")
+      sb ++=
+        s""",
+           |shc_$i AS (SELECT e.tr AS r, e.tc AS c, $ds
+           |  FROM she e JOIN sh_${i - 1} a ON a.r = e.r AND a.c = e.c
+           |  GROUP BY 1, 2),
+           |sh_$i AS MATERIALIZED (SELECT g.r, g.c, 1.0 + $adds AS acc
+           |  FROM g LEFT JOIN shc_$i x ON x.r = g.r AND x.c = g.c)"""
+          .stripMargin
+    }
+    s"""WITH g AS ($GRID),
+       |$mdinfSqlCtes,
+       |$d8mSqlCtes,
+       |me AS (SELECT r, c, tr, tc, 7 - j AS slot, w AS wm FROM mdedges),
+       |d8e AS MATERIALIZED (SELECT r, c, r + $trC AS tr, c + $tcC AS tc,
+       |  (dir + 4) % 8 AS slot FROM d8m WHERE dir IS NOT NULL),
+       |she AS MATERIALIZED (SELECT COALESCE(me.r, d.r) AS r,
+       |  COALESCE(me.c, d.c) AS c, COALESCE(me.tr, d.tr) AS tr,
+       |  COALESCE(me.tc, d.tc) AS tc, COALESCE(me.slot, d.slot) AS slot,
+       |  me.wm AS wm, d.r IS NOT NULL AS d8
+       |  FROM me FULL OUTER JOIN d8e d ON me.r = d.r AND me.c = d.c
+       |    AND me.tr = d.tr AND me.tc = d.tc AND me.slot = d.slot),
+       |${sb.toString},
+       |blocked AS (SELECT DISTINCT e.tr AS r, e.tc AS c FROM d8e e
+       |  JOIN sh_24 a ON a.r = e.r AND a.c = e.c WHERE a.acc > $T)
+       |SELECT g.r, g.c, CASE WHEN s.acc > $T AND b.r IS NULL
+       |  THEN 1 ELSE 0 END AS head
+       |FROM g JOIN sh_24 s ON s.r = g.r AND s.c = g.c
+       |LEFT JOIN blocked b ON b.r = g.r AND b.c = g.c""".stripMargin
+  }
+
+  /** SIDE_MDInf oracle (mirrors Terrain.sideMdinf over the DEM's
+    * MDInf accumulation): stream set from mda_24 > 5, per-cell
+    * stream/D8-dir codes gathered over the 8 rays, MDInf edges into
+    * stream cells bank-classified by the flattened FindSide rules,
+    * then the fixed c-order contribution fold. */
+  private lazy val sideMdinfSql: String = {
+    val myd = operators.Terrain.mYd
+    val mxd = operators.Terrain.mXd
+    val T = "5.0e0"
+    val qJoins = (0 until 8).map(m =>
+      s"LEFT JOIN ic q$m ON q$m.r = ic.r + ${myd(m)} AND q$m.c = ic.c + ${mxd(m)}")
+      .mkString("\n")
+    val qCols = (0 until 8).map(m => s"q$m.code AS q$m").mkString(", ")
+    def xOf(d: String) = (0 until 8).map(m =>
+      s"WHEN $m THEN ${mxd(m)}").mkString(s"CASE $d ", " ", " ELSE 0 END")
+    def yOf(d: String) = (0 until 8).map(m =>
+      s"WHEN $m THEN ${myd(m)}").mkString(s"CASE $d ", " ", " ELSE 0 END")
+    val tribs = (0 until 8).map { i =>
+      s"(q$i IS NOT NULL AND q$i >= 16 AND (q$i % 16) = ${(i + 4) % 8}) AS t$i"
+    }.mkString(",\n  ")
+    val svals = (0 until 8).map { i =>
+      val nx = xOf(s"(q$i % 16)"); val ny = yOf(s"(q$i % 16)")
+      s"(CASE WHEN zcpa * (fx * ($ny) - fy * ($nx)) > 0" +
+        s" THEN fx * ($ny) - fy * ($nx) > 0" +
+        s" ELSE s1x * ($ny) - s1y * ($nx) > 0 END) AS s$i"
+    }.mkString(",\n  ")
+    val firsts = (0 until 8).map(i => s"WHEN t$i THEN s$i")
+      .mkString("CASE ", " ", " ELSE NULL END")
+    val hastrib = (0 until 8).map(i => s"t$i").mkString(" OR ")
+    val anydiff = (0 until 8).map(i => s"(t$i AND s$i <> firsts)")
+      .mkString(" OR ")
+    val pivCols = ((0 until 8).map(m =>
+      s"sum(CASE WHEN slot = $m THEN val END) AS mt$m") ++
+      (0 until 8).map(m =>
+        s"sum(CASE WHEN slot = $m THEN rc END) AS mr$m") ++
+      (0 until 8).map(m =>
+        s"sum(CASE WHEN slot = $m THEN lc END) AS ml$m")).mkString(",\n  ")
+    def fold(base: String, pfx: String, d8c: String) =
+      (0 until 8).foldLeft(base) { (acc, m) =>
+        s"($acc + (CASE WHEN gq.q$m IS NOT NULL AND gq.q$m >= 16 AND " +
+          s"(gq.q$m % 16) = ${(m + 4) % 8} THEN $d8c " +
+          s"ELSE COALESCE(piv.mt_REPL$m, 0.0) END))"
+            .replace("mt_REPL", pfx)
+      }
+    s"""WITH g AS ($GRID),
+       |$mdinfSqlCtes,
+       |${accumSqlCtes(24, "mdedges", "mda")},
+       |strm AS MATERIALIZED (SELECT r, c FROM mda_24 WHERE acc > $T),
+       |$d8mSqlCtes,
+       |ic AS MATERIALIZED (SELECT d.r, d.c, COALESCE(d.dir, 8) +
+       |  (CASE WHEN s.r IS NOT NULL THEN 16 ELSE 0 END) AS code
+       |  FROM d8m d LEFT JOIN strm s ON s.r = d.r AND s.c = d.c),
+       |gq AS MATERIALIZED (SELECT ic.r, ic.c, ic.code, $qCols
+       |  FROM ic
+       |$qJoins),
+       |sedg AS (SELECT e.r, e.c, e.tr, e.tc, 7 - e.j AS slot,
+       |  a.acc * e.w AS val
+       |  FROM mdedges e
+       |  JOIN strm ts ON ts.r = e.tr AND ts.c = e.tc
+       |  LEFT JOIN strm ss ON ss.r = e.r AND ss.c = e.c
+       |  JOIN mda_24 a ON a.r = e.r AND a.c = e.c
+       |  WHERE ss.r IS NULL),
+       |sd0 AS (SELECT e.tr, e.tc, e.slot, e.val, t.code AS scode,
+       |  t.q0, t.q1, t.q2, t.q3, t.q4, t.q5, t.q6, t.q7,
+       |  e.tc - e.c AS fx, e.tr - e.r AS fy
+       |  FROM sedg e JOIN gq t ON t.r = e.tr AND t.c = e.tc),
+       |sd1 AS (SELECT *, ${xOf("(scode % 16)")} AS s1x,
+       |  ${yOf("(scode % 16)")} AS s1y FROM sd0),
+       |sd2 AS (SELECT *,
+       |  ((scode % 16) = 8) OR (s1x = -fx AND s1y = -fy) AS skip,
+       |  fx * s1y - fy * s1x AS zcpa FROM sd1),
+       |sd3 AS (SELECT *,
+       |  $tribs,
+       |  $svals
+       |  FROM sd2),
+       |sd4 AS (SELECT *, $firsts AS firsts, ($hastrib) AS hastrib
+       |  FROM sd3),
+       |sd5 AS (SELECT *, ($anydiff) AS anydiff FROM sd4),
+       |sd6 AS (SELECT tr, tc, slot, val,
+       |  CASE WHEN rc_side = 0 THEN val WHEN rc_side = 2 THEN val / 2
+       |    ELSE 0.0 END AS rc,
+       |  CASE WHEN rc_side = 1 THEN val WHEN rc_side = 2 THEN val / 2
+       |    ELSE 0.0 END AS lc
+       |  FROM (SELECT *, CASE WHEN skip OR NOT hastrib OR anydiff
+       |    THEN 2 WHEN firsts THEN 0 ELSE 1 END AS rc_side FROM sd5)),
+       |piv AS MATERIALIZED (SELECT tr AS r, tc AS c,
+       |  $pivCols
+       |  FROM sd6 GROUP BY 1, 2),
+       |scells AS (SELECT gq.r, gq.c,
+       |  round(${fold("-4.0e0", "mt", T)}, 6) AS fa_total,
+       |  round(${fold("-2.0e0", "mr", "2.5e0")}, 6) AS fa_right,
+       |  round(${fold("-2.0e0", "ml", "2.5e0")}, 6) AS fa_left
+       |  FROM gq LEFT JOIN piv ON piv.r = gq.r AND piv.c = gq.c
+       |  WHERE gq.code >= 16)
+       |SELECT g.r, g.c, COALESCE(s.fa_total, 0.0) AS fa_total,
+       |  COALESCE(s.fa_right, 0.0) AS fa_right,
+       |  COALESCE(s.fa_left, 0.0) AS fa_left
+       |FROM g LEFT JOIN scells s ON s.r = g.r AND s.c = g.c"""
+      .stripMargin
+  }
+
+  /** TurningBands oracle: the seeded band lines are driver-built by
+    * the SAME Terrain.turningBandLines call the operator uses,
+    * inlined as DuckDB list literals; the projection, interpolation
+    * and fixed band-order fold replay the operator's column tree
+    * term by term (every double printed with the e0 suffix so DuckDB
+    * parses it as DOUBLE, not DECIMAL). */
+  private lazy val turningBandsSql: String = {
+    def D(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val (diag, bands) = operators.Terrain.turningBandLines(
+      GridRows, GridCols, range = 6.0, numBands = 16, seed = 42L)
+    val offs = bands.zipWithIndex.map { case ((ct, st, _), b) =>
+      val d0 = (diag / 2).toDouble
+      val k1 = GridCols / 2.0 * ct
+      val k2 = GridRows / 2.0 * st
+      s"((${D(d0)} + (c * ${D(ct)} + r * ${D(st)})) - ${D(k1)}) - " +
+        s"${D(k2)} AS off$b"
+    }.mkString(",\n  ")
+    val terms = bands.zipWithIndex.map { case ((_, _, line), b) =>
+      val l = line.map(D).mkString("[", ", ", "]")
+      val idx = s"CAST(floor(off$b) AS INTEGER)"
+      s"(list_extract($l, $idx + 1) + (off$b - floor(off$b)) * " +
+        s"(list_extract($l, $idx + 2) - list_extract($l, $idx + 1)))"
+    }.mkString("(", "\n  + ", ")")
+    s"""WITH g AS ($GRID),
+       |tb1 AS (SELECT r, c,
+       |  $offs
+       |  FROM g)
+       |SELECT r, c, round($terms / sqrt(16.0e0), 6) AS tb FROM tb1"""
+      .stripMargin
+  }
+
+  /** StochasticDepressionAnalysis oracle: one closed-form error
+    * field (squared-mix modular hash -> Box-Muller) plus one
+    * recursive spill-path fill CTE per Monte-Carlo iteration —
+    * the same integer/IEEE ops the operator's column expressions
+    * run, with the fill replayed by the geo_fill_depressions
+    * min-over-paths-of-max recursion (bitwise-exact because the
+    * fill itself only takes minima/maxima of existing values). */
+  private lazy val stochasticDepSql: String = {
+    val seed = 7L; val iters = 8
+    val p = 1000000007L
+    val parts = (0 until iters).map { it =>
+      val k1 = (seed + it) * 15485863L
+      val k2 = (seed * 31 + it) * 15485867L
+      s"""h$it AS (SELECT r, c, v,
+         |  (r * 7919 + c * 104729 + $k1) % $p AS h1,
+         |  (r * 104729 + c * 7919 + $k2) % $p AS h2 FROM g),
+         |d$it AS (SELECT r, c, v + 2.0e0 * (sqrt(-2.0e0 *
+         |  ln((CAST((h1 * h1) % $p AS DOUBLE) + 1.0e0) /
+         |      CAST(1000000009 AS DOUBLE))) *
+         |  cos(6.283185307179586e0 * (CAST((h2 * h2) % $p AS DOUBLE) /
+         |      CAST(1000000007 AS DOUBLE)))) AS v FROM h$it),
+         |reach$it(r, c, lvl) AS (
+         |  SELECT r, c, v FROM d$it
+         |  WHERE r = 0 OR r = ${GridRows - 1} OR c = 0 OR c = ${GridCols - 1}
+         |  UNION
+         |  SELECT d.r, d.c, GREATEST(d.v, rch.lvl)
+         |  FROM reach$it rch JOIN d$it d
+         |    ON abs(d.r - rch.r) <= 1 AND abs(d.c - rch.c) <= 1
+         |   AND NOT (d.r = rch.r AND d.c = rch.c)),
+         |f$it AS (SELECT r, c, min(lvl) AS filled FROM reach$it
+         |  GROUP BY r, c),
+         |m$it AS (SELECT d.r, d.c FROM f$it f JOIN d$it d
+         |  ON d.r = f.r AND d.c = f.c WHERE d.v < f.filled)"""
+        .stripMargin
+    }.mkString(",\n")
+    val un = (0 until iters).map(it => s"SELECT * FROM m$it")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE g AS ($GRID),
+       |$parts,
+       |hits AS (SELECT r, c, count(*) AS k FROM (
+       |  $un) GROUP BY r, c)
+       |SELECT g.r, g.c, CAST(COALESCE(hits.k, 0) AS DOUBLE) / 8 AS pdep
+       |FROM g LEFT JOIN hits ON hits.r = g.r AND hits.c = g.c"""
+      .stripMargin
   }
 
   /** Unrolled Strahler iteration chain (mirrors Terrain.strahlerOrder). */

@@ -27,10 +27,16 @@ object CacheReaper {
   def reapExcept(spark: SparkSession, keep: Set[Int],
                  blocking: Boolean = true, gc: Boolean = false): Unit = {
     // Memo entries (shared cross-query intermediates) are spared: the
-    // whole point of the memo is surviving the per-query reap.
-    val keepAll = keep ++ Memo.protectedIds
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!keepAll.contains(id)) rdd.unpersist(blocking = blocking)
+    // whole point of the memo is surviving the per-query reap. The
+    // snapshot-and-unpersist runs under Memo.lock so a reap can never
+    // interleave between a memo entry's eager checkpoint and its
+    // registration (which would strand lineage-truncated frames with
+    // their blocks gone).
+    Memo.lock.synchronized {
+      val keepAll = keep ++ Memo.protectedSet
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepAll.contains(id)) rdd.unpersist(blocking = blocking)
+      }
     }
     // Shuffle FILES outlive the unpersist: they are deleted by the
     // ContextCleaner only after the shuffle dependency is GC'd. With

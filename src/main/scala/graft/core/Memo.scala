@@ -1,7 +1,5 @@
 package graft.core
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -17,20 +15,38 @@ import org.apache.spark.sql.DataFrame
  * frame is an eagerly materialized localCheckpoint, bit-identical to
  * a recompute.
  *
- * Entries register their backing block ids in [[protectedIds]], which
- * [[CacheReaper.reapExcept]] spares; a reaped/lost entry fails the
- * liveness check and is rebuilt transparently.
+ * Entries register the block ids of the RETURNED checkpointed frames
+ * only (NOT every checkpoint created while the builder ran — interior
+ * per-round checkpoints are transient and must stay reapable), and
+ * the table is LRU-capped: a session that keeps minting one-off keys
+ * (fresh LogicalRDD inputs that can never recur) churns through the
+ * cap instead of pinning blocks forever. [[CacheReaper.reapExcept]]
+ * and registration share one lock, so a reap can never race between
+ * an entry's eager checkpoint and its protection.
  */
 object Memo {
 
   private case class Entry(dfs: Seq[DataFrame], ids: Set[Int])
 
-  private val cache = TrieMap.empty[String, Entry]
+  /** Insertion/access-ordered for LRU eviction. */
+  private val cache =
+    scala.collection.mutable.LinkedHashMap.empty[String, Entry]
 
-  /** Block-manager RDD ids backing live memo entries (reaper keep-set). */
-  @volatile private var protectedSet: Set[Int] = Set.empty
+  /** Entries beyond this are evicted least-recently-used. Sized for
+    * the real reuse set (flow-accum + stream graph + fill per DEM,
+    * a handful of DEMs per session); one-off keys churn the tail
+    * without evicting the hot head. */
+  private val maxEntries = 32
 
-  def protectedIds: Set[Int] = protectedSet
+  /** Shared with [[CacheReaper]]: registration, protection reads and
+    * reaping serialize on this one lock. */
+  private[core] val lock = new Object
+
+  /** Block-manager RDD ids backing live memo entries (reaper
+    * keep-set). Call only while holding [[lock]]. */
+  private[core] var protectedSet: Set[Int] = Set.empty
+
+  def protectedIds: Set[Int] = lock.synchronized(protectedSet)
 
   /** Key = session identity + semantic hash of the input plan + tag:
     * two calls with the same source data and parameters share one
@@ -44,24 +60,39 @@ object Memo {
     * outputs are eagerly checkpointed; a later call with the same key
     * returns the materialized frames without recompute. */
   def cachedSeq(k: String, spark: org.apache.spark.sql.SparkSession)
-               (build: => Seq[DataFrame]): Seq[DataFrame] = synchronized {
-    cache.get(k) match {
-      case Some(e) if e.ids.forall(
-          spark.sparkContext.getPersistentRDDs.contains) =>
-        return e.dfs
-      case Some(e) =>
-        // partially reaped (external unpersist): drop and rebuild
-        protectedSet = protectedSet -- e.ids
-        cache.remove(k)
-      case None =>
+               (build: => Seq[DataFrame]): Seq[DataFrame] =
+    lock.synchronized {
+      cache.get(k) match {
+        case Some(e) if e.ids.forall(
+            spark.sparkContext.getPersistentRDDs.contains) =>
+          // LRU touch: move to the tail (most recently used)
+          cache.remove(k); cache.put(k, e)
+          return e.dfs
+        case Some(e) =>
+          // partially reaped (external unpersist): drop and rebuild
+          protectedSet = protectedSet -- e.ids
+          cache.remove(k)
+        case None =>
+      }
+      // run the builder FIRST: its interior checkpoints (per-round
+      // lineage truncation) are transient and stay reapable; only the
+      // final eager checkpoints of the returned frames are protected
+      val built = build
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val dfs = built.map(_.localCheckpoint(eager = true))
+      val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      protectedSet = protectedSet ++ ids
+      cache.put(k, Entry(dfs, ids))
+      while (cache.size > maxEntries) {
+        val (oldK, oldE) = cache.head
+        cache.remove(oldK)
+        protectedSet = protectedSet -- oldE.ids
+        oldE.ids.foreach(id =>
+          spark.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
+      }
+      dfs
     }
-    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val dfs = build.map(_.localCheckpoint(eager = true))
-    val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
-    protectedSet = protectedSet ++ ids
-    cache.put(k, Entry(dfs, ids))
-    dfs
-  }
 
   def cached(k: String, spark: org.apache.spark.sql.SparkSession)
             (build: => DataFrame): DataFrame =

@@ -1199,6 +1199,307 @@ object Terrain {
                  rounds: Int = 24): DataFrame =
     weightedAccum(mdinfEdges(grid, hExp), grid, rounds)
 
+  /** D8 steepest-descent direction in the MDINF neighbour order
+    * (m = 0 north, west-about): first-wins argmax of
+    * (z - z_m)/dd_m over strictly-lower present neighbours, null
+    * when the cell has none — the shared D8FlowDirection of
+    * SIDE_MDInf.java:728-753 and StreamHeadsMDInf.java:497-522
+    * (their MIN_VALUE vs NEGATIVE_INFINITY seeds are equivalent for
+    * the always-positive downhill slopes). */
+  private[graft] def d8DirMdinf(grid: DataFrame): DataFrame = {
+    val nb = gatherNeighbors(grid).select(
+      col("r") +: col("c") +: col("v") +:
+        (0 until 8).map(m => col(s"n${7 - m}").as(s"p$m")): _*)
+    def sl(m: Int) = when(col(s"p$m").isNotNull && col("v") > col(s"p$m"),
+      (col("v") - col(s"p$m")) / lit(mDd(m)))
+    val withS = nb.select(col("r") +: col("c") +:
+      (0 until 8).map(m => sl(m).as(s"sl$m")): _*)
+      .withColumn("__mx", greatest((0 until 8).map(m =>
+        coalesce(col(s"sl$m"), lit(Double.NegativeInfinity))): _*))
+    val dir = (0 until 8).reverse.foldLeft(lit(null).cast("int")) {
+      (acc, m) =>
+        when(col(s"sl$m").isNotNull && col(s"sl$m") === col("__mx"),
+          lit(m)).otherwise(acc)
+    }
+    withS.select(col("r"), col("c"), dir.as("dir"))
+  }
+
+  /** x/y components of the MDINF ray for a direction column. */
+  private def mXdOf(dir: Column): Column =
+    (0 until 8).foldLeft(lit(0)) { (acc, m) =>
+      when(dir === m, lit(mXd(m))).otherwise(acc) }
+  private def mYdOf(dir: Column): Column =
+    (0 until 8).foldLeft(lit(0)) { (acc, m) =>
+      when(dir === m, lit(mYd(m))).otherwise(acc) }
+
+  /**
+   * SIDE_MDInf (GeasyTools/src/plugins/SIDE_MDInf.java:180-560): for
+   * every stream cell, the total / right-bank / left-bank lateral
+   * inflow. Each stream cell starts at initialValue - caThreshold
+   * (split half/half); a NON-stream neighbour contributes its input
+   * flow-accumulation times its MDInf portion toward the stream cell
+   * (the same Seibert & McGlynn facet apportioning as
+   * [[mdinfEdges]]), bank-classified by FindSide (SIDE_MDInf.java:
+   * 558-700: integer cross products of the flow-line vector against
+   * the stream cell's D8 direction and its upstream tributaries'
+   * directions, with the sharp-bend and junction-between-tributaries
+   * rules); a STREAM neighbour whose D8 steepest descent is the
+   * stream cell contributes caThreshold, split half/half.
+   * Contributions fold in the reference's fixed neighbour order
+   * (c = 0..7 west-about), so the float sums are order-exact.
+   *
+   * Everything is a bounded-stencil relational pass — the tool is
+   * NOT sequential (the input flow accumulation is a separate input,
+   * SIDE_MDInf.java:348) — so it distributes like any focal op.
+   * Output covers every grid cell (non-stream cells are 0, loop 1).
+   */
+  def sideMdinf(grid: DataFrame, flowAccum: DataFrame,
+                streams: DataFrame, caThr: Double,
+                hExp: Double = 1.0): DataFrame = {
+    val st = streams.select(col("r"), col("c")).localCheckpoint(true)
+    // per-cell info code: 16*isStream + D8 dir (8 = no downslope)
+    val info = d8DirMdinf(grid)
+      .join(st.withColumn("__s", lit(1)), Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        (coalesce(col("dir"), lit(8)) +
+          when(col("__s").isNotNull, lit(16)).otherwise(lit(0)))
+          .cast("double").as("v"))
+    val gath = gatherNeighbors(info).select(
+      col("r") +: col("c") +: col("v").cast("int").as("code") +:
+        (0 until 8).map(m => col(s"n${7 - m}").cast("int").as(s"q$m")): _*)
+      .localCheckpoint(true)
+    // MDInf edges from non-stream sources into stream targets, with
+    // the source's input flow accumulation
+    val edges = mdinfEdges(grid, hExp)
+      .join(st.select(col("r").as("tr"), col("c").as("tc"),
+        lit(1).as("__ts")), Seq("tr", "tc"))
+      .join(st.withColumn("__ss", lit(1)), Seq("r", "c"), "left")
+      .where(col("__ss").isNull)
+      .join(flowAccum.select(col("r"), col("c"), col("acc")),
+        Seq("r", "c"))
+      .select(col("r"), col("c"), col("tr"), col("tc"),
+        // mdinf slot of the source seen from the target = 7 - repo j
+        (lit(7) - col("j")).as("slot"),
+        (col("acc") * col("w")).as("val"))
+    // FindSide per edge: flow-line vector F->S from the offsets,
+    // stream cell's own D8 vector, then the 8-step tributary fold
+    val e2 = edges.join(gath.select(
+      Seq(col("r").as("tr"), col("c").as("tc"),
+        col("code").as("scode")) ++
+        (0 until 8).map(m => col(s"q$m").as(s"sq$m")): _*),
+      Seq("tr", "tc"))
+    val fx = (col("tc") - col("c")).cast("int")
+    val fy = (col("tr") - col("r")).cast("int")
+    val s1d = col("scode") % 16
+    val s1x = mXdOf(s1d); val s1y = mYdOf(s1d)
+    // sp ~ -1 iff the stream direction is exactly antiparallel to
+    // the flow line (the only value of the discrete vector dot
+    // within the reference's 1e-5 band of -1)
+    val skip = s1d === 8 || (s1x === -fx && s1y === -fy)
+    val zcpA = fx * s1y - fy * s1x
+    // The reference's 8-step state machine (INIT -> SIDED(s) on the
+    // first tributary; SIDED(r) absorbs equal sides and jumps to
+    // BOTH on the first disagreement, where it stays) reduces to a
+    // FLAT form — no tributary -> UNKNOWN; any tributary whose side
+    // differs from the first's -> UNKNOWN; else the first's side —
+    // which keeps the expression tree linear (the literal fold
+    // nested the state 4x per step: 4^8 CASE nodes, an optimizer
+    // OOM at plan time).
+    def isTrib(i: Int) = {
+      val q = col(s"sq$i")
+      q.isNotNull && q >= 16 && (q % 16) === ((i + 4) % 8)
+    }
+    def sRight(i: Int) = {
+      val nd = col(s"sq$i") % 16
+      val nx = mXdOf(nd); val ny = mYdOf(nd)
+      val zcpB = fx * ny - fy * nx
+      val zcpC = s1x * ny - s1y * nx
+      when(zcpA * zcpB > 0, zcpB > 0).otherwise(zcpC > 0)
+    }
+    val hasTrib = (0 until 8).map(isTrib).reduce(_ || _)
+    val firstS = (0 until 8).reverse
+      .foldLeft(lit(null).cast("boolean")) { (acc, i) =>
+        when(isTrib(i), sRight(i)).otherwise(acc)
+      }
+    val anyDiff = (0 until 8)
+      .map(i => isTrib(i) && sRight(i) =!= firstS).reduce(_ || _)
+    // side: 0 = RIGHT, 1 = LEFT, 2 = UNKNOWN (split half/half)
+    val side = when(skip || !hasTrib || anyDiff, lit(2))
+      .when(firstS, lit(0))
+      .otherwise(lit(1))
+    val withSide = e2.select(col("tr").as("r"), col("tc").as("c"),
+      col("slot"), col("val"),
+      when(side === 0, col("val"))
+        .when(side === 2, col("val") / 2).otherwise(lit(0.0)).as("rc"),
+      when(side === 1, col("val"))
+        .when(side === 2, col("val") / 2).otherwise(lit(0.0)).as("lc"))
+    val piv = withSide.groupBy("r", "c").agg(
+      sum(when(col("slot") === 0, col("val"))).as("mt0"),
+      ((1 until 8).map(m =>
+        sum(when(col("slot") === m, col("val"))).as(s"mt$m")) ++
+        (0 until 8).map(m =>
+          sum(when(col("slot") === m, col("rc"))).as(s"mr$m")) ++
+        (0 until 8).map(m =>
+          sum(when(col("slot") === m, col("lc"))).as(s"ml$m"))): _*)
+    def d8slot(m: Int) = {
+      val q = col(s"q$m")
+      q.isNotNull && q >= 16 && (q % 16) === ((m + 4) % 8)
+    }
+    def fold(base: Double, pfx: String, d8c: Double) =
+      (0 until 8).foldLeft(lit(base)) { (acc, m) =>
+        acc + when(d8slot(m), lit(d8c))
+          .otherwise(coalesce(col(s"$pfx$m"), lit(0.0)))
+      }
+    val sCells = gath.where(col("code") >= 16)
+      .join(piv, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        round(fold(1.0 - caThr, "mt", caThr), 6).as("fa_total"),
+        round(fold((1.0 - caThr) / 2, "mr", caThr / 2), 6)
+          .as("fa_right"),
+        round(fold((1.0 - caThr) / 2, "ml", caThr / 2), 6)
+          .as("fa_left"))
+    grid.select(col("r"), col("c")).join(sCells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        coalesce(col("fa_total"), lit(0.0)).as("fa_total"),
+        coalesce(col("fa_right"), lit(0.0)).as("fa_right"),
+        coalesce(col("fa_left"), lit(0.0)).as("fa_left"))
+  }
+
+  /** One-task mirror of [[streamHeadsMdinf]]'s Jacobi rounds —
+    * identical per-slot fold in identical order (see
+    * [[weightedAccumLocal]] for the bit-exactness rationale). */
+  private def thresholdAccumLocal(edges: DataFrame, base: DataFrame,
+                                  caThr: Double, rounds: Int)
+      : DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val tagged = base
+      .select(col("r"), col("c"), lit(0L).as("tr"), lit(0L).as("tc"),
+        lit(0.0).as("wm"), lit(false).as("d8"),
+        lit(-1).cast("int").as("slot"))
+      .unionByName(edges.select(col("r"), col("c"), col("tr"),
+        col("tc"), coalesce(col("wm"), lit(0.0)).as("wm"), col("d8"),
+        col("slot").cast("int").as("slot")))
+      .as[(Long, Long, Long, Long, Double, Boolean, Int)]
+    tagged.coalesce(1).mapPartitions { it =>
+      val rows = it.toArray
+      val cells = rows.filter(_._7 == -1).map(t => (t._1, t._2))
+      val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]
+      cells.zipWithIndex.foreach { case (k, i) => idx(k) = i }
+      val n = cells.length
+      val inSrc = Array.fill(n, 8)(-1)
+      val inW = Array.ofDim[Double](n, 8)
+      val inD8 = Array.ofDim[Boolean](n, 8)
+      rows.foreach {
+        case (r, c, tr, tc, wm, d8, j) if j >= 0 =>
+          val t = idx((tr, tc))
+          require(inSrc(t)(j) == -1, s"duplicate edge slot ($tr,$tc,$j)")
+          inSrc(t)(j) = idx((r, c)); inW(t)(j) = wm; inD8(t)(j) = d8
+        case _ =>
+      }
+      var acc = Array.fill(n)(1.0)
+      for (_ <- 1 to rounds) {
+        val nxt = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 1.0
+          var j = 0
+          while (j < 8) {
+            if (inSrc(i)(j) >= 0) {
+              val a = acc(inSrc(i)(j))
+              s += (if (a <= caThr) inW(i)(j) * a
+                    else if (inD8(i)(j)) caThr else 0.0)
+            } else s += 0.0
+            j += 1
+          }
+          nxt(i) = s
+          i += 1
+        }
+        acc = nxt
+      }
+      cells.indices.iterator.map(i => (cells(i)._1, cells(i)._2, acc(i)))
+    }.toDF("r", "c", "acc")
+  }
+
+  /**
+   * StreamHeadsMDInf (GeasyTools/src/plugins/StreamHeadsMDInf.java:
+   * 253-540): find stream heads under the MDInf accumulation with
+   * the reference's threshold switch — a cell at or below
+   * caThreshold spreads its accumulated area over the MDInf facet
+   * portions; a cell ABOVE it is a stream cell whose area resets to
+   * caThreshold and flows only to its D8 steepest-descent neighbour
+   * (which thereby also becomes a stream cell and, having received
+   * stream water, can never be a head). Heads are the stream cells
+   * no other stream cell's D8 send reaches.
+   *
+   * Same synchronous-Jacobi execution as [[weightedAccum]] (the
+   * topological process order of the reference is reproduced by
+   * `rounds` >= the DAG depth; the per-slot fixed-order fold makes
+   * every round bit-exact against the unrolled SQL oracle), with the
+   * one-task mirror below [[localFixpointMaxRows]] and one shuffle
+   * of the cell relation per round above it.
+   */
+  def streamHeadsMdinf(grid: DataFrame, caThr: Double,
+                       hExp: Double = 1.0, rounds: Int = 24)
+      : DataFrame = {
+    val em = mdinfEdges(grid, hExp)
+      .select(col("r"), col("c"), col("tr"), col("tc"),
+        (lit(7) - col("j")).cast("int").as("slot"), col("w").as("wm"))
+    val ed = d8DirMdinf(grid).where(col("dir").isNotNull)
+      .select(col("r"), col("c"),
+        (col("r") + mYdOf(col("dir"))).as("tr"),
+        (col("c") + mXdOf(col("dir"))).as("tc"),
+        ((col("dir") + 4) % 8).cast("int").as("slot"))
+      .localCheckpoint(true)
+    // merge: one edge row per (source, target) carrying both the
+    // MDInf portion (if any) and the D8-steepest flag (if any) —
+    // the threshold on the source's value selects which one sends
+    val edges = em
+      .join(ed.withColumn("__d8", lit(true)),
+        Seq("r", "c", "tr", "tc", "slot"), "full_outer")
+      .select(col("r"), col("c"), col("tr"), col("tc"), col("slot"),
+        col("wm"), coalesce(col("__d8"), lit(false)).as("d8"))
+      .localCheckpoint(true)
+    val base = grid.select(col("r"), col("c")).localCheckpoint(true)
+    val acc =
+      if (base.count() <= localFixpointMaxRows)
+        thresholdAccumLocal(edges, base, caThr, rounds)
+      else {
+        var a = base.withColumn("acc", lit(1.0))
+        for (i <- 1 to rounds) {
+          val contribExpr =
+            when(col("__a") <= caThr,
+              coalesce(col("wm"), lit(0.0)) * col("__a"))
+              .otherwise(when(col("d8"), lit(caThr)).otherwise(lit(0.0)))
+          val contrib = edges
+            .join(a.select(col("r"), col("c"), col("acc").as("__a")),
+              Seq("r", "c"))
+            .groupBy(col("tr").as("r"), col("tc").as("c"))
+            .agg(sum(when(col("slot") === 0, contribExpr)).as("d0"),
+              (1 until 8).map(j =>
+                sum(when(col("slot") === j, contribExpr)).as(s"d$j")): _*)
+          a = base.join(contrib, Seq("r", "c"), "left")
+            .select(col("r"), col("c"),
+              (0 until 8).foldLeft(lit(1.0)) { (s, j) =>
+                s + coalesce(col(s"d$j"), lit(0.0))
+              }.as("acc"))
+          if (i % 2 == 0 && i < rounds) a = a.localCheckpoint(true)
+        }
+        a
+      }
+    // head = stream cell (acc > T) not fed by any stream cell's D8
+    // send (the reference's output=0 mark, StreamHeadsMDInf.java:525)
+    val blocked = ed
+      .join(acc.select(col("r"), col("c"), col("acc").as("__sa")),
+        Seq("r", "c"))
+      .where(col("__sa") > caThr)
+      .select(col("tr").as("r"), col("tc").as("c")).distinct()
+    acc.join(blocked.withColumn("__b", lit(1)), Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        when(col("acc") > caThr && col("__b").isNull, lit(1))
+          .otherwise(lit(0)).as("head"))
+  }
+
   /**
    * DirectionalRelief for the east azimuth (TerrainAnalysisTools/
    * DirectionalRelief.java:337-392): mean elevation of every cell in
@@ -2820,10 +3121,13 @@ object Terrain {
    * diameter of spill paths, not their cell length.
    */
   def fillDepressions(grid: DataFrame, nRows: Long, nCols: Long,
-                      tileSize: Int = 16): DataFrame =
-    graft.core.Memo.cached(
-      graft.core.Memo.key(grid, s"fillDepressions:$nRows:$nCols:$tileSize"),
-      grid.sparkSession) { fillDepressionsImpl(grid, nRows, nCols, tileSize) }
+                      tileSize: Int = 16,
+                      memoize: Boolean = true): DataFrame =
+    if (memoize)
+      graft.core.Memo.cached(
+        graft.core.Memo.key(grid, s"fillDepressions:$nRows:$nCols:$tileSize"),
+        grid.sparkSession) { fillDepressionsImpl(grid, nRows, nCols, tileSize) }
+    else fillDepressionsImpl(grid, nRows, nCols, tileSize)
 
   private def fillDepressionsImpl(grid: DataFrame, nRows: Long, nCols: Long,
                                   tileSize: Int): DataFrame = {
@@ -3201,14 +3505,20 @@ object Terrain {
       .select((col("r") + col("dr")).as("r"),
         (col("c") + col("dc")).as("c"), col("v").as("nv"))
       .groupBy("r", "c").agg(min(col("nv")).as("lowest"))
-    val aSmall = when(col("zmax") <= 9, lit(0.00001))
-      .when(col("zmax") <= 99, lit(0.0001))
-      .when(col("zmax") <= 999, lit(0.001))
-      .when(col("zmax") <= 9999, lit(0.001))
-      .when(col("zmax") <= 99999, lit(0.01))
+    // the reference assigns FLOAT literals to a double field
+    // (FillPits.java:189-201), so the engine carries the widened
+    // float values, e.g. (double) 0.00001F = 9.999999747378752e-06
+    val aSmall = when(col("zmax") <= 9, lit(0.00001f.toDouble))
+      .when(col("zmax") <= 99, lit(0.0001f.toDouble))
+      .when(col("zmax") <= 999, lit(0.001f.toDouble))
+      .when(col("zmax") <= 9999, lit(0.001f.toDouble))
+      .when(col("zmax") <= 99999, lit(0.01f.toDouble))
       .otherwise(lit(1.0))
+    // abs(max(v)), NOT max(abs(v)): the reference buckets on
+    // Math.abs(DEM.getMaximumValue()) (FillPits.java:187), so an
+    // all-negative DEM buckets on |max|, not |min| (ADVICE r4)
     grid.join(nbrs, Seq("r", "c"), "left")
-      .crossJoin(broadcast(grid.agg(max(abs(col("v"))).as("zmax"))))
+      .crossJoin(broadcast(grid.agg(abs(max(col("v"))).as("zmax"))))
       .select(col("r"), col("c"),
         when(col("lowest").isNotNull && col("lowest") >= col("v"),
           col("lowest") + aSmall).otherwise(col("v")).as("filled"))
@@ -3399,11 +3709,20 @@ object Terrain {
    * own recommendation is tile-wise processing (FastBreach-
    * Depressions.groovy), which composes with the engine's tile
    * machinery if ever needed above the bound. aSmallValue buckets
-   * per BreachDepressions.java:272-287 (float literals carried as
-   * doubles); maxCost unset (the "not specified" arm).
+   * per BreachDepressions.java:272-287 — the reference assigns FLOAT
+   * literals to a double (so e.g. (double) 0.001F =
+   * 1.0000000474974513e-03, carried verbatim, including the
+   * reference's duplicated 0.001 bucket for z<=999 and z<=9999).
+   * `maxCost` mirrors BreachDepressions.java:290-292/459-484: when
+   * finite, cells whose elevation-excess cost exceeds it become
+   * barriers, and a least-cost path that is forced through a barrier
+   * leaves the pit uncarved (numUnsolvedCells); infinity selects the
+   * reference's "not specified" arm.
    */
   def breachDepressions(grid: DataFrame, nRows: Long, nCols: Long,
-                        maxDist: Int = 5): DataFrame = {
+                        maxDist: Int = 5,
+                        maxCost: Double = Double.PositiveInfinity)
+      : DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
     val cells = grid.select(col("r"), col("c"), col("v"))
@@ -3421,11 +3740,13 @@ object Terrain {
       val rows = it.toArray
       val z = new scala.collection.mutable.HashMap[(Long, Long), Double]
       rows.foreach { case (r, c, v) => z((r, c)) = v }
-      val zmax = rows.iterator.map(t => math.abs(t._3)).foldLeft(0.0)(math.max)
+      // abs of the MAX (BreachDepressions.java:275), not max of abs
+      val zmax = math.abs(
+        rows.iterator.map(_._3).foldLeft(Double.NegativeInfinity)(math.max))
       val aSmall =
-        if (zmax <= 9) 0.00001 else if (zmax <= 99) 0.0001
-        else if (zmax <= 999) 0.001 else if (zmax <= 9999) 0.001
-        else if (zmax <= 99999) 0.01 else 1.0
+        (if (zmax <= 9) 0.00001f else if (zmax <= 99) 0.0001f
+         else if (zmax <= 999) 0.001f else if (zmax <= 9999) 0.001f
+         else if (zmax <= 99999) 0.01f else 1f).toDouble
       val sub = 2 * k + 1
       val largeVal = Float.MaxValue.toDouble
       val dist = Array(math.sqrt(2), 1.0, math.sqrt(2), 1.0,
@@ -3440,9 +3761,12 @@ object Terrain {
         .filter { case (r, c, v) =>
           (0 until 8).forall { a =>
             z.get((r + dYl(a), c + dXl(a))).forall(_ >= v) } }
-      // loop 2: re-check against the carved surface, then carve
-      orig.foreach { case (row0, col0, _) =>
-        val zc = z((row0, col0))
+      // loop 2: neighbour reads see the carved surface, but the
+      // centre's elevation is the LOOP-1 SNAPSHOT (cell.z,
+      // BreachDepressions.java:351-378, 489): the re-check, the cost
+      // surface and the previousZ seed all use it even if an earlier
+      // pit's carve path lowered this cell (ADVICE r4)
+      orig.foreach { case (row0, col0, zc) =>
         val stillLowest = (0 until 8).forall { a =>
           z.get((row0 + dYl(a), col0 + dXl(a))).forall(_ >= zc) }
         if (stillLowest) {
@@ -3465,7 +3789,11 @@ object Terrain {
                     cost(kk)(j) = 0.0; accum(kk)(j) = 0.0
                     atLeastOneSource = true
                   } else {
-                    cost(kk)(j) = (zn - zc) + dec
+                    // a cost above the user's maxCost becomes a
+                    // barrier (BreachDepressions.java:380-386)
+                    val cost1 = (zn - zc) + dec
+                    cost(kk)(j) =
+                      if (cost1 <= maxCost) cost1 else largeVal
                     accum(kk)(j) = largeVal
                   }
                 case None => // noData: stays a barrier (largeVal arrays
@@ -3527,24 +3855,41 @@ object Terrain {
                   }
                 }
               }
+              // with a finite maxCost, a least-cost path forced
+              // through a barrier cell leaves the pit uncarved
+              // (BreachDepressions.java:461-484, numUnsolvedCells)
+              var solutionFound = true
+              if (maxCost != Double.PositiveInfinity) {
+                var r4 = k; var c4 = k; var f4 = true
+                while (f4) {
+                  val b = backLink(r4)(c4)
+                  if (b >= 0) {
+                    r4 += dYl(b); c4 += dXl(b)
+                    if (cost(r4)(c4) == largeVal) solutionFound = false
+                  } else f4 = false
+                }
+              }
               // carve: walk the backlinks from the pit, lowering to
-              // previousZ - aSmall (BreachDepressions.java:487-510)
-              var r3 = k
-              var c3 = k
-              var row = row0
-              var colG = col0
-              var previousZ = zc
-              var flag = true
-              while (flag) {
-                val b = backLink(r3)(c3)
-                if (b >= 0) {
-                  r3 += dYl(b); c3 += dXl(b)
-                  row += dYl(b); colG += dXl(b)
-                  val zn = z((row, colG))
-                  if (zn > previousZ - aSmall)
-                    z((row, colG)) = previousZ - aSmall
-                  previousZ = z((row, colG))
-                } else flag = false
+              // previousZ - aSmall (BreachDepressions.java:487-510);
+              // previousZ seeds from the loop-1 snapshot z
+              if (solutionFound) {
+                var r3 = k
+                var c3 = k
+                var row = row0
+                var colG = col0
+                var previousZ = zc
+                var flag = true
+                while (flag) {
+                  val b = backLink(r3)(c3)
+                  if (b >= 0) {
+                    r3 += dYl(b); c3 += dXl(b)
+                    row += dYl(b); colG += dXl(b)
+                    val zn = z((row, colG))
+                    if (zn > previousZ - aSmall)
+                      z((row, colG)) = previousZ - aSmall
+                    previousZ = z((row, colG))
+                  } else flag = false
+                }
               }
             }
           }
@@ -3871,7 +4216,12 @@ object Terrain {
    * off-grid neighbour counts as different) rise by `increment`;
    * non-bordering watershed-interior cells are NOT written and stay
    * NoData — the reference's missing else-branch, mirrored
-   * literally as absent rows; w <= 0 cells keep the DEM value.
+   * literally as absent rows. The reference's `w > 0` test only
+   * filters NoData/background watershed values; the engine's ids are
+   * linearized cell ids (r*width+c) where a legitimate sink at (0,0)
+   * is id 0 and every cell HAS a basin, so the background branch is
+   * vacuous here (ADVICE r4: a `sink_id <= 0` guard silently exempted
+   * basin 0 from walling).
    */
   def wallWatershed(grid: DataFrame, width: Long,
                     increment: Double): DataFrame = {
@@ -3888,12 +4238,8 @@ object Terrain {
       .groupBy("r", "c").agg(count(lit(1)).as("nsame"))
     grid.join(ws, Seq("r", "c"))
       .join(same, Seq("r", "c"), "left")
-      .select(col("r"), col("c"), col("v"), col("sink_id"),
-        coalesce(col("nsame"), lit(0L)).as("nsame"))
-      .where(col("sink_id") <= 0 || col("nsame") < 8)
-      .select(col("r"), col("c"),
-        when(col("sink_id") > 0, col("v") + increment)
-          .otherwise(col("v")).as("walled"))
+      .where(coalesce(col("nsame"), lit(0L)) < 8)
+      .select(col("r"), col("c"), (col("v") + increment).as("walled"))
   }
 
   /**
@@ -3927,14 +4273,16 @@ object Terrain {
    * Random — its own output is unreproducible), with a moving-mean
    * line filter and linear interpolation at the projection. Band
    * lines are driver-built (numBands x diagonal doubles — trivially
-   * small) and broadcast; the field evaluation is one map-side pass
-   * over the cells. No SQL oracle (stochastic tool); TurningBandsSpec
-   * checks determinism, seed sensitivity and first moments.
+   * small) and inlined as LITERAL array expressions, so the field is
+   * one shuffle-free map-side projection whose `numBands`-term sum
+   * folds in fixed band order — and the identical literals/fold
+   * replay in the DuckDB oracle (the r4 crossJoin+groupBy form had
+   * no SQL oracle because the sum order was runtime-dependent).
    */
-  def turningBands(grid: DataFrame, nRows: Long, nCols: Long,
-                   range: Double, numBands: Int, seed: Long): DataFrame = {
-    val spark = grid.sparkSession
-    import spark.implicits._
+  private[graft] def turningBandLines(nRows: Long, nCols: Long,
+                                      range: Double, numBands: Int,
+                                      seed: Long)
+      : (Int, Seq[(Double, Double, Array[Double])]) = {
     val diag = math.ceil(math.sqrt(
       (nRows * nRows + nCols * nCols).toDouble)).toInt + 2
     val half = math.max(1, (range / 2).toInt)
@@ -3949,21 +4297,29 @@ object Terrain {
         while (k <= half) { s += raw(j + half + k); k += 1 }
         s / (2 * half + 1)
       }
-      (b, math.cos(theta), math.sin(theta), line)
-    }.toDF("b", "ct", "st", "line")
-    // projection offset keeps indices in [0, diag)
-    val proj = col("c") * col("ct") + col("r") * col("st")
-    val off = lit((diag / 2).toDouble) +
-      proj - lit(nCols / 2.0) * col("ct") - lit(nRows / 2.0) * col("st")
-    val idx = floor(off).cast("int")
-    val frac = off - floor(off)
-    val v1 = element_at(col("line"), idx + 1)
-    val v2 = element_at(col("line"), idx + 2)
-    grid.select(col("r"), col("c")).crossJoin(broadcast(bands))
-      .select(col("r"), col("c"),
-        (v1 + frac * (v2 - v1)).as("contrib"))
-      .groupBy("r", "c")
-      .agg(round(sum(col("contrib")) /
+      (math.cos(theta), math.sin(theta), line)
+    }
+    (diag, bands)
+  }
+
+  def turningBands(grid: DataFrame, nRows: Long, nCols: Long,
+                   range: Double, numBands: Int, seed: Long): DataFrame = {
+    val (diag, bands) = turningBandLines(nRows, nCols, range, numBands,
+      seed)
+    val contribs = bands.map { case (ct, st, line) =>
+      val lineCol = array(line.toSeq.map(lit): _*)
+      // projection offset keeps indices in [0, diag)
+      val off = lit((diag / 2).toDouble) +
+        (col("c") * lit(ct) + col("r") * lit(st)) -
+        lit(nCols / 2.0 * ct) - lit(nRows / 2.0 * st)
+      val idx = floor(off).cast("int")
+      val frac = off - floor(off)
+      val v1 = element_at(lineCol, idx + 1)
+      val v2 = element_at(lineCol, idx + 2)
+      v1 + frac * (v2 - v1)
+    }
+    grid.select(col("r"), col("c"),
+      round(contribs.reduce(_ + _) /
         sqrt(lit(numBands.toDouble)), 6).as("tb"))
   }
 
@@ -3974,31 +4330,50 @@ object Terrain {
    * scale `rmse`) to the DEM, fill depressions, and report the
    * fraction of iterations each cell sits in a depression. Each
    * iteration is one tiled priority-flood fill; the per-cell error
-   * is a pure column expression (xxhash64 -> uniform -> normal), so
-   * every iteration is deterministic and distributed. No SQL oracle
-   * (stochastic); spec checks determinism, range, and that true
-   * depressions flood more often than ridges.
+   * is a pure column expression (squared-mix modular hash -> uniform
+   * -> Box-Muller normal, the exact integer/IEEE ops the DuckDB
+   * oracle replays), so every iteration is deterministic and
+   * distributed, and the full pdep surface has a SQL oracle (one
+   * recursive spill-path CTE per error field). The `iters` fills are
+   * independent, so they run CONCURRENTLY on the scheduler (each is
+   * a multi-round tiled job; serializing them made this the slowest
+   * query of BENCH_r04 at 10.5 s) and skip the memo (fresh one-off
+   * inputs can never produce a second hit — ADVICE r4).
    */
   def stochasticDepressionAnalysis(grid: DataFrame, nRows: Long,
                                    nCols: Long, rmse: Double,
                                    iters: Int, seed: Long): DataFrame = {
-    val spark = grid.sparkSession
-    val masks = (0 until iters).map { it =>
-      val h = xxhash64(col("r"), col("c"), lit(seed + it))
-      val h2 = xxhash64(col("c"), col("r"), lit(seed * 31 + it))
-      val u1 = (pmod(h, lit(1000000007L)).cast("double") + 1.0) /
-        lit(1000000009.0)
-      val u2 = pmod(h2, lit(1000000007L)).cast("double") /
-        lit(1000000007.0)
-      val gauss = sqrt(lit(-2.0) * log(u1)) *
-        cos(lit(2.0 * math.Pi) * u2)
-      val demE = grid.select(col("r"), col("c"),
-        (col("v") + lit(rmse) * gauss).as("v")).localCheckpoint(true)
-      fillDepressions(demE, nRows, nCols)
-        .join(demE, Seq("r", "c"))
-        .where(col("v") < col("filled"))
-        .select(col("r"), col("c"))
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(iters)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val futs = (0 until iters).map { it =>
+      Future {
+        // squared-mix hash: reduce mod p BEFORE squaring so the
+        // square stays under 2^63 (ANSI mode and DuckDB BIGINT both
+        // error on overflow instead of wrapping)
+        val p = 1000000007L
+        val h1 = (col("r") * lit(7919L) + col("c") * lit(104729L) +
+          lit((seed + it) * 15485863L)) % lit(p)
+        val h2 = (col("r") * lit(104729L) + col("c") * lit(7919L) +
+          lit((seed * 31 + it) * 15485867L)) % lit(p)
+        val u1 = ((h1 * h1) % lit(p)).cast("double")
+          .plus(lit(1.0)) / lit(1000000009.0)
+        val u2 = ((h2 * h2) % lit(p)).cast("double") / lit(1000000007.0)
+        val gauss = sqrt(lit(-2.0) * log(u1)) *
+          cos(lit(2.0 * math.Pi) * u2)
+        val demE = grid.select(col("r"), col("c"),
+          (col("v") + lit(rmse) * gauss).as("v")).localCheckpoint(true)
+        fillDepressions(demE, nRows, nCols, memoize = false)
+          .join(demE, Seq("r", "c"))
+          .where(col("v") < col("filled"))
+          .select(col("r"), col("c"))
+          .localCheckpoint(true)
+      }
     }
+    val masks = futs.map(Await.result(_, Duration.Inf))
+    pool.shutdown()
     val hits = masks.reduce(_ unionByName _)
       .groupBy("r", "c").agg(count(lit(1)).as("k"))
     grid.join(hits, Seq("r", "c"), "left")

@@ -30,14 +30,47 @@ class BreachSpec extends AnyFunSuite {
     val out = Terrain.breachDepressions(grid, 5, 7, maxDist = 3)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
       .toMap
-    assert(out((2L, 3L)) === 1.0 - 0.00001)
-    assert(out((2L, 4L)) === (1.0 - 0.00001) - 0.00001)
+    // aSmall carries the reference's FLOAT literal widened to double
+    // ((double) 0.00001F = 9.999999747378752e-06)
+    val aSmall = 0.00001f.toDouble
+    assert(out((2L, 3L)) === 1.0 - aSmall)
+    assert(out((2L, 4L)) === (1.0 - aSmall) - aSmall)
     assert(out((2L, 5L)) === 0.5)     // already below the channel
     assert(out((2L, 2L)) === 1.0)     // the pit itself is untouched
     assert(out((1L, 3L)) === 9.0)     // off-path cells unchanged
     // nothing ever rises
     val in = cells.map { case (r, c, v) => ((r, c), v) }.toMap
     in.foreach { case (k, v) => assert(out(k) <= v) }
+  }
+
+  /** Same DEM with a maxCost below the 5.0-barrier's cost (~4): the
+    * only path to the outlet crosses a barrier cell, so the pit is
+    * left uncarved (BreachDepressions.java:461-484 numUnsolvedCells
+    * arm); a maxCost above it carves exactly like "not specified". */
+  test("breachDepressions maxCost arm: barrier blocks the carve") {
+    import spark.implicits._
+    val cells = for (r <- 0 until 5; c <- 0 until 7) yield {
+      val v =
+        if (r == 2 && c == 2) 1.0
+        else if (r == 2 && c == 5) 0.5
+        else if (r == 2 && (c == 3 || c == 4)) 5.0
+        else 9.0
+      (r.toLong, c.toLong, v)
+    }
+    val grid = cells.toDF("r", "c", "v")
+    val blocked = Terrain
+      .breachDepressions(grid, 5, 7, maxDist = 3, maxCost = 2.0)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+      .toMap
+    cells.foreach { case (r, c, v) =>
+      assert(blocked((r, c)) === v, s"no cell may change at ($r,$c)") }
+    val open = Terrain
+      .breachDepressions(grid, 5, 7, maxDist = 3, maxCost = 50.0)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+      .toMap
+    val aSmall = 0.00001f.toDouble
+    assert(open((2L, 3L)) === 1.0 - aSmall)
+    assert(open((2L, 4L)) === (1.0 - aSmall) - aSmall)
   }
 
   test("breachDepressions on the part grid is monotone and deterministic") {
