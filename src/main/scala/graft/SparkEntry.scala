@@ -650,6 +650,29 @@ object SparkEntry {
     "geo_horizon_angle" -> ((s, dir) =>
       operators.Terrain.horizonAngleEast(Derived.partGrid(s, dir))),
 
+    // the azimuth-general ray-walk arms (HorizonAngle.java:286-430,
+    // FetchAnalysis.java:284-388, DirectionalRelief.java:296-395) at
+    // a non-axis azimuth (215 deg)
+    "geo_horizon_angle_az" -> ((s, dir) =>
+      operators.Terrain.horizonAngle(Derived.partGrid(s, dir),
+        GridRows, GridCols, azimuthDeg = 215.0)),
+
+    "geo_fetch_az" -> ((s, dir) =>
+      operators.Terrain.fetchAnalysis(Derived.partGrid(s, dir),
+        GridRows, GridCols, azimuthDeg = 215.0,
+        heightIncrement = 0.05)),
+
+    "geo_directional_relief_az" -> ((s, dir) =>
+      operators.Terrain.directionalRelief(Derived.partGrid(s, dir),
+        GridRows, GridCols, azimuthDeg = 215.0)),
+
+    // ExposureTowardsWindFlux horizon-shadowing arm composed over the
+    // same 215-degree horizon angle
+    "geo_wind_exposure_horizon" -> ((s, dir) =>
+      operators.Terrain.exposureTowardsWindFluxHorizon(
+        Derived.partGrid(s, dir), azimuthDeg = 215.0,
+        GridRows, GridCols)),
+
     // DirectionalRelief, east azimuth (DirectionalRelief.java:337-392)
     "geo_directional_relief" -> ((s, dir) =>
       operators.Terrain.directionalReliefEast(Derived.partGrid(s, dir))),
@@ -763,6 +786,43 @@ object SparkEntry {
           max(when(col("rnk") === 2, col("sv"))).as("sv2"),
           max(when(col("rnk") === 2, col("dist2"))).as("d22"))
       operators.Kriging.krige2Closed(pv, nugget = 0.1, psill = 0.9,
+          range = 15.0)
+        .select(expr("tid DIV 50").as("r"), (col("tid") % 50).as("c"),
+          round(col("est"), 6).as("est"))
+    }),
+
+    // the FULL ordinary-kriging system from the query surface
+    // (stats/Kriging.java:82-117): 3 nearest samples per target via
+    // the distributed kNN join, the 4x4 OK system solved in closed
+    // form (bit-exact SQL mirror; KrigingSpec pins the closed form
+    // to the general partial-pivot solver)
+    "geo_kriging_knn" -> ((s, dir) => {
+      val g = Derived.partGrid(s, dir)
+      val smp = g.where(col("v") >= 95)
+        .select((col("r") * 50 + col("c")).as("sid"),
+          col("c").cast("double").as("sx"),
+          col("r").cast("double").as("sy"), col("v").as("sv"))
+        .localCheckpoint(true)
+      val tgt = g.select((col("r") * 50 + col("c")).as("tid"),
+        col("c").cast("double").as("tx"), col("r").cast("double").as("ty"))
+      val nn = operators.SpatialJoins.knnJoin(tgt, smp, 3,
+        probeId = "tid", buildId = "sid",
+        px = "tx", py = "ty", bx = "sx", by = "sy")
+      val pv = nn.join(smp, Seq("sid"))
+        .groupBy("tid").agg(
+          max(when(col("rnk") === 1, col("sx"))).as("sx1"),
+          max(when(col("rnk") === 1, col("sy"))).as("sy1"),
+          max(when(col("rnk") === 1, col("sv"))).as("sv1"),
+          max(when(col("rnk") === 1, col("dist2"))).as("d21"),
+          max(when(col("rnk") === 2, col("sx"))).as("sx2"),
+          max(when(col("rnk") === 2, col("sy"))).as("sy2"),
+          max(when(col("rnk") === 2, col("sv"))).as("sv2"),
+          max(when(col("rnk") === 2, col("dist2"))).as("d22"),
+          max(when(col("rnk") === 3, col("sx"))).as("sx3"),
+          max(when(col("rnk") === 3, col("sy"))).as("sy3"),
+          max(when(col("rnk") === 3, col("sv"))).as("sv3"),
+          max(when(col("rnk") === 3, col("dist2"))).as("d23"))
+      operators.Kriging.krige3Closed(pv, nugget = 0.1, psill = 0.9,
           range = 15.0)
         .select(expr("tid DIV 50").as("r"), (col("tid") % 50).as("c"),
           round(col("est"), 6).as("est"))
@@ -2215,6 +2275,46 @@ object SparkEntry {
           coalesce(lead("cond", 1).over(w), lit(false)))
       flagged.select(col("r"), col("c"),
         round(when(col("flag"), (col("uv") + col("dv")) / 2.0)
+          .otherwise(col("v")), 6).as("destriped"))
+    }),
+
+    // ImageDestriping, VERTICAL arm (ImageDestriping.groovy:161-194).
+    // The reference's vertical window reads `image.getValue(a, a)` —
+    // the DIAGONAL cell, not (a, col); the quirk is mirrored
+    // literally (the flag tests compare z(a,a) against the column
+    // neighbours (a, col+-1) for the four consecutive a of the
+    // window). Input = the part grid damped to [0,10) plus a +30
+    // line on the diagonal, which the quirky filter demonstrably
+    // detects (cond holds wherever the window is in-grid) so both
+    // the replace and keep branches are exercised.
+    "geo_destripe_vertical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Derived.partGrid(s, dir).select(col("r"), col("c"),
+        (col("v") / 10.0 + when(col("r") === col("c"), 30.0)
+          .otherwise(0.0)).as("v"))
+      val lf = g.select(col("r"), (col("c") + 1).as("c"),
+        col("v").as("lv"))
+      val rt = g.select(col("r"), (col("c") - 1).as("c"),
+        col("v").as("rv"))
+      val dg = g.where(col("r") === col("c"))
+        .select(col("r"), col("v").as("gv"))
+      val j = g.join(lf, Seq("r", "c"), "left")
+        .join(rt, Seq("r", "c"), "left")
+        .join(broadcast(dg), Seq("r"), "left")
+      val d1 = col("gv") - col("lv")
+      val d2 = col("gv") - col("rv")
+      val cond = col("gv").isNotNull && col("lv").isNotNull &&
+        col("rv").isNotNull &&
+        abs(d1) >= 10.0 && abs(d2) >= 10.0 &&
+        ((d1 < 0 && d2 < 0) || (d1 >= 0 && d2 >= 0))
+      val w = Window.partitionBy("c").orderBy("r")
+      val flagged = j.withColumn("cond", cond)
+        .withColumn("flag",
+          coalesce(lag("cond", 2).over(w), lit(false)) &&
+          coalesce(lag("cond", 1).over(w), lit(false)) && col("cond") &&
+          coalesce(lead("cond", 1).over(w), lit(false)))
+      flagged.select(col("r"), col("c"),
+        round(when(col("flag"), (col("lv") + col("rv")) / 2.0)
           .otherwise(col("v")), 6).as("destriped"))
     }),
 
@@ -4225,6 +4325,78 @@ object SparkEntry {
          |  CAST(COALESCE(mk, ${GridCols - 1} - c) AS DOUBLE) AS fetch
          |FROM blk""".stripMargin,
 
+    "geo_horizon_angle_az" ->
+      s"""WITH g AS ($GRID),
+         |${azWalkSql(x2Bounds = false)},
+         |ag AS (SELECT r, c, max((z - v) / dist) AS mslope
+         |  FROM azval GROUP BY r, c)
+         |SELECT g.r, g.c, round(CASE WHEN
+         |  degrees(atan(GREATEST(COALESCE(ag.mslope, -9999999.0e0),
+         |    -9999999.0e0))) < -89 THEN 0.0
+         |  ELSE degrees(atan(GREATEST(COALESCE(ag.mslope, -9999999.0e0),
+         |    -9999999.0e0))) END, 6) AS horizon_angle
+         |FROM g LEFT JOIN ag ON ag.r = g.r AND ag.c = g.c""".stripMargin,
+
+    "geo_fetch_az" ->
+      s"""WITH g AS ($GRID),
+         |${azWalkSql(x2Bounds = true)},
+         |hv AS (SELECT *, z >= v + dist * 0.05e0 AS hit FROM azval),
+         |hp AS (SELECT *, min(CASE WHEN hit THEN k END)
+         |  OVER (PARTITION BY r, c, pass) AS fh FROM hv),
+         |pp AS (SELECT r, c, pass,
+         |  min(CASE WHEN hit THEN dist END) AS hitdist,
+         |  max(dist) AS lastdist
+         |  FROM hp WHERE k <= COALESCE(fh, 9223372036854775807)
+         |  GROUP BY r, c, pass),
+         |fg AS (SELECT r, c, min(hitdist) AS hd, max(lastdist) AS ld
+         |  FROM pp GROUP BY r, c)
+         |SELECT g.r, g.c, round(COALESCE(fg.hd,
+         |  -COALESCE(fg.ld, 0.0)) + 0.0, 6) AS fetch_dist
+         |FROM g LEFT JOIN fg ON fg.r = g.r AND fg.c = g.c""".stripMargin,
+
+    "geo_directional_relief_az" ->
+      s"""WITH g AS ($GRID),
+         |${azWalkSql(x2Bounds = true)},
+         |rv AS (SELECT * FROM azval
+         |  WHERE z1 <> -32768.0e0 AND z2 <> -32768.0e0),
+         |ag AS (SELECT r, c,
+         |  sum(CAST(round(z * 1000000000.0e0) AS BIGINT)) AS sn,
+         |  count(*) AS n FROM rv GROUP BY r, c)
+         |SELECT g.r, g.c, round(CASE WHEN ag.n > 0
+         |  THEN CAST(ag.sn AS DOUBLE) / 1000000000.0e0 / ag.n - g.v
+         |  ELSE 0.0 END, 6) AS relief
+         |FROM g LEFT JOIN ag ON ag.r = g.r AND ag.c = g.c""".stripMargin,
+
+    "geo_wind_exposure_horizon" -> {
+      val azPrime = math.toRadians(215.0 - 90)
+      s"""WITH g AS ($GRID),
+         |${azWalkSql(x2Bounds = false)},
+         |hag AS (SELECT r, c, max((z - v) / dist) AS mslope
+         |  FROM azval GROUP BY r, c),
+         |ha AS (SELECT g.r, g.c, round(CASE WHEN
+         |  degrees(atan(GREATEST(COALESCE(hag.mslope, -9999999.0e0),
+         |    -9999999.0e0))) < -89 THEN 0.0
+         |  ELSE degrees(atan(GREATEST(COALESCE(hag.mslope, -9999999.0e0),
+         |    -9999999.0e0))) END, 6) AS hadeg
+         |  FROM g LEFT JOIN hag ON hag.r = g.r AND hag.c = g.c),
+         |$stencilReflectSql,
+         |f AS (SELECT r, c,
+         |  round(atan(sqrt(($FxSql) * ($FxSql) + ($FySql) * ($FySql))), 6)
+         |    AS slope_rad,
+         |  $FxSql AS fx, $FySql AS fy FROM nb),
+         |a AS (SELECT r, c, slope_rad,
+         |  round($AspectSql, 6) AS aspect FROM f),
+         |rel AS (SELECT r, c, slope_rad,
+         |  CASE WHEN CAST($azPrime AS DOUBLE) - aspect > 180
+         |    THEN 360.0 - (CAST($azPrime AS DOUBLE) - aspect)
+         |    ELSE CAST($azPrime AS DOUBLE) - aspect END AS ra FROM a)
+         |SELECT rel.r, rel.c, round(cos(slope_rad) *
+         |  sin(ha.hadeg * CAST(${math.Pi} AS DOUBLE) / 180.0) +
+         |  sin(slope_rad) * cos(ha.hadeg * CAST(${math.Pi} AS DOUBLE) / 180.0) *
+         |  cos(ra * CAST(${math.Pi} AS DOUBLE) / 180.0), 6) AS exposure
+         |FROM rel JOIN ha ON ha.r = rel.r AND ha.c = rel.c""".stripMargin
+    },
+
     "geo_dev_from_mean" ->
       s"""WITH g AS ($GRID),
          |${focalConSql(2, reflect = false)},
@@ -4816,6 +4988,44 @@ object SparkEntry {
          |w AS (SELECT *, (1.0 - (g1t - g2t) / g12) / 2.0 AS w1 FROM gm)
          |SELECT tid // 50 AS r, tid % 50 AS c,
          |  round(w1 * sv1 + (1.0 - w1) * sv2, 6) AS est FROM w""".stripMargin
+    },
+
+    "geo_kriging_knn" -> {
+      def gam(h: String) =
+        s"CASE WHEN $h >= 15.0 THEN 0.1 + 0.9 ELSE 0.1 + 0.9 * " +
+          s"(1.5 * ($h / 15.0) - 0.5 * ($h / 15.0) * ($h / 15.0) * ($h / 15.0)) END"
+      val pvCols = (1 to 3).flatMap(i => Seq(
+        s"max(CASE WHEN rnk = $i THEN sx END) AS sx$i",
+        s"max(CASE WHEN rnk = $i THEN sy END) AS sy$i",
+        s"max(CASE WHEN rnk = $i THEN sv END) AS sv$i",
+        s"max(CASE WHEN rnk = $i THEN d2 END) AS d2$i")).mkString(",\n  ")
+      s"""WITH g AS ($GRID),
+         |smp AS (SELECT r * 50 + c AS sid, CAST(c AS DOUBLE) AS sx,
+         |  CAST(r AS DOUBLE) AS sy, v AS sv FROM g WHERE v >= 95),
+         |tgt AS (SELECT r * 50 + c AS tid, CAST(c AS DOUBLE) AS tx,
+         |  CAST(r AS DOUBLE) AS ty FROM g),
+         |nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+         |    ORDER BY d2, sid) AS rnk FROM (
+         |  SELECT t.tid, s.sid, s.sx, s.sy, s.sv,
+         |    (t.tx - s.sx) * (t.tx - s.sx) + (t.ty - s.sy) * (t.ty - s.sy) AS d2
+         |  FROM tgt t CROSS JOIN smp s)),
+         |pv AS (SELECT tid,
+         |  $pvCols
+         |  FROM nn WHERE rnk <= 3 GROUP BY tid),
+         |gm AS (SELECT *, ${gam("sqrt(d21)")} AS gt1,
+         |  ${gam("sqrt(d22)")} AS gt2, ${gam("sqrt(d23)")} AS gt3,
+         |  ${gam("sqrt((sx1 - sx2) * (sx1 - sx2) + (sy1 - sy2) * (sy1 - sy2))")} AS g12,
+         |  ${gam("sqrt((sx1 - sx3) * (sx1 - sx3) + (sy1 - sy3) * (sy1 - sy3))")} AS g13,
+         |  ${gam("sqrt((sx2 - sx3) * (sx2 - sx3) + (sy2 - sy3) * (sy2 - sy3))")} AS g23
+         |  FROM pv),
+         |ab AS (SELECT *, -g12 - g13 + g23 AS a11, g12 - g13 + g23 AS a12,
+         |  gt1 - gt2 - g13 + g23 AS b1, -2.0 * g13 AS a21,
+         |  g12 - g23 - g13 AS a22, gt1 - gt3 - g13 AS b2 FROM gm),
+         |w AS (SELECT *, (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a21) AS w1,
+         |  (a11 * b2 - a21 * b1) / (a11 * a22 - a12 * a21) AS w2 FROM ab)
+         |SELECT tid // 50 AS r, tid % 50 AS c,
+         |  round(w1 * sv1 + w2 * sv2 + (1.0 - w1 - w2) * sv3, 6) AS est
+         |FROM w""".stripMargin
     },
 
     "geo_rbf" -> {
@@ -6081,6 +6291,34 @@ object SparkEntry {
          |  AS flag FROM cd)
          |SELECT r, c,
          |  round(CASE WHEN flag THEN (uv + dv) / 2.0 ELSE v END, 6)
+         |  AS destriped
+         |FROM fl""".stripMargin,
+
+    "geo_destripe_vertical" ->
+      s"""WITH g0 AS ($GRID),
+         |g AS (SELECT r, c, v / CAST(10.0 AS DOUBLE) +
+         |  CASE WHEN r = c THEN CAST(30.0 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS v FROM g0),
+         |dg AS (SELECT r, v AS gv FROM g WHERE r = c),
+         |j AS (SELECT g.r, g.c, g.v, l.v AS lv, rr.v AS rv, dg.gv
+         |  FROM g
+         |  LEFT JOIN g l ON l.r = g.r AND l.c = g.c - 1
+         |  LEFT JOIN g rr ON rr.r = g.r AND rr.c = g.c + 1
+         |  LEFT JOIN dg ON dg.r = g.r),
+         |cd AS (SELECT r, c, v, lv, rv,
+         |  (gv IS NOT NULL AND lv IS NOT NULL AND rv IS NOT NULL
+         |    AND abs(gv - lv) >= 10.0 AND abs(gv - rv) >= 10.0
+         |    AND ((gv - lv < 0 AND gv - rv < 0)
+         |      OR (gv - lv >= 0 AND gv - rv >= 0))) AS cond
+         |  FROM j),
+         |fl AS (SELECT r, c, v, lv, rv,
+         |  COALESCE(lag(cond, 2) OVER (PARTITION BY c ORDER BY r), FALSE)
+         |  AND COALESCE(lag(cond, 1) OVER (PARTITION BY c ORDER BY r), FALSE)
+         |  AND cond
+         |  AND COALESCE(lead(cond, 1) OVER (PARTITION BY c ORDER BY r), FALSE)
+         |  AS flag FROM cd)
+         |SELECT r, c,
+         |  round(CASE WHEN flag THEN (lv + rv) / 2.0 ELSE v END, 6)
          |  AS destriped
          |FROM fl""".stripMargin,
 
@@ -7418,6 +7656,70 @@ object SparkEntry {
        |  COALESCE(s.fa_left, 0.0) AS fa_left
        |FROM g LEFT JOIN scells s ON s.r = g.r AND s.c = g.c"""
       .stripMargin
+  }
+
+  /** Azimuth ray-walk CTEs (mirrors Terrain.azimuthWalkSamples at
+    * azimuth 215 over the 40x50 grid): vertical + horizontal
+    * sight-line passes, prefix-truncated at the first bounds
+    * violation, bracketing z reads with the reference's -32768
+    * out-of-grid sentinel. Yields CTE `azval` with
+    * (r, c, v, pass, k, dist, z1, z2, z). */
+  private def azWalkSql(x2Bounds: Boolean): String = {
+    val (ls, xs, ys) = operators.Terrain.azParams(215.0)
+    def D(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val lsS = D(ls)
+    val nd = "-32768.0e0"
+    val yI = s"(-CAST(g.r AS DOUBLE) - $lsS * g.c)"
+    val x2bad =
+      if (x2Bounds) " OR NOT (x2 >= 0 AND x2 < 50)" else ""
+    s"""ks0 AS (SELECT CAST(x AS BIGINT) AS k FROM range(1, 51) t(x)),
+       |ks1 AS (SELECT CAST(x AS BIGINT) AS k FROM range(1, 41) t(x)),
+       |azv AS (SELECT r, c, v, pass, k, dist,
+       |  NOT (xd >= 0 AND xd < 50) OR NOT (yd >= 0 AND yd < 40) AS bad,
+       |  CAST(trunc(yd) AS BIGINT) AS jr1,
+       |  CAST(trunc(xd) AS BIGINT) AS jc1,
+       |  CAST(trunc(yd) AS BIGINT) - ${ys} AS jr2,
+       |  CAST(trunc(xd) AS BIGINT) AS jc2,
+       |  yd - CAST(trunc(yd) AS BIGINT) AS frac
+       |  FROM (SELECT g.r, g.c, g.v, 0 AS pass, k.k,
+       |    CAST(g.c + k.k * ${xs} AS DOUBLE) AS xd,
+       |    ($lsS * CAST(g.c + k.k * ${xs} AS DOUBLE) + $yI) * -1.0e0 AS yd,
+       |    sqrt((CAST(g.c + k.k * ${xs} AS DOUBLE) - g.c) *
+       |         (CAST(g.c + k.k * ${xs} AS DOUBLE) - g.c) +
+       |         ((($lsS * CAST(g.c + k.k * ${xs} AS DOUBLE) + $yI) * -1.0e0) - g.r) *
+       |         ((($lsS * CAST(g.c + k.k * ${xs} AS DOUBLE) + $yI) * -1.0e0) - g.r)) AS dist
+       |    FROM g CROSS JOIN ks0 k)),
+       |azh AS (SELECT r, c, v, pass, k, dist,
+       |  NOT (-yh >= 0 AND -yh < 40) OR NOT (xd >= 0 AND xd < 50)$x2bad AS bad,
+       |  CAST(trunc(-yh) AS BIGINT) AS jr1,
+       |  x1 AS jc1,
+       |  CAST(trunc(yh) AS BIGINT) AS jr2,
+       |  x2 AS jc2,
+       |  xd - x1 AS frac
+       |  FROM (SELECT *, CAST(trunc(xd) AS BIGINT) + ${xs} AS x2 FROM
+       |   (SELECT *, CAST(trunc(xd) AS BIGINT) AS x1,
+       |    sqrt((xd - c) * (xd - c) + (-yh - r) * (-yh - r)) AS dist
+       |    FROM (SELECT g.r, g.c, g.v, 1 AS pass, k.k,
+       |      CAST(-g.r + k.k * ${ys} AS DOUBLE) AS yh,
+       |      (CAST(-g.r + k.k * ${ys} AS DOUBLE) - $yI) / $lsS AS xd
+       |      FROM g CROSS JOIN ks1 k)))),
+       |azs AS (SELECT r, c, v, pass, k, dist, bad, jr1, jc1, jr2, jc2,
+       |  frac FROM azv
+       |  UNION ALL SELECT r, c, v, pass, k, dist, bad, jr1, jc1, jr2,
+       |  jc2, frac FROM azh),
+       |azpre AS (SELECT *, min(CASE WHEN bad THEN k END)
+       |  OVER (PARTITION BY r, c, pass) AS fb FROM azs),
+       |azval AS MATERIALIZED (SELECT p.r, p.c, p.v, p.pass, p.k, p.dist,
+       |  COALESCE(a.v, $nd) AS z1, COALESCE(b.v, $nd) AS z2,
+       |  COALESCE(a.v, $nd) + p.frac * (COALESCE(b.v, $nd) -
+       |    COALESCE(a.v, $nd)) AS z
+       |  FROM (SELECT * FROM azpre
+       |    WHERE k < COALESCE(fb, 9223372036854775807)) p
+       |  LEFT JOIN g a ON a.r = p.jr1 AND a.c = p.jc1
+       |  LEFT JOIN g b ON b.r = p.jr2 AND b.c = p.jc2)""".stripMargin
   }
 
   /** TurningBands oracle: the seeded band lines are driver-built by

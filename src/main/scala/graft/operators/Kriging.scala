@@ -105,6 +105,43 @@ object Kriging {
   }
 
   /**
+   * k = 3 ordinary-kriging closed form over pivoted neighbour
+   * columns (sx1..sv3, d21..d23): the 4x4 OK system [Γ 1; 1ᵀ 0]
+   * reduced by the unit-sum constraint to a 2x2 solve — every
+   * operation is +,-,*,/ and sqrt, so the estimate is bit-exact
+   * against the SQL-mirrored oracle, and KrigingSpec pins it to
+   * [[ordinaryKriging]]'s general partial-pivot solver within 1e-9.
+   * This is the query-surface arm of the full n-neighbour system
+   * (stats/Kriging.java:82-117) that [[krige2Closed]]'s 2-sample
+   * special case under-exercised.
+   */
+  def krige3Closed(pv: DataFrame, nugget: Double, psill: Double,
+                   range: Double): DataFrame = {
+    def g(h: Column) = sphericalGamma(h, nugget, psill, range)
+    def d(a: String, b: String) =
+      (col(a) - col(b)) * (col(a) - col(b))
+    val gt1 = g(sqrt(col("d21")))
+    val gt2 = g(sqrt(col("d22")))
+    val gt3 = g(sqrt(col("d23")))
+    val g12 = g(sqrt(d("sx1", "sx2") + d("sy1", "sy2")))
+    val g13 = g(sqrt(d("sx1", "sx3") + d("sy1", "sy3")))
+    val g23 = g(sqrt(d("sx2", "sx3") + d("sy2", "sy3")))
+    // (1)-(2) and (1)-(3) of the OK system with w3 = 1 - w1 - w2
+    val a11 = -g12 - g13 + g23
+    val a12 = g12 - g13 + g23
+    val b1 = gt1 - gt2 - g13 + g23
+    val a21 = lit(-2.0) * g13
+    val a22 = g12 - g23 - g13
+    val b2 = gt1 - gt3 - g13
+    val det = a11 * a22 - a12 * a21
+    val w1 = (b1 * a22 - b2 * a12) / det
+    val w2 = (a11 * b2 - a21 * b1) / det
+    val w3 = lit(1.0) - w1 - w2
+    pv.withColumn("est",
+      w1 * col("sv1") + w2 * col("sv2") + w3 * col("sv3"))
+  }
+
+  /**
    * Empirical semivariogram — the series PlotVariogram charts and
    * SemivariogramCurveFitter.java fits its models to (reference:
    * whitebox/stats/SemivariogramCurveFitterProblem.java): bin point

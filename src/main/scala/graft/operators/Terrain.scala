@@ -1224,6 +1224,233 @@ object Terrain {
     withS.select(col("r"), col("c"), dir.as("dir"))
   }
 
+  /** Azimuth preprocessing shared by HorizonAngle / FetchAnalysis /
+    * DirectionalRelief (FetchAnalysis.java:236-248, identical in all
+    * three): clamp degenerate azimuths off the axes, line slope from
+    * the tangent, quadrant step signs. */
+  private[graft] def azParams(azimuthDeg: Double): (Double, Int, Int) = {
+    var az = azimuthDeg
+    if (az > 360 || az < 0) az = 0.1
+    if (az == 0) az = 0.1
+    if (az == 180) az = 179.9
+    if (az == 360) az = 359.9
+    val lineSlope =
+      if (az < 180) math.tan(math.toRadians(90 - az))
+      else math.tan(math.toRadians(270 - az))
+    val (xs, ys) =
+      if (az > 0 && az <= 90) (1, 1)
+      else if (az <= 180) (1, -1)
+      else if (az <= 270) (-1, -1)
+      else (-1, 1)
+    (lineSlope, xs, ys)
+  }
+
+  /** Out-of-grid sentinel: WhiteboxRaster.getValue returns the
+    * raster's NoData for out-of-range reads (WhiteboxRaster.java:
+    * 534-537, isReflectedAtEdges false); the engine's stand-in DEMs
+    * carry the conventional .dep default of -32768. The azimuth
+    * ray-walk tools interpolate THROUGH this sentinel exactly like
+    * the reference does (including its horizontal-pass
+    * `getValue((int)y, ...)` negated-row read, which lands out of
+    * grid for every step past the cell's own row). */
+  private val azNoData = -32768.0
+
+  /**
+   * The shared two-pass sight-line sampler of HorizonAngle /
+   * FetchAnalysis / DirectionalRelief (FetchAnalysis.java:284-378 —
+   * the same walk copy-pasted in all three): per cell, pass 0 walks
+   * the VERTICAL grid-line intersections of the azimuth ray (x steps
+   * by +-1, z linearly interpolated between the bracketing rows) and
+   * pass 1 the HORIZONTAL intersections (y steps by +-1 in the
+   * negated-row space, z interpolated between bracketing columns).
+   * Each pass ends at its first bounds / maxDist violation — the
+   * walk's do-break structure is reproduced by keeping only steps
+   * BEFORE the first violating k (window min), with no monotonicity
+   * assumption. Emits one row per surviving (cell, pass, k):
+   * (r, c, v, pass, k, dist, z1, z2, z).
+   *
+   * Executed as cells x step-range with two bounded joins back to
+   * the grid — O(N*K) like the reference's own walk, but shuffled
+   * once and embarrassingly parallel over cells.
+   */
+  private def azimuthWalkSamples(grid: DataFrame, nRows: Long,
+                                 nCols: Long, azimuthDeg: Double,
+                                 maxDist: Double,
+                                 x2Bounds: Boolean): DataFrame = {
+    val spark = grid.sparkSession
+    val (ls, xs, ys) = azParams(azimuthDeg)
+    val useMax = !maxDist.isInfinite
+    val cells = grid.select(col("r"), col("c"), col("v"))
+    val g1 = grid.select(col("r").as("jr1"), col("c").as("jc1"),
+      col("v").as("z1r"))
+    val g2 = grid.select(col("r").as("jr2"), col("c").as("jc2"),
+      col("v").as("z2r"))
+    val yI = -col("r").cast("double") - lit(ls) * col("c")
+
+    // pass 0: vertical intersections
+    val k0 = spark.range(1, nCols + 1).toDF("k")
+    val xD0 = (col("c") + col("k") * xs).cast("double")
+    val v0 = cells.crossJoin(broadcast(k0))
+      .withColumn("xD", xD0)
+      .withColumn("yD", (lit(ls) * xD0 + yI) * lit(-1.0))
+      .withColumn("dist",
+        sqrt((col("xD") - col("c")) * (col("xD") - col("c")) +
+          (col("yD") - col("r")) * (col("yD") - col("r"))))
+      .withColumn("bad",
+        !(col("xD") >= 0 && col("xD") < nCols) ||
+          !(col("yD") >= 0 && col("yD") < nRows) ||
+          (if (useMax) col("dist") > maxDist else lit(false)))
+      .withColumn("jr1", col("yD").cast("long"))
+      .withColumn("jc1", col("xD").cast("long"))
+      .withColumn("jr2", col("jr1") - ys)
+      .withColumn("jc2", col("jc1"))
+      .withColumn("frac", col("yD") - col("jr1"))
+      .withColumn("pass", lit(0))
+    // pass 1: horizontal intersections (y in negated-row space).
+    // An axis-parallel azimuth (90/270) makes lineSlope 0: the
+    // reference's x = (y - yIntercept)/lineSlope divides by zero to
+    // +-Infinity and breaks on the x bounds check at the first step
+    // — i.e. the pass contributes nothing. ANSI mode errors on the
+    // double division instead, so the ls == 0 case short-circuits to
+    // an all-bad pass with a dummy x.
+    val k1 = spark.range(1, nRows + 1).toDF("k")
+    val yH = (-col("r") + col("k") * ys).cast("double")
+    val xD1 = if (ls == 0.0) lit(0.0) else (yH - yI) / lit(ls)
+    val h0 = cells.crossJoin(broadcast(k1))
+      .withColumn("yH", yH)
+      .withColumn("xD", xD1)
+      .withColumn("x1", xD1.cast("long"))
+      .withColumn("x2", col("x1") + xs)
+      .withColumn("dist",
+        sqrt((col("xD") - col("c")) * (col("xD") - col("c")) +
+          (-col("yH") - col("r")) * (-col("yH") - col("r"))))
+      .withColumn("bad",
+        if (ls == 0.0) lit(true)
+        else !(-col("yH") >= 0 && -col("yH") < nRows) ||
+          !(col("xD") >= 0 && col("xD") < nCols) ||
+          (if (useMax) col("dist") > maxDist else lit(false)) ||
+          (if (x2Bounds) !(col("x2") >= 0 && col("x2") < nCols)
+           else lit(false)))
+      .withColumn("jr1", (-col("yH")).cast("long"))
+      .withColumn("jc1", col("x1"))
+      .withColumn("jr2", col("yH").cast("long"))
+      .withColumn("jc2", col("x2"))
+      .withColumn("frac", col("xD") - col("x1"))
+      .withColumn("pass", lit(1))
+    val shared = Seq("r", "c", "v", "pass", "k", "dist", "bad",
+      "jr1", "jc1", "jr2", "jc2", "frac")
+    val samples = v0.select(shared.map(col): _*)
+      .unionByName(h0.select(shared.map(col): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("r", "c", "pass")
+    samples
+      .withColumn("firstBad",
+        min(when(col("bad"), col("k"))).over(w))
+      .where(col("k") < coalesce(col("firstBad"),
+        lit(Long.MaxValue)))
+      .join(g1, Seq("jr1", "jc1"), "left")
+      .join(g2, Seq("jr2", "jc2"), "left")
+      .select(col("r"), col("c"), col("v"), col("pass"), col("k"),
+        col("dist"),
+        coalesce(col("z1r"), lit(azNoData)).as("z1"),
+        coalesce(col("z2r"), lit(azNoData)).as("z2"),
+        (coalesce(col("z1r"), lit(azNoData)) + col("frac") *
+          (coalesce(col("z2r"), lit(azNoData)) -
+            coalesce(col("z1r"), lit(azNoData)))).as("z"))
+  }
+
+  /**
+   * HorizonAngle at an arbitrary azimuth (TerrainAnalysisTools/
+   * HorizonAngle.java:286-430): max over both sight-line passes of
+   * (z - z0)/dist seeded at -9999999, to degrees(atan); angles below
+   * -89 (including the no-sample case) emit 0. Float max is
+   * order-free, so the two-pass scan order needs no reproduction.
+   */
+  def horizonAngle(grid: DataFrame, nRows: Long, nCols: Long,
+                   azimuthDeg: Double,
+                   maxDist: Double = Double.PositiveInfinity)
+      : DataFrame = {
+    val s = azimuthWalkSamples(grid, nRows, nCols, azimuthDeg,
+      maxDist, x2Bounds = false)
+    val agg = s.groupBy("r", "c")
+      .agg(max((col("z") - col("v")) / col("dist")).as("mslope"))
+    val ang = degrees(atan(
+      greatest(coalesce(col("mslope"), lit(-9999999.0)),
+        lit(-9999999.0))))
+    grid.select(col("r"), col("c")).join(agg, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        round(when(ang < -89, lit(0.0)).otherwise(ang), 6)
+          .as("horizon_angle"))
+  }
+
+  /**
+   * FetchAnalysis at an arbitrary azimuth (FetchAnalysis.java:
+   * 284-388): distance to the first sight-line sample whose
+   * interpolated z rises at >= heightIncrement per unit distance
+   * above the cell — each pass stops at ITS first such hit, and the
+   * horizontal pass only overrides a vertical hit when nearer
+   * (= min of the two first-hit distances); with no hit anywhere the
+   * output is minus the longer of the two walks' end distances
+   * (0 for a pass that never produced a valid step). The first hit
+   * per pass is the min-k hit inside the walk prefix, so the
+   * sequential break reproduces as a pair of min-aggregations.
+   * `+ 0.0` canonicalises the reference's `-0.0` for empty corner
+   * walks on both engine and oracle.
+   */
+  def fetchAnalysis(grid: DataFrame, nRows: Long, nCols: Long,
+                    azimuthDeg: Double, heightIncrement: Double)
+      : DataFrame = {
+    val s = azimuthWalkSamples(grid, nRows, nCols, azimuthDeg,
+      Double.PositiveInfinity, x2Bounds = true)
+      .withColumn("hit",
+        col("z") >= col("v") + col("dist") * heightIncrement)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("r", "c", "pass")
+    // the walk prefix truncates at the pass's first hit
+    val pre = s
+      .withColumn("firstHit", min(when(col("hit"), col("k"))).over(w))
+      .where(col("k") <= coalesce(col("firstHit"), lit(Long.MaxValue)))
+    val perPass = pre.groupBy("r", "c", "pass")
+      .agg(min(when(col("hit"), col("dist"))).as("hitDist"),
+        max(col("dist")).as("lastDist"))
+    val agg = perPass.groupBy("r", "c")
+      .agg(min(col("hitDist")).as("hd"),
+        max(col("lastDist")).as("ld"))
+    grid.select(col("r"), col("c")).join(agg, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        round(coalesce(col("hd"), -coalesce(col("ld"), lit(0.0))) +
+          lit(0.0), 6).as("fetch_dist"))
+  }
+
+  /**
+   * DirectionalRelief at an arbitrary azimuth (DirectionalRelief
+   * .java:296-395): mean of the interpolated sight-line elevations
+   * (samples whose BOTH bracketing reads are in-grid — the
+   * reference's noData guard, which its negated-row horizontal read
+   * fails for all but the first step) minus the cell's own
+   * elevation; 0 with no samples. The float sum is made order-free
+   * by accumulating in nanometre-scaled integers (exact in both
+   * engines; within 1e-9/sample of the reference's float sum, far
+   * inside the 6-decimal output rounding).
+   */
+  def directionalRelief(grid: DataFrame, nRows: Long, nCols: Long,
+                        azimuthDeg: Double,
+                        maxDist: Double = Double.PositiveInfinity)
+      : DataFrame = {
+    val s = azimuthWalkSamples(grid, nRows, nCols, azimuthDeg,
+      maxDist, x2Bounds = true)
+      .where(col("z1") =!= azNoData && col("z2") =!= azNoData)
+    val agg = s.groupBy("r", "c")
+      .agg(sum(round(col("z") * 1e9).cast("long")).as("sn"),
+        count(lit(1)).as("n"))
+    grid.select(col("r"), col("c"), col("v"))
+      .join(agg, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        round(when(col("n").isNotNull && col("n") > 0,
+          col("sn").cast("double") / 1e9 / col("n") - col("v"))
+          .otherwise(lit(0.0)), 6).as("relief"))
+  }
+
   /** x/y components of the MDINF ray for a direction column. */
   private def mXdOf(dir: Column): Column =
     (0 until 8).foldLeft(lit(0)) { (acc, m) =>
@@ -4263,6 +4490,39 @@ object Terrain {
     sl.join(asp, Seq("r", "c")).select(col("r"), col("c"),
       round(sin(col("slope_rad")) *
         cos(rel * lit(math.Pi) / lit(180.0)), 6).as("exposure"))
+  }
+
+  /**
+   * ExposureTowardsWindFlux, horizon-shadowing arm
+   * (ExposureTowardsWindFlux.java:264-301): exposure =
+   * cos(slope)·sin(HA) + sin(slope)·cos(HA)·cos(relAspect), with HA
+   * the HorizonAngle raster toward the wind azimuth (degrees, read
+   * back through toRadians like the slope input). The azimuth/aspect
+   * unit slip of the no-horizon arm is mirrored identically
+   * (radian azimuth minus degree aspect, 180-fold, then a second
+   * toRadians). ONE deliberate deviation: the reference's write sits
+   * inside its `relativeAspect > 180` branch (a misplaced brace,
+   * line 277-292) which — with a radian azimuth that can never
+   * exceed 2π against a degree aspect — would emit an empty raster
+   * for every input; the engine applies the branch as the fold it
+   * plainly intends and writes every cell, composing the same
+   * formula the no-horizon arm uses with HA = 0.
+   */
+  def exposureTowardsWindFluxHorizon(grid: DataFrame,
+                                     azimuthDeg: Double, nRows: Long,
+                                     nCols: Long): DataFrame = {
+    val sl = Raster.hornSlope(grid, nRows, nCols)
+    val asp = aspect(grid, nRows, nCols)
+    val ha = horizonAngle(grid, nRows, nCols, azimuthDeg)
+    val azPrime = math.toRadians(azimuthDeg - 90)
+    val rel0 = lit(azPrime) - col("aspect")
+    val rel = when(rel0 > 180, lit(360.0) - rel0).otherwise(rel0)
+    val haRad = col("horizon_angle") * lit(math.Pi) / lit(180.0)
+    sl.join(asp, Seq("r", "c")).join(ha, Seq("r", "c"))
+      .select(col("r"), col("c"),
+        round(cos(col("slope_rad")) * sin(haRad) +
+          sin(col("slope_rad")) * cos(haRad) *
+            cos(rel * lit(math.Pi) / lit(180.0)), 6).as("exposure"))
   }
 
   /**

@@ -105,6 +105,29 @@ class TerrainV2Spec extends AnyFunSuite {
     val cg = Kriging.ordinaryKriging(csmp, tgt, 4,
       nugget = 0.1, psill = 0.9, range = 15.0).collect()
     cg.foreach(x => assert(math.abs(x.getDouble(1) - 42.5) < 1e-9))
+
+    // k = 3 closed form (geo_kriging_knn's arm) matches the general
+    // partial-pivot solver
+    val general3 = Kriging.ordinaryKriging(smp, tgt, 3,
+        nugget = 0.1, psill = 0.9, range = 15.0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val nn3 = SpatialJoins.knnJoin(tgt, smp, 3, probeId = "tid",
+      buildId = "sid", px = "tx", py = "ty", bx = "sx", by = "sy")
+    val pv3 = nn3.join(smp, Seq("sid")).groupBy("tid").agg(
+      max(when(col("rnk") === 1, col("sx"))).as("sx1"),
+      (Seq((1, "sy"), (1, "sv"), (2, "sx"), (2, "sy"), (2, "sv"),
+        (3, "sx"), (3, "sy"), (3, "sv")).map { case (i, n) =>
+        max(when(col("rnk") === i, col(n))).as(s"$n$i")
+      } ++ Seq(
+        max(when(col("rnk") === 1, col("dist2"))).as("d21"),
+        max(when(col("rnk") === 2, col("dist2"))).as("d22"),
+        max(when(col("rnk") === 3, col("dist2"))).as("d23"))): _*)
+    val closed3 = Kriging.krige3Closed(pv3, 0.1, 0.9, 15.0)
+      .select(col("tid"), col("est")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    closed3.foreach { case (tid, est) =>
+      assert(math.abs(general3(tid) - est) < 1e-8, s"tid $tid k=3")
+    }
   }
 
   test("contour lines: ramp grid yields one straight open line per level") {
