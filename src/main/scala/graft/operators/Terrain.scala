@@ -1052,7 +1052,13 @@ object Terrain {
    * [[weightedAccum]]'s fixed-slot pivot applies unchanged.
    */
   private[graft] def mdinfEdges(grid: DataFrame,
-                                hExp: Double): DataFrame = {
+                                hExp: Double): DataFrame =
+    graft.core.Memo.cached(
+      graft.core.Memo.key(grid, s"mdinfEdges:$hExp"),
+      grid.sparkSession) { mdinfEdgesImpl(grid, hExp) }
+
+  private def mdinfEdgesImpl(grid: DataFrame,
+                             hExp: Double): DataFrame = {
     require(hExp < 10,
       "hExp >= 10 selects the reference's single-direction arm; use d8")
     val pi = math.Pi
@@ -1194,10 +1200,17 @@ object Terrain {
   }
 
   /** MDInf flow accumulation (FlowAccumMDInf.java): 1 + Seibert &
-    * McGlynn facet-apportioned inflow, via [[weightedAccum]]. */
+    * McGlynn facet-apportioned inflow, via [[weightedAccum]]. Both
+    * the edges and the accumulation are memoized: geo_mdinf_accum /
+    * geo_side_mdinf / geo_stream_heads_mdinf all derive them from
+    * the same DEM in one session. */
   def mdinfAccum(grid: DataFrame, hExp: Double = 1.0,
                  rounds: Int = 24): DataFrame =
-    weightedAccum(mdinfEdges(grid, hExp), grid, rounds)
+    graft.core.Memo.cached(
+      graft.core.Memo.key(grid, s"mdinfAccum:$hExp:$rounds"),
+      grid.sparkSession) {
+      weightedAccum(mdinfEdges(grid, hExp), grid, rounds)
+    }
 
   /** D8 steepest-descent direction in the MDINF neighbour order
     * (m = 0 north, west-about): first-wins argmax of
@@ -1519,42 +1532,51 @@ object Terrain {
     val fy = (col("tr") - col("r")).cast("int")
     val s1d = col("scode") % 16
     val s1x = mXdOf(s1d); val s1y = mYdOf(s1d)
-    // sp ~ -1 iff the stream direction is exactly antiparallel to
-    // the flow line (the only value of the discrete vector dot
-    // within the reference's 1e-5 band of -1)
-    val skip = s1d === 8 || (s1x === -fx && s1y === -fy)
-    val zcpA = fx * s1y - fy * s1x
     // The reference's 8-step state machine (INIT -> SIDED(s) on the
     // first tributary; SIDED(r) absorbs equal sides and jumps to
     // BOTH on the first disagreement, where it stays) reduces to a
     // FLAT form — no tributary -> UNKNOWN; any tributary whose side
-    // differs from the first's -> UNKNOWN; else the first's side —
-    // which keeps the expression tree linear (the literal fold
-    // nested the state 4x per step: 4^8 CASE nodes, an optimizer
-    // OOM at plan time).
-    def isTrib(i: Int) = {
-      val q = col(s"sq$i")
-      q.isNotNull && q >= 16 && (q % 16) === ((i + 4) % 8)
-    }
-    def sRight(i: Int) = {
-      val nd = col(s"sq$i") % 16
-      val nx = mXdOf(nd); val ny = mYdOf(nd)
-      val zcpB = fx * ny - fy * nx
-      val zcpC = s1x * ny - s1y * nx
-      when(zcpA * zcpB > 0, zcpB > 0).otherwise(zcpC > 0)
-    }
-    val hasTrib = (0 until 8).map(isTrib).reduce(_ || _)
+    // differs from the first's -> UNKNOWN; else the first's side.
+    // The per-tributary trib/side columns MATERIALIZE first (the SQL
+    // oracle's sd3 stage): inlined, the firstS chain re-expands
+    // inside every anyDiff term and the single projection blows past
+    // whole-stage codegen's method limit (~6 s of failed compilation
+    // + interpreted fallback, measured as geo_side_mdinf's 8 s r5
+    // debut).
+    val stage1 = e2.select(
+      Seq(col("tr").as("r"), col("tc").as("c"), col("slot"),
+        col("val"),
+        // sp ~ -1 iff the stream direction is exactly antiparallel
+        // to the flow line (the only value of the discrete vector
+        // dot within the reference's 1e-5 band of -1)
+        (s1d === 8 || (s1x === -fx && s1y === -fy)).as("skip")) ++
+        (0 until 8).map { i =>
+          val q = col(s"sq$i")
+          (q.isNotNull && q >= 16 && (q % 16) === ((i + 4) % 8))
+            .as(s"t$i")
+        } ++
+        (0 until 8).map { i =>
+          val nd = col(s"sq$i") % 16
+          val nx = mXdOf(nd); val ny = mYdOf(nd)
+          val zcpA = fx * s1y - fy * s1x
+          val zcpB = fx * ny - fy * nx
+          val zcpC = s1x * ny - s1y * nx
+          when(zcpA * zcpB > 0, zcpB > 0).otherwise(zcpC > 0)
+            .as(s"s$i")
+        }: _*)
+      .localCheckpoint(true)
+    val hasTrib = (0 until 8).map(i => col(s"t$i")).reduce(_ || _)
     val firstS = (0 until 8).reverse
       .foldLeft(lit(null).cast("boolean")) { (acc, i) =>
-        when(isTrib(i), sRight(i)).otherwise(acc)
+        when(col(s"t$i"), col(s"s$i")).otherwise(acc)
       }
     val anyDiff = (0 until 8)
-      .map(i => isTrib(i) && sRight(i) =!= firstS).reduce(_ || _)
+      .map(i => col(s"t$i") && col(s"s$i") =!= firstS).reduce(_ || _)
     // side: 0 = RIGHT, 1 = LEFT, 2 = UNKNOWN (split half/half)
-    val side = when(skip || !hasTrib || anyDiff, lit(2))
+    val side = when(col("skip") || !hasTrib || anyDiff, lit(2))
       .when(firstS, lit(0))
       .otherwise(lit(1))
-    val withSide = e2.select(col("tr").as("r"), col("tc").as("c"),
+    val withSide = stage1.select(col("r"), col("c"),
       col("slot"), col("val"),
       when(side === 0, col("val"))
         .when(side === 2, col("val") / 2).otherwise(lit(0.0)).as("rc"),
