@@ -2985,6 +2985,22 @@ object SparkEntry {
     // whitebox/georeference/LL2UTM.java:117-186, WGS 84): per-point
     // zone from longitude, transverse-Mercator series easting/
     // northing, southern rows offset by 10^7.
+    // azimuthBetweenPoints.py (Scripts): clockwise angle from north
+    // between consecutive supplier points, the script's exact
+    // -atan2 + pi/2 (+2pi when negative) form
+    "geo_azimuth_points" -> ((s, dir) => {
+      val p = Derived.supplierPoints(s, dir)
+        .select(col("s_id"), col("sx"), col("sy"))
+      val q = p.select((col("s_id") - 1).as("s_id"),
+        col("sx").as("tx"), col("sy").as("ty"))
+      val theta = -atan2(col("ty") - col("sy"), col("tx") - col("sx")) +
+        lit(math.Pi / 2)
+      p.join(q, Seq("s_id"))
+        .select(col("s_id"),
+          round(when(theta < 0, degrees(theta + lit(2 * math.Pi)))
+            .otherwise(degrees(theta)), 6).as("azimuth"))
+    }),
+
     "geo_utm_project" -> ((s, dir) => {
       val aAx = 6378137.0; val bAx = 6356752.314
       val e = math.sqrt(1 - (bAx / aAx) * (bAx / aAx))
@@ -6922,6 +6938,16 @@ object SparkEntry {
          |SELECT r, c, wr, wg,
          |  4278190080 + wg * 65536 + wg * 256 + wr AS rgb
          |FROM k""".stripMargin,
+
+    "geo_azimuth_points" ->
+      s"""WITH sp AS ($SPTS),
+         |pr AS (SELECT a.s_id, a.sx, a.sy, b.sx AS tx, b.sy AS ty
+         |  FROM sp a JOIN sp b ON b.s_id = a.s_id + 1),
+         |th AS (SELECT s_id,
+         |  -atan2(ty - sy, tx - sx) + ${math.Pi / 2}e0 AS theta FROM pr)
+         |SELECT s_id, round(CASE WHEN theta < 0
+         |  THEN degrees(theta + ${2 * math.Pi}e0)
+         |  ELSE degrees(theta) END, 6) AS azimuth FROM th""".stripMargin,
 
     "geo_utm_project" -> {
       val aAx = 6378137.0; val bAx = 6356752.314

@@ -51,32 +51,17 @@ object Vectorize {
     val edges0 = probes.join(labeled, Seq("r", "c", "cls"))
       .select(col("la"), col("lbl").as("lb"))
       .where(col("la") =!= col("lb")).distinct()
-    val edges = edges0.unionByName(
-        edges0.select(col("lb").as("la"), col("la").as("lb")))
-      .localCheckpoint(true)
-    var m = labeled.select(col("lbl")).distinct()
-      .select(col("lbl"), col("lbl").as("root")).localCheckpoint(true)
-    var changed = edges.limit(1).count() > 0
-    while (changed) {
-      val viaNbr = edges
-        .join(m.select(col("lbl").as("lb"), col("root").as("rb")),
-          Seq("lb"))
-        .groupBy(col("la").as("lbl")).agg(min(col("rb")).as("nm"))
-      val step = m.join(viaNbr, Seq("lbl"), "left")
-        .select(col("lbl"),
-          least(col("root"), coalesce(col("nm"), col("root"))).as("root"))
-      val jump = step
-        .join(step.select(col("lbl").as("r2"), col("root").as("rr")),
-          col("root") === col("r2"), "left")
-        .select(col("lbl"), coalesce(col("rr"), col("root")).as("root"))
-        .localCheckpoint(true)
-      changed = jump
-        .join(m.withColumnRenamed("root", "old"), Seq("lbl"))
-        .where(col("root") =!= col("old")).limit(1).count() > 0
-      m = jump
-    }
-    labeled.join(m, Seq("lbl"))
-      .select(col("r"), col("c"), col("cls"), col("root").as("comp_id"))
+    // resolve the cross-tile label graph through the shared
+    // size-adaptive CC labeller (one-task union-find for small label
+    // graphs — same r5 rewrite as Raster.clump's step 3)
+    val selfLoops = labeled.select(col("lbl").as("a"),
+      col("lbl").as("b")).distinct()
+    val comp = GraphCC.label(
+      edges0.select(col("la").as("a"), col("lb").as("b"))
+        .unionByName(selfLoops))
+      .select(col("node").as("lbl"), col("comp"))
+    labeled.join(comp, Seq("lbl"))
+      .select(col("r"), col("c"), col("cls"), col("comp").as("comp_id"))
   }
 
   private def localCcl4(cells: Seq[(Long, Long, Long)],
