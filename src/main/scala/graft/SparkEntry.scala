@@ -1132,6 +1132,22 @@ object SparkEntry {
           col("n_bytes"), round(col("byte_entropy"), 6).as("entropy"))
     }),
 
+    // REAL image decode (JDK PNG codec): deterministic 16x16
+    // synthetic test cards encode -> binary column -> decode; the
+    // oracle recomputes the pixel formula directly, so a green row
+    // proves the lossless codec round trip bit-for-bit
+    "media_image_decode" -> ((s, dir) => {
+      val ids = Derived.table(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0).select(col("doc_id"))
+      val spark2 = s
+      import spark2.implicits._
+      val blobs = ids.as[Long].mapPartitions(_.map(id =>
+        (id, operators.Multimodal.syntheticPng(id, 16, 16))))
+        .toDF("id", "img")
+      operators.Multimodal.decodeImageFeatures(blobs)
+        .toDF("doc_id", "width", "height", "gray_sum")
+    }),
+
     // ---- ordered SQL windows (rank / lag / cume_dist surface) ----
 
     "q4_window" -> ((s, dir) => {
@@ -5330,6 +5346,15 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
         |  round(e.e, 6) AS entropy
         |FROM documents d JOIN ent e ON e.doc_id = d.doc_id""".stripMargin,
+
+    "media_image_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |px AS (SELECT i.doc_id, (i.doc_id * 31 + x.x * 7 + y.x * 13) % 256 AS g
+        |  FROM ids i CROSS JOIN range(0, 16) x(x) CROSS JOIN range(0, 16) y(x))
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height,
+        |  CAST(sum(g) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
 
     "q4_window" ->
       """SELECT user_id, event_id,

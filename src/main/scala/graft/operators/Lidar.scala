@@ -129,7 +129,11 @@ object Lidar {
       .select(col("pid"),
         (col("z") - least(col("z"), coalesce(col("__mn"), col("z"))))
           .as("mda"))
+    // the pair relation is symmetric; one direction suffices for the
+    // undirected CC labeller (halves the edge shuffle and the
+    // one-task union-find input)
     val e = pairs
+      .where(col("pid") < col("rpid"))
       .join(mda.select(col("pid"), col("mda").as("ma")), Seq("pid"))
       .join(mda.select(col("pid").as("rpid"), col("mda").as("mb")),
         Seq("rpid"))
