@@ -510,7 +510,15 @@ object Terrain {
    * neighbour is lower (maxSlope <= 0). Off-grid neighbours are
    * skipped (NoData semantics).
    */
-  def d8Pointer(grid: DataFrame): DataFrame = {
+  def d8Pointer(grid: DataFrame): DataFrame =
+    // memoized per DEM: the pointer grid is the shared ancestor of
+    // ~25 hydrology queries in a session (same materialized-view
+    // rationale as the stream-graph memo)
+    graft.core.Memo.cached(
+      graft.core.Memo.key(grid, "d8Pointer"),
+      grid.sparkSession) { d8PointerImpl(grid) }
+
+  private def d8PointerImpl(grid: DataFrame): DataFrame = {
     val nb = gatherNeighbors(grid)
     val slopes = (0 until 8).map { i =>
       val dist = if (i % 2 == 0) math.sqrt(2.0) else 1.0
@@ -4203,7 +4211,17 @@ object Terrain {
    * oracle uses. Paths are unique in a functional graph, so each
    * (start, cell) pair carries one distance and `distinct` is exact.
    */
-  private def flowpathClosure(ptr: DataFrame): DataFrame = {
+  private def flowpathClosure(grid: DataFrame): DataFrame =
+    graft.core.Memo.cached(
+      graft.core.Memo.key(grid, "flowpathClosure"),
+      grid.sparkSession) {
+      // memoized on the GRID plan (the four flowpath tools all derive
+      // the identical closure from the same DEM per session; keying
+      // on the checkpointed pointer would never hit)
+      flowpathClosureImpl(d8Pointer(grid).localCheckpoint(true))
+    }
+
+  private def flowpathClosureImpl(ptr: DataFrame): DataFrame = {
     val e = d8EdgesFromPtr(ptr).withColumn("d", stepNano)
       .localCheckpoint(true)
     var r = ptr.select(col("r").as("sr"), col("c").as("sc"),
@@ -4242,7 +4260,7 @@ object Terrain {
    */
   def branchLength(grid: DataFrame, nRows: Long, nCols: Long): DataFrame = {
     val ptr = d8Pointer(grid).localCheckpoint(true)
-    val reach = flowpathClosure(ptr).localCheckpoint(true)
+    val reach = flowpathClosure(grid).localCheckpoint(true)
     val spark = grid.sparkSession
     import spark.implicits._
     // E, SE, S, SW (BranchLength.java's testByte c = 1..4), in-grid
@@ -4315,8 +4333,7 @@ object Terrain {
    */
   def traceDownslopeFlowpaths(grid: DataFrame,
                               seeds: DataFrame): DataFrame = {
-    val ptr = d8Pointer(grid).localCheckpoint(true)
-    val reach = flowpathClosure(ptr)
+    val reach = flowpathClosure(grid)
     val painted = seeds.join(reach, Seq("sr", "sc"))
     val firstSeed = org.apache.spark.sql.expressions.Window
       .partitionBy("r", "c").orderBy(col("sr"), col("sc"))
@@ -4410,7 +4427,7 @@ object Terrain {
     val links = streamLinkId(grid, threshold, width)
     val cellOrd = links.join(ord, Seq("link_id"))
       .select(col("r"), col("c"), col("strahler"))
-    val reach = flowpathClosure(d8Pointer(grid))
+    val reach = flowpathClosure(grid)
     reach.join(cellOrd, Seq("r", "c"))
       .groupBy(col("sr").as("r"), col("sc").as("c"))
       .agg(min_by(col("strahler"), col("dn")).as("basin_order"))
@@ -4443,7 +4460,7 @@ object Terrain {
     // D8 path never leaves the stream — cell X has headwater h
     // upstream (in the stream graph) iff X lies on h's flowpath
     val ptr = d8Pointer(grid).localCheckpoint(true)
-    val hk = flowpathClosure(ptr)
+    val hk = flowpathClosure(grid)
       .join(heads.select(col("r").as("sr"), col("c").as("sc")),
         Seq("sr", "sc"))
       .groupBy("r", "c").agg(count(lit(1)).as("k"))
